@@ -1,0 +1,108 @@
+package graft.cells
+
+/** Uniform lat/lon grid cell index, generalizing the reference's 0.01° bins
+  * (`/root/reference/js/gpsBins.js:40-74`, FRACTION_DIGITS=2) to resolutions
+  * 0..5 decimal digits. Cell ids are packed BIGINTs — never strings — with a
+  * deliberately SQL-mirrorable layout so a DuckDB oracle can recompute them
+  * with plain arithmetic:
+  *
+  *   cellId = (floor(lon * 10^res) + OFF) * SCALE + (floor(lat * 10^res) + OFF)
+  *
+  * OFF = 2e7, SCALE = 1e8: valid for res ≤ 5 (|lonIdx| ≤ 1.8e7 < OFF,
+  * latIdx + OFF < SCALE, product < 2^62). floor (round toward -inf) matches
+  * SQL FLOOR for negative coordinates.
+  */
+object GridCell {
+  val OFF: Long = 20000000L
+  val SCALE: Long = 100000000L
+
+  /** 10^res as an exact double (res ≤ 5). */
+  @inline def pow10(res: Int): Double = res match {
+    case 0 => 1.0
+    case 1 => 10.0
+    case 2 => 100.0
+    case 3 => 1000.0
+    case 4 => 10000.0
+    case 5 => 100000.0
+    case _ => throw new IllegalArgumentException(s"grid res out of range [0,5]: $res")
+  }
+
+  @inline def lonIdx(lon: Double, res: Int): Long = math.floor(lon * pow10(res)).toLong
+  @inline def latIdx(lat: Double, res: Int): Long = math.floor(lat * pow10(res)).toLong
+
+  @inline def pack(lonI: Long, latI: Long): Long = (lonI + OFF) * SCALE + (latI + OFF)
+
+  @inline def encode(lat: Double, lon: Double, res: Int): Long =
+    pack(lonIdx(lon, res), latIdx(lat, res))
+
+  @inline def unpackLonIdx(cell: Long): Long = cell / SCALE - OFF
+  @inline def unpackLatIdx(cell: Long): Long = cell % SCALE - OFF
+
+  /** All cells covered by the closed bbox — the reference replicates a way
+    * into every cell its BOUNDS cover (`gpsBins.js:94-116`), not just cells
+    * its geometry passes through; we reproduce that (coarse candidate set,
+    * refined later by exact geometry).
+    */
+  def covering(minLat: Double, minLon: Double, maxLat: Double, maxLon: Double, res: Int): Array[Long] = {
+    val lo0 = lonIdx(minLon, res); val hi0 = lonIdx(maxLon, res)
+    val la0 = latIdx(minLat, res); val la1 = latIdx(maxLat, res)
+    val n = ((hi0 - lo0 + 1) * (la1 - la0 + 1)).toInt
+    val out = new Array[Long](n)
+    var k = 0
+    var x = lo0
+    while (x <= hi0) {
+      var y = la0
+      while (y <= la1) {
+        out(k) = pack(x, y); k += 1
+        y += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  /** Cells at Chebyshev distance exactly k from `cell` (k=0 → the cell
+    * itself). Used for kNN cell-ring expansion (SURVEY.md J7).
+    */
+  def ring(cell: Long, k: Int): Array[Long] = {
+    val cx = unpackLonIdx(cell); val cy = unpackLatIdx(cell)
+    if (k == 0) return Array(cell)
+    val out = new Array[Long](8 * k)
+    var i = 0
+    var x = -k
+    while (x <= k) {
+      if (x == -k || x == k) {
+        var y = -k
+        while (y <= k) { out(i) = pack(cx + x, cy + y); i += 1; y += 1 }
+      } else {
+        out(i) = pack(cx + x, cy - k); i += 1
+        out(i) = pack(cx + x, cy + k); i += 1
+      }
+      x += 1
+    }
+    out
+  }
+
+  /** All cells at Chebyshev distance ≤ k (the (2k+1)² disk). */
+  def disk(cell: Long, k: Int): Array[Long] = {
+    val cx = unpackLonIdx(cell); val cy = unpackLatIdx(cell)
+    val side = 2 * k + 1
+    val out = new Array[Long](side * side)
+    var i = 0
+    var x = -k
+    while (x <= k) {
+      var y = -k
+      while (y <= k) { out(i) = pack(cx + x, cy + y); i += 1; y += 1 }
+      x += 1
+    }
+    out
+  }
+
+  /** Parent cell at a coarser resolution (for adaptive subdivision). */
+  def parent(cell: Long, res: Int, parentRes: Int): Long = {
+    require(parentRes <= res)
+    val f = math.pow(10, res - parentRes).toLong
+    val lonI = unpackLonIdx(cell); val latI = unpackLatIdx(cell)
+    pack(Math.floorDiv(lonI, f), Math.floorDiv(latI, f))
+  }
+}

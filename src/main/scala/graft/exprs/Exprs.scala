@@ -1,0 +1,419 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cells.GridCell
+import graft.geom.Geom
+
+/** Catalyst-native expressions (SURVEY.md §2.11): the geometric / cell
+  * primitives the reference takes from @turf/turf and its string-keyed grid
+  * (`/root/reference/js/gpsBins.js:60-63`), re-expressed as codegen-friendly
+  * Spark expressions. Hot scalar paths implement doGenCode via static calls
+  * into graft.geom/graft.cells; array-shaped ones use CodegenFallback.
+  */
+
+/** cell id of (lat, lon) at grid resolution `res` (decimal digits).
+  * Reference grid key: `gpsBins.js:60-63` ("lng/lat" string at 2 digits);
+  * here a packed BIGINT (GridCell layout, SQL-mirrorable).
+  */
+case class CellEncode(lat: Expression, lon: Expression, res: Int)
+    extends BinaryExpression {
+  override def left: Expression = lat
+  override def right: Expression = lon
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(latV: Any, lonV: Any): Any =
+    GridCell.encode(latV.asInstanceOf[Double], lonV.asInstanceOf[Double], res)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo) => s"graft.cells.GridCell.encode($la, $lo, $res)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lat = l, lon = r)
+}
+
+/** array of cell ids covered by a bbox (the reference replicates ways into
+  * every cell their bounds cover, `gpsBins.js:94-116`).
+  */
+case class CellsCovering(minLat: Expression, minLon: Expression,
+                         maxLat: Expression, maxLon: Expression, res: Int)
+    extends QuaternaryExpression with CodegenFallback {
+  override def first: Expression = minLat
+  override def second: Expression = minLon
+  override def third: Expression = maxLat
+  override def fourth: Expression = maxLon
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    new GenericArrayData(GridCell.covering(
+      a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double], res))
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(minLat = f, minLon = s, maxLat = t, maxLon = q)
+}
+
+/** cells at Chebyshev distance ≤ k of `cell` (kNN ring expansion, SURVEY J7). */
+case class CellDisk(cell: Expression, k: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = cell
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, kk: Any): Any =
+    new GenericArrayData(GridCell.disk(c.asInstanceOf[Long], kk.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(cell = l, k = r)
+}
+
+/** haversine meters between two points (replaces turf.distance, offset.js:112). */
+case class Haversine(lat1: Expression, lon1: Expression,
+                     lat2: Expression, lon2: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = lat1
+  override def second: Expression = lon1
+  override def third: Expression = lat2
+  override def fourth: Expression = lon2
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    Geom.haversineM(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.geom.Geom.haversineM($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(lat1 = f, lon1 = s, lat2 = t, lon2 = q)
+}
+
+/** packed Web-Mercator slippy tile id: z*2^52 + x*2^26 + y (z ≤ 26).
+  * SQL-mirrorable: x = floor((lon+180)/360 * 2^z), y per slippy formula.
+  */
+case class TileId(lat: Expression, lon: Expression, zoom: Int)
+    extends BinaryExpression {
+  require(zoom >= 0 && zoom <= 26, s"zoom out of range [0,26]: $zoom")
+  override def left: Expression = lat
+  override def right: Expression = lon
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(latV: Any, lonV: Any): Any = {
+    val la = latV.asInstanceOf[Double]; val lo = lonV.asInstanceOf[Double]
+    zoom.toLong * (1L << 52) + Geom.tileX(lo, zoom) * (1L << 26) + Geom.tileY(la, zoom)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo) =>
+      s"${zoom}L * (1L << 52) + graft.geom.Geom.tileX($lo, $zoom) * (1L << 26) + graft.geom.Geom.tileY($la, $zoom)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lat = l, lon = r)
+}
+
+/** First intersection point of two polylines (array<struct<lat,lon>>) as
+  * array<double>[lat, lon], null when disjoint. Replaces turf.lineIntersect
+  * keeping features[0] (`geo.js:209-214`). Per-segment bbox prefilter inside.
+  */
+case class SegmentsIntersect(line1: Expression, line2: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = line1
+  override def right: Expression = line2
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(l1: Any, l2: Any): Any = {
+    val a = SegmentsIntersect.toFlat(l1.asInstanceOf[ArrayData])
+    val b = SegmentsIntersect.toFlat(l2.asInstanceOf[ArrayData])
+    val hit = Geom.polylineIntersectFirst(a, b)
+    if (hit == null) null else new GenericArrayData(hit)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(line1 = l, line2 = r)
+}
+object SegmentsIntersect {
+  /** array<struct<lat:double,lon:double>> → flat [lat0,lon0,lat1,lon1,...] */
+  def toFlat(arr: ArrayData): Array[Double] = {
+    val n = arr.numElements()
+    val out = new Array[Double](2 * n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      out(2 * i) = row.getDouble(0)
+      out(2 * i + 1) = row.getDouble(1)
+      i += 1
+    }
+    out
+  }
+}
+
+/** Min planar distance (degrees) from a point to a polyline
+  * (array<struct<lat,lon>>). Used by kNN exact refinement (SURVEY J7;
+  * reference `distGpsGeometry` geo.js:1305-1312 uses vertex distance only —
+  * we use true point-to-segment distance, strictly more accurate; the
+  * divergence is documented and the oracle mirrors ours).
+  */
+case class PointPolylineDist(lat: Expression, lon: Expression, line: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = line
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, l: Any): Any =
+    Geom.pointPolylineDist(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      SegmentsIntersect.toFlat(l.asInstanceOf[ArrayData]))
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(lat = f, lon = s, line = t)
+}
+
+/** Ray-casting point-in-polygon against a PREPARED polygon list bound at plan
+  * time (broadcast nested-loop spatial join with envelope prefilter —
+  * SURVEY J6; replaces turf.booleanPointInPolygon, geo.js:60-70). Returns the
+  * FIRST containing polygon's name (reference takes first match) or
+  * `default`. `polys`: (name, rings) with rings flat [lon,lat,...] per ring.
+  */
+case class PointInPolygonFirst(lat: Expression, lon: Expression,
+                               polys: Array[(String, Array[Array[Double]])],
+                               default: String)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = lat
+  override def right: Expression = lon
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  private lazy val names = polys.map(p => UTF8String.fromString(p._1))
+  private lazy val defaultU = UTF8String.fromString(default)
+  override protected def nullSafeEval(latV: Any, lonV: Any): Any = {
+    val la = latV.asInstanceOf[Double]; val lo = lonV.asInstanceOf[Double]
+    var i = 0
+    while (i < polys.length) {
+      if (Geom.pointInPolygon(la, lo, polys(i)._2)) return names(i)
+      i += 1
+    }
+    defaultU
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lat = l, lon = r)
+}
+
+/** General point-in-polygon test: rings column as array<array<double>>
+  * (flat [lon,lat,...] per ring, outer ring first). */
+case class PointInPolygon(lat: Expression, lon: Expression, rings: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = lat
+  override def second: Expression = lon
+  override def third: Expression = rings
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, r: Any): Any = {
+    val arr = r.asInstanceOf[ArrayData]
+    val rr = new Array[Array[Double]](arr.numElements())
+    var i = 0
+    while (i < rr.length) {
+      rr(i) = arr.getArray(i).toDoubleArray()
+      i += 1
+    }
+    Geom.pointInPolygon(a.asInstanceOf[Double], b.asInstanceOf[Double], rr)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(lat = f, lon = s, rings = t)
+}
+
+/** F2 `clean` (geo.js:674-691): remove the FIRST `_<digit>` occurrence (JS
+  * non-global regex, geo.js:683-684), split on '/', dedupe, sort, rejoin.
+  * Spark's regexp_replace replaces all matches, hence this expression.
+  */
+case class CleanStreetKey(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(CleanStreetKey.clean(s))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+object CleanStreetKey {
+  private val firstSuffix = java.util.regex.Pattern.compile("_[0-9]")
+  def clean(s: String): String = {
+    val m = firstSuffix.matcher(s)
+    val stripped = if (m.find()) s.substring(0, m.start()) + s.substring(m.end()) else s
+    stripped.split("/", -1).distinct.sorted.mkString("/")
+  }
+}
+
+/** MinHash signature over a token array: k independent hash mins.
+  * Public construction (Broder 1997 shingling minhash); hash_i(t) =
+  * murmur-style mix of (token bytes hash, seed i).
+  */
+case class MinHashSig(tokens: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def child: Expression = tokens
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h0 = Hashing.utf8Hash(arr.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val h = Hashing.mix(h0, j)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(tokens = c)
+}
+
+/** 64-bit SimHash over a token array (Charikar 2002). */
+case class SimHash64(tokens: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def child: Expression = tokens
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = Hashing.utf8Hash(arr.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(tokens = c)
+}
+
+/** Karp-Rabin rolling-hash document fingerprint: min of rolling hashes of
+  * all `window`-byte windows (winnowing-style min fingerprint; Schleimer
+  * et al. 2003).
+  */
+case class RollingMinHash(text: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def child: Expression = text
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    if (bytes.length < window) return Hashing.bytesHash(bytes)
+    val B = 1000000007L
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow = pow * B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    var best = Hashing.mix(h, 0)
+    i = window
+    while (i < bytes.length) {
+      h = (h - (bytes(i - window) & 0xff) * pow) * B + (bytes(i) & 0xff)
+      val m = Hashing.mix(h, 0)
+      if (m < best) best = m
+      i += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(text = c)
+}
+
+/** Cosine similarity of two float vectors (array<float>), computed in double.
+  * Tight loop over ArrayData — faster than zip_with/aggregate HOFs and keeps
+  * the ANN brute-force path cheap.
+  */
+case class CosineSim(a: Expression, b: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val u = x.asInstanceOf[ArrayData]; val v = y.asInstanceOf[ArrayData]
+    val n = math.min(u.numElements(), v.numElements())
+    var dot = 0.0; var nu = 0.0; var nv = 0.0
+    var i = 0
+    while (i < n) {
+      val ue = u.getFloat(i).toDouble; val ve = v.getFloat(i).toDouble
+      dot += ue * ve; nu += ue * ue; nv += ve * ve
+      i += 1
+    }
+    if (nu == 0.0 || nv == 0.0) 0.0 else dot / (math.sqrt(nu) * math.sqrt(nv))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+object Hashing {
+  /** stable 64-bit hash of UTF8 bytes (FNV-1a 64). */
+  def utf8Hash(s: UTF8String): Long = bytesHash(s.getBytes)
+  def bytesHash(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) {
+      h ^= (b(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+  /** splitmix64-style mix of (h, seed) → non-negative long. */
+  def mix(h0: Long, seed: Int): Long = {
+    var z = h0 + 0x9e3779b97f4a7c15L * (seed + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) & Long.MaxValue
+  }
+}
+
+/** Column-level wrappers. */
+object fns {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def cell_encode(lat: Column, lon: Column, res: Int): Column = c(CellEncode(e(lat), e(lon), res))
+  def cells_covering(minLat: Column, minLon: Column, maxLat: Column, maxLon: Column, res: Int): Column =
+    c(CellsCovering(e(minLat), e(minLon), e(maxLat), e(maxLon), res))
+  def cell_disk(cell: Column, k: Column): Column = c(CellDisk(e(cell), e(k)))
+  def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    c(Haversine(e(lat1), e(lon1), e(lat2), e(lon2)))
+  def tile_id(lat: Column, lon: Column, zoom: Int): Column = c(TileId(e(lat), e(lon), zoom))
+  def segments_intersect(l1: Column, l2: Column): Column = c(SegmentsIntersect(e(l1), e(l2)))
+  def point_polyline_dist(lat: Column, lon: Column, line: Column): Column =
+    c(PointPolylineDist(e(lat), e(lon), e(line)))
+  def point_in_polygon(lat: Column, lon: Column, rings: Column): Column =
+    c(PointInPolygon(e(lat), e(lon), e(rings)))
+  def point_in_polygon_first(lat: Column, lon: Column,
+                             polys: Array[(String, Array[Array[Double]])], default: String): Column =
+    c(PointInPolygonFirst(e(lat), e(lon), polys, default))
+  def clean_street_key(raw: Column): Column = c(CleanStreetKey(e(raw)))
+  def minhash_sig(tokens: Column, k: Int): Column = c(MinHashSig(e(tokens), k))
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def rolling_min_hash(text: Column, window: Int): Column = c(RollingMinHash(e(text), window))
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+
+  /** Manhattan-degree pseudo-meters (geo.js:661-666) from built-ins. */
+  def manhattan_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    import org.apache.spark.sql.functions.{abs, lit}
+    lit(1e5) * (abs(lat1 - lat2) + abs(lon1 - lon2))
+  }
+}

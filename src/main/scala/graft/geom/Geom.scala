@@ -1,0 +1,236 @@
+package graft.geom
+
+/** Pure-Scala computational geometry used by the Catalyst expressions.
+  *
+  * Re-expresses (from scratch) the geometric primitives the reference gets
+  * from @turf/turf (`/root/reference/js/geo.js:4`):
+  *  - segment×segment intersection (`turf.lineIntersect`, geo.js:209)
+  *  - point-in-polygon ray casting (`turf.booleanPointInPolygon`, geo.js:65)
+  *  - haversine distance (`turf.distance`, offset.js:112)
+  * plus the reference's own Manhattan-degree metric (geo.js:661-666) and
+  * Web-Mercator slippy-tile math (new, per the tiling requirement).
+  *
+  * All functions are allocation-free on the hot path so the Catalyst
+  * expressions wrapping them stay codegen/eval friendly.
+  */
+object Geom {
+
+  /** Earth radius in meters (mean radius, as used by common geo libs). */
+  val EarthRadiusM: Double = 6371008.8
+
+  /** Manhattan-degree pseudo-meters: 1e5 * (|dLat| + |dLon|).
+    * Reference: `distGpsGps` /root/reference/js/geo.js:661-666. The 50 m
+    * coalescing threshold is defined against THIS metric, not haversine.
+    */
+  @inline def manhattanDeg(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
+    1e5 * (math.abs(lat1 - lat2) + math.abs(lon1 - lon2))
+
+  /** Haversine great-circle distance in meters. */
+  def haversineM(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.sin(dLon / 2) * math.sin(dLon / 2)
+    2 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** Segment (p1-p2) × segment (p3-p4) intersection.
+    * Returns true and writes (lat, lon) into `out` when the closed segments
+    * properly intersect (including touching endpoints); collinear overlap
+    * reports the first overlap point (p3 side), matching the "first
+    * intersection" behavior of the reference (`geo.js:214` keeps
+    * `int.features[0]`).
+    * Coordinates are treated as planar (lon=x, lat=y) — identical to turf's
+    * lineIntersect plane-sweep on raw coordinates.
+    */
+  def segSegIntersect(
+      lat1: Double, lon1: Double, lat2: Double, lon2: Double,
+      lat3: Double, lon3: Double, lat4: Double, lon4: Double,
+      out: Array[Double]): Boolean = {
+    // x = lon, y = lat
+    val d1x = lon2 - lon1; val d1y = lat2 - lat1
+    val d2x = lon4 - lon3; val d2y = lat4 - lat3
+    // degenerate (zero-length) segments: point-on-segment tests
+    if (d1x == 0.0 && d1y == 0.0) {
+      if (d2x == 0.0 && d2y == 0.0) {
+        if (lat1 == lat3 && lon1 == lon3) { out(0) = lat1; out(1) = lon1; return true }
+        return false
+      }
+      if (pointSegDist(lat1, lon1, lat3, lon3, lat4, lon4) == 0.0) {
+        out(0) = lat1; out(1) = lon1; return true
+      }
+      return false
+    }
+    if (d2x == 0.0 && d2y == 0.0) {
+      if (pointSegDist(lat3, lon3, lat1, lon1, lat2, lon2) == 0.0) {
+        out(0) = lat3; out(1) = lon3; return true
+      }
+      return false
+    }
+    val denom = d1x * d2y - d1y * d2x
+    val ex = lon3 - lon1; val ey = lat3 - lat1
+    if (denom != 0.0) {
+      val t = (ex * d2y - ey * d2x) / denom
+      val u = (ex * d1y - ey * d1x) / denom
+      if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0) {
+        out(0) = lat1 + t * d1y
+        out(1) = lon1 + t * d1x
+        true
+      } else false
+    } else {
+      // parallel: check collinearity then 1-D overlap
+      val cross = ex * d1y - ey * d1x
+      if (cross != 0.0) return false
+      // project on the dominant axis
+      if (math.abs(d1x) >= math.abs(d1y)) {
+        val lo1 = math.min(lon1, lon2); val hi1 = math.max(lon1, lon2)
+        val lo3 = math.min(lon3, lon4); val hi3 = math.max(lon3, lon4)
+        val lo = math.max(lo1, lo3); val hi = math.min(hi1, hi3)
+        if (lo > hi) false
+        else {
+          // first overlap point, p3-side preference like turf's feature order
+          val x = if (lon3 >= lo1 && lon3 <= hi1) lon3 else lo
+          val y = if (d1x != 0.0) lat1 + (x - lon1) / d1x * d1y else lat1
+          out(0) = y; out(1) = x; true
+        }
+      } else {
+        val lo1 = math.min(lat1, lat2); val hi1 = math.max(lat1, lat2)
+        val lo3 = math.min(lat3, lat4); val hi3 = math.max(lat3, lat4)
+        val lo = math.max(lo1, lo3); val hi = math.min(hi1, hi3)
+        if (lo > hi) false
+        else {
+          val y = if (lat3 >= lo1 && lat3 <= hi1) lat3 else lo
+          val x = if (d1y != 0.0) lon1 + (y - lat1) / d1y * d1x else lon1
+          out(0) = y; out(1) = x; true
+        }
+      }
+    }
+  }
+
+  /** First intersection point of two polylines (flat arrays: lat0,lon0,lat1,lon1,...).
+    * Scans segments in order (i outer, j inner) and returns the first hit —
+    * this matches the reference keeping `lineIntersect(...).features[0]`
+    * (geo.js:209-214) for turf's scan order. Per-segment bbox prefilter keeps
+    * the common (non-intersecting) case cheap.
+    * Returns null when no intersection.
+    */
+  def polylineIntersectFirst(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val out = new Array[Double](2)
+    val na = a.length / 2 - 1
+    val nb = b.length / 2 - 1
+    var i = 0
+    while (i < na) {
+      val aLat1 = a(2 * i); val aLon1 = a(2 * i + 1)
+      val aLat2 = a(2 * i + 2); val aLon2 = a(2 * i + 3)
+      val aMinLat = math.min(aLat1, aLat2); val aMaxLat = math.max(aLat1, aLat2)
+      val aMinLon = math.min(aLon1, aLon2); val aMaxLon = math.max(aLon1, aLon2)
+      var j = 0
+      while (j < nb) {
+        val bLat1 = b(2 * j); val bLon1 = b(2 * j + 1)
+        val bLat2 = b(2 * j + 2); val bLon2 = b(2 * j + 3)
+        // bbox prefilter
+        if (!(math.max(bLat1, bLat2) < aMinLat || math.min(bLat1, bLat2) > aMaxLat ||
+              math.max(bLon1, bLon2) < aMinLon || math.min(bLon1, bLon2) > aMaxLon)) {
+          if (segSegIntersect(aLat1, aLon1, aLat2, aLon2, bLat1, bLon1, bLat2, bLon2, out))
+            return Array(out(0), out(1))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** Ray-casting point-in-polygon over rings.
+    * `rings`: outer ring first, holes after; each ring is a flat array
+    * lon0,lat0,lon1,lat1,... (GeoJSON [lon,lat] order, ring closure optional).
+    * Even-odd rule (same as turf's booleanPointInPolygon default).
+    * Includes an envelope prefilter on the outer ring.
+    */
+  def pointInPolygon(lat: Double, lon: Double, rings: Array[Array[Double]]): Boolean = {
+    if (rings.isEmpty) return false
+    // envelope prefilter on outer ring
+    val outer = rings(0)
+    var minLon = Double.MaxValue; var maxLon = Double.MinValue
+    var minLat = Double.MaxValue; var maxLat = Double.MinValue
+    var k = 0
+    while (k < outer.length - 1) {
+      val x = outer(k); val y = outer(k + 1)
+      if (x < minLon) minLon = x; if (x > maxLon) maxLon = x
+      if (y < minLat) minLat = y; if (y > maxLat) maxLat = y
+      k += 2
+    }
+    if (lon < minLon || lon > maxLon || lat < minLat || lat > maxLat) return false
+    var inside = false
+    var r = 0
+    while (r < rings.length) {
+      if (inRing(lat, lon, rings(r))) inside = !inside
+      r += 1
+    }
+    inside
+  }
+
+  private def inRing(lat: Double, lon: Double, ring: Array[Double]): Boolean = {
+    val n = ring.length / 2
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = ring(2 * i); val yi = ring(2 * i + 1)
+      val xj = ring(2 * j); val yj = ring(2 * j + 1)
+      if (((yi > lat) != (yj > lat)) &&
+          (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** Distance (degrees, planar) from point to segment. */
+  def pointSegDist(plat: Double, plon: Double,
+                   lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dx = lon2 - lon1; val dy = lat2 - lat1
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0.0) {
+      val ex = plon - lon1; val ey = plat - lat1
+      return math.sqrt(ex * ex + ey * ey)
+    }
+    var t = ((plon - lon1) * dx + (plat - lat1) * dy) / len2
+    if (t < 0.0) t = 0.0 else if (t > 1.0) t = 1.0
+    val ex = plon - (lon1 + t * dx); val ey = plat - (lat1 + t * dy)
+    math.sqrt(ex * ex + ey * ey)
+  }
+
+  /** Min planar distance (degrees) from point to polyline (flat lat,lon pairs). */
+  def pointPolylineDist(plat: Double, plon: Double, line: Array[Double]): Double = {
+    var best = Double.MaxValue
+    var i = 0
+    val n = line.length / 2 - 1
+    while (i < n) {
+      val d = pointSegDist(plat, plon, line(2 * i), line(2 * i + 1), line(2 * i + 2), line(2 * i + 3))
+      if (d < best) best = d
+      i += 1
+    }
+    if (n <= 0 && line.length >= 2) {
+      val ex = plon - line(1); val ey = plat - line(0)
+      best = math.sqrt(ex * ex + ey * ey)
+    }
+    best
+  }
+
+  /** Web-Mercator slippy tile X for lon at zoom z. */
+  @inline def tileX(lon: Double, z: Int): Long = {
+    val n = 1L << z
+    val x = math.floor((lon + 180.0) / 360.0 * n).toLong
+    if (x < 0) 0L else if (x >= n) n - 1 else x
+  }
+
+  /** Web-Mercator slippy tile Y for lat at zoom z. */
+  @inline def tileY(lat: Double, z: Int): Long = {
+    val n = 1L << z
+    val latRad = math.toRadians(lat)
+    val y = math.floor((1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi) / 2.0 * n).toLong
+    if (y < 0) 0L else if (y >= n) n - 1 else y
+  }
+}
