@@ -1,0 +1,365 @@
+package graft
+
+/** DuckDB oracle SQL for SparkEntry.queries. Two styles:
+  *  - MIRRORS: same arithmetic as the Spark plan, expressed in DuckDB SQL
+  *    (IEEE double ops are bit-identical when the formula is identical).
+  *  - CLOSED FORMS: independently-derived expected output of the pipeline on
+  *    the deterministic synthetic world (stronger than a re-implementation).
+  * DuckDB 1.0 notes: numeric literals default to DECIMAL → every float
+  * literal is written ::DOUBLE or with an explicit CAST; generate_series
+  * cannot take lateral column args → fixed series + filter.
+  */
+object OracleSql {
+
+  /** grid params + row/column tables (mirrors Synth.ways geometry). */
+  private val gridCte =
+    """p AS (SELECT GREATEST(16, LEAST(512, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS g FROM orders),
+ser AS (SELECT i FROM generate_series(0, 511) t(i)),
+rr AS (SELECT i AS r, 37.0::DOUBLE + CAST(i AS DOUBLE) * 0.001::DOUBLE AS lat FROM ser, p WHERE i < p.g),
+cc AS (SELECT i AS c,
+        CASE WHEN i = 12 THEN -122.0::DOUBLE + 0.0113::DOUBLE
+             ELSE -122.0::DOUBLE + CAST(i AS DOUBLE) * 0.001::DOUBLE END AS lon,
+        CASE WHEN i IN (2,5) THEN 'Main St' WHEN i IN (11,12) THEN 'Twin'
+             ELSE 'V' || i END AS vname
+      FROM ser, p WHERE i < p.g)"""
+
+  /** geotagged images (mirrors Synth.images + withGeotag). */
+  private val imgCte =
+    s"""$gridCte,
+imgs AS (
+  SELECT 'img' || o_orderkey AS image_id, u, v,
+         37.0::DOUBLE + CAST(u AS DOUBLE) * 0.000001::DOUBLE AS lat,
+         -122.0::DOUBLE + CAST(v AS DOUBLE) * 0.000001::DOUBLE AS lon
+  FROM (
+    SELECT o_orderkey,
+           CASE WHEN u0 % 500 = 0 THEN u0 + 13 ELSE u0 END AS u,
+           CASE WHEN v0 % 500 = 0 THEN v0 + 13 ELSE v0 END AS v
+    FROM (
+      SELECT o_orderkey,
+             ((o_orderkey * 48271 + 11) % 2147483647) % ((p.g - 1) * 1000) AS u0,
+             ((o_orderkey * 69621 + 7) % 2147483647) % ((p.g - 1) * 1000) AS v0
+      FROM orders, p)))"""
+
+  /** city bounds in integer microdegrees (mirrors Synth.cityPolys geometry;
+    * points never sit on edges, so integer comparison ≡ ray casting). */
+  private val cityCase =
+    """CASE
+  WHEN u BETWEEN s*10//100 + 1 AND s*35//100 AND v BETWEEN s*10//100 + 1 AND s*40//100 THEN 'alpha'
+  WHEN u BETWEEN s*40//100 + 1 AND s*70//100 AND v BETWEEN s*50//100 + 1 AND s*90//100 THEN 'beta'
+  WHEN (u BETWEEN s*70//100 + 1 AND s*95//100 AND v BETWEEN s*5//100 + 1 AND s*20//100)
+    OR (u BETWEEN s*70//100 + 1 AND s*80//100 AND v BETWEEN s*20//100 + 1 AND s*45//100) THEN 'gamma'
+  ELSE 'Unincorporated' END"""
+
+  val all: Map[String, String] = Map(
+
+    // ---- closed form: full topological pipeline on the synthetic grid ----
+    "q_topo_intersections" ->
+      s"""WITH $gridCte
+SELECT * FROM (
+  -- A: generic grid crossings (minus junction-consumed (1,1))
+  SELECT 'H' || r.r || '/' || c.vname AS streets,
+         'H' || r.r || '/' || c.vname AS raw,
+         ROUND(r.lat, 6) AS lat, ROUND(c.lon, 6) AS lon,
+         CAST(r.r * 1000000 + c.c AS VARCHAR) AS node_id,
+         r.r || ',' || (1000000 + c.c) AS way_ids
+  FROM rr r, cc c
+  WHERE c.c NOT IN (2, 5, 11, 12) AND NOT (r.r = 1 AND c.c = 1)
+  UNION ALL
+  -- B: Main St duplicate columns (c=2 first, c=5 suffixed _2; (1,2) consumed)
+  SELECT 'H' || r.r || '/Main St',
+         CASE WHEN c.c = 5 AND r.r <> 1 THEN 'H' || r.r || '/Main St_2'
+              ELSE 'H' || r.r || '/Main St' END,
+         ROUND(r.lat, 6), ROUND(c.lon, 6),
+         CAST(r.r * 1000000 + c.c AS VARCHAR),
+         r.r || ',' || (1000000 + c.c)
+  FROM rr r, cc c
+  WHERE c.c IN (2, 5) AND NOT (r.r = 1 AND c.c = 2)
+  UNION ALL
+  -- C1: Twin columns at border rows: 2 dead ends -> keep both
+  SELECT 'H' || r.r || '/Twin',
+         CASE WHEN c.c = 12 THEN 'H' || r.r || '/Twin_2' ELSE 'H' || r.r || '/Twin' END,
+         ROUND(r.lat, 6), ROUND(c.lon, 6),
+         CAST(r.r * 1000000 + c.c AS VARCHAR),
+         r.r || ',' || (1000000 + c.c)
+  FROM rr r, cc c, p
+  WHERE c.c IN (11, 12) AND r.r IN (0, p.g - 1)
+  UNION ALL
+  -- C2: Twin columns interior rows: <50 m, no dead ends -> averaged
+  SELECT 'H' || r.r || '/Twin', 'H' || r.r || '/Twin',
+         ROUND(r.lat, 6),
+         ROUND(((-122.0::DOUBLE + 11.0::DOUBLE * 0.001::DOUBLE) + (-122.0::DOUBLE + 0.0113::DOUBLE)) / 2.0::DOUBLE, 6),
+         CAST(r.r * 1000000 + 11 AS VARCHAR),
+         r.r || ',1000011,1000012'
+  FROM rr r, p WHERE r.r > 0 AND r.r < p.g - 1
+  UNION ALL
+  -- D: JUNCTION circle at (1,1)-(1,2): averaged, fake token removed
+  SELECT 'H1/Main St/V1', 'H1/H1/JUNCTION/Main St/V1/V1',
+         ROUND(37.0::DOUBLE + 1.0::DOUBLE * 0.001::DOUBLE, 6),
+         ROUND(((-122.0::DOUBLE + 1.0::DOUBLE * 0.001::DOUBLE) + (-122.0::DOUBLE + 2.0::DOUBLE * 0.001::DOUBLE)) / 2.0::DOUBLE, 6),
+         '1000001', '1,1000001,1000002,6000000'
+)
+ORDER BY streets, raw, node_id""",
+
+    // ---- closed form: geometric (motorway diagonal) intersections --------
+    "q_geom_intersections" ->
+      s"""WITH $gridCte
+SELECT * FROM (
+  -- crossings with horizontal streets, r = 1..g-1
+  SELECT 'H' || r.r || '/I 80;US 50' AS streets,
+         'I 80;US 50/H' || r.r AS raw,
+         ROUND(r.lat, 6) AS lat,
+         ROUND(-122.0::DOUBLE + CAST(r.r AS DOUBLE) * 0.001::DOUBLE - 0.0005::DOUBLE, 6) AS lon,
+         'Geom' AS node_id,
+         r.r || ',2000000' AS way_ids
+  FROM rr r WHERE r.r >= 1
+  UNION ALL
+  -- crossings with vertical streets, c = 0..g-2
+  SELECT 'I 80;US 50/' || c.vname,
+         'I 80;US 50/' || c.vname,
+         ROUND(CASE WHEN c.c = 12 THEN (-122.0::DOUBLE + 0.0113::DOUBLE) + 159.0005::DOUBLE
+                    ELSE 37.0::DOUBLE + CAST(c.c AS DOUBLE) * 0.001::DOUBLE + 0.0005::DOUBLE END, 6),
+         ROUND(CASE WHEN c.c = 12 THEN -122.0::DOUBLE + 0.0113::DOUBLE
+                    ELSE -122.0::DOUBLE + CAST(c.c AS DOUBLE) * 0.001::DOUBLE END, 6),
+         'Geom',
+         (1000000 + c.c) || ',2000000'
+  FROM cc c, p WHERE c.c <= p.g - 2
+)
+ORDER BY streets, raw, lat, lon""",
+
+    // ---- closed form: dead ends ------------------------------------------
+    "q_deadends" ->
+      s"""WITH $gridCte,
+ends AS (
+  SELECT r.r * 1000000 + 0 AS node_id, 'H' || r.r AS nm FROM rr r
+  UNION ALL
+  SELECT r.r * 1000000 + (p.g - 1), 'H' || r.r FROM rr r, p
+  UNION ALL
+  SELECT 0 * 1000000 + c.c, c.vname FROM cc c
+  UNION ALL
+  SELECT (p.g - 1) * 1000000 + c.c, c.vname FROM cc c, p
+  UNION ALL
+  SELECT 900000000, 'I 80;US 50'
+  UNION ALL SELECT 900000000 + p.g - 1, 'I 80;US 50' FROM p
+  UNION ALL SELECT 900000001, 'I 80;US 50'
+  UNION ALL SELECT 910000002, 'I 80;US 50'
+)
+SELECT node_id, array_to_string(list_sort(list(nm)), '/') AS dead
+FROM ends GROUP BY node_id ORDER BY node_id""",
+
+    // ---- closed form: X1 name propagation + fake names --------------------
+    "q_name_propagation" ->
+      """SELECT * FROM (
+  SELECT 5000000 AS way_id, 'I 80;US 50' AS name, 'link' AS src
+  UNION ALL SELECT 5000001, 'I 80;US 50', 'link'
+  UNION ALL SELECT 6000000, 'H1/JUNCTION/Main St/V1', 'fake'
+) ORDER BY way_id""",
+
+    // ---- mirror: ways per 0.01° cell (A8 bin histogram, skew detector) ----
+    "q_bin_stats" ->
+      s"""WITH $gridCte,
+span AS (SELECT i AS j FROM generate_series(0, 63) t(i)),
+-- H way r: single lat cell row, lon cells floor(-122*100)..floor(maxlon*100)
+hcells AS (
+  SELECT (CAST(FLOOR((-122.0::DOUBLE) * 100.0::DOUBLE) AS BIGINT) + s.j + 20000000::BIGINT) * 100000000::BIGINT
+         + CAST(FLOOR(r.lat * 100.0::DOUBLE) AS BIGINT) + 20000000 AS cell
+  FROM rr r, span s, p,
+       (SELECT CAST(FLOOR((-122.0::DOUBLE + CAST(g - 1 AS DOUBLE) * 0.001::DOUBLE) * 100.0::DOUBLE) AS BIGINT)
+               - CAST(FLOOR((-122.0::DOUBLE) * 100.0::DOUBLE) AS BIGINT) AS w FROM p) ws
+  WHERE s.j <= ws.w),
+vcells AS (
+  SELECT (CAST(FLOOR(c.lon * 100.0::DOUBLE) AS BIGINT) + 20000000::BIGINT) * 100000000::BIGINT
+         + CAST(FLOOR(37.0::DOUBLE * 100.0::DOUBLE) AS BIGINT) + s.j + 20000000 AS cell
+  FROM cc c, span s, p,
+       (SELECT CAST(FLOOR((37.0::DOUBLE + CAST(g - 1 AS DOUBLE) * 0.001::DOUBLE) * 100.0::DOUBLE) AS BIGINT)
+               - CAST(FLOOR(37.0::DOUBLE * 100.0::DOUBLE) AS BIGINT) AS h FROM p) hs
+  WHERE s.j <= hs.h),
+mcells AS (
+  SELECT (CAST(FLOOR((-122.0::DOUBLE - 0.00025::DOUBLE) * 100.0::DOUBLE) AS BIGINT) + sx.j + 20000000::BIGINT) * 100000000::BIGINT
+         + CAST(FLOOR((37.0::DOUBLE + 0.00025::DOUBLE) * 100.0::DOUBLE) AS BIGINT) + sy.j + 20000000 AS cell
+  FROM span sx, span sy, p,
+       (SELECT CAST(FLOOR((-122.0::DOUBLE + CAST(g - 1 AS DOUBLE) * 0.001::DOUBLE - 0.00025::DOUBLE) * 100.0::DOUBLE) AS BIGINT)
+               - CAST(FLOOR((-122.0::DOUBLE - 0.00025::DOUBLE) * 100.0::DOUBLE) AS BIGINT) AS w,
+               CAST(FLOOR((37.0::DOUBLE + CAST(g - 1 AS DOUBLE) * 0.001::DOUBLE + 0.00025::DOUBLE) * 100.0::DOUBLE) AS BIGINT)
+               - CAST(FLOOR((37.0::DOUBLE + 0.00025::DOUBLE) * 100.0::DOUBLE) AS BIGINT) AS h FROM p) wh
+  WHERE sx.j <= wh.w AND sy.j <= wh.h),
+-- links and circle each cover exactly one cell
+other AS (
+  SELECT (-12200 + 20000000::BIGINT) * 100000000::BIGINT + 3700 + 20000000 AS cell
+  UNION ALL SELECT (-12200 + 20000000::BIGINT) * 100000000::BIGINT + 3700 + 20000000
+  UNION ALL SELECT (-12200 + 20000000::BIGINT) * 100000000::BIGINT + 3700 + 20000000
+),
+allcells AS (
+  SELECT cell FROM hcells UNION ALL SELECT cell FROM vcells
+  UNION ALL SELECT cell FROM mcells UNION ALL SELECT cell FROM other)
+SELECT cell, COUNT(*) AS n_ways FROM allcells GROUP BY cell
+ORDER BY n_ways DESC, cell LIMIT 20""",
+
+    // ---- mirror: slippy tile assignment (z=15) -----------------------------
+    "q_image_tiles" ->
+      s"""WITH $imgCte
+SELECT image_id,
+  15 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT)
+  AS tile_id
+FROM imgs ORDER BY image_id""",
+
+    // ---- mirror (integer bounds): image city assignment --------------------
+    "q_image_city" ->
+      s"""WITH $imgCte
+SELECT image_id, $cityCase AS city
+FROM imgs, (SELECT (g - 1) * 1000 AS s FROM p) sp
+ORDER BY image_id""",
+
+    // ---- mirror: kNN streets per image (top-2 by rounded distance) ---------
+    "q_image_knn" ->
+      s"""WITH $imgCte,
+ways2 AS (
+  SELECT r AS way_id, 'H' || r AS name, lat AS wlat, NULL::DOUBLE AS wlon, 'h' AS kind FROM rr
+  UNION ALL
+  SELECT 1000000 + c, vname, NULL::DOUBLE, lon, 'v' FROM cc),
+cand AS (
+  SELECT i.image_id, w.way_id, w.name,
+    CAST(ROUND((CASE WHEN w.kind = 'h' THEN ABS(i.lat - w.wlat) ELSE ABS(i.lon - w.wlon) END)
+         * 1000000000.0::DOUBLE) AS BIGINT) AS dist9
+  FROM imgs i, ways2 w),
+ranked AS (
+  SELECT image_id, way_id, name,
+    ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY dist9, way_id) AS rk
+  FROM cand)
+SELECT image_id, rk, way_id, name FROM ranked WHERE rk <= 2
+ORDER BY image_id, rk""",
+
+    // ---- mirror: image-way cell join within 0.0002° -------------------------
+    "q_image_way_join" ->
+      s"""WITH $imgCte,
+ways2 AS (
+  SELECT r AS way_id, 'H' || r AS name, lat AS wlat, NULL::DOUBLE AS wlon, 'h' AS kind FROM rr
+  UNION ALL
+  SELECT 1000000 + c, vname, NULL::DOUBLE, lon, 'v' FROM cc)
+SELECT w.way_id, w.name, COUNT(*) AS n_images
+FROM imgs i, ways2 w
+WHERE (CASE WHEN w.kind = 'h' THEN ABS(i.lat - w.wlat) ELSE ABS(i.lon - w.wlon) END) <= 0.0002::DOUBLE
+GROUP BY w.way_id, w.name ORDER BY w.way_id""",
+
+    // ---- documents ---------------------------------------------------------
+    "q_doc_tokens" ->
+      """SELECT doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens,
+  length(text) AS n_chars_computed
+FROM documents ORDER BY doc_id""",
+
+    "q_doc_quality" ->
+      """SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, alpha_ratio,
+  CASE WHEN n_tokens >= 10.0::DOUBLE AND stopword_ratio > 0.01::DOUBLE THEN 1.0::DOUBLE
+       ELSE stopword_ratio * 50.0::DOUBLE END AS quality
+FROM (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+    (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0::DOUBLE))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and'))) AS DOUBLE)
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+    CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE)
+      / CAST(length(text) AS DOUBLE) AS alpha_ratio
+  FROM documents)
+ORDER BY doc_id""",
+
+    "q_doc_langid" ->
+      """WITH scores AS (
+  SELECT doc_id, lang2, CAST(len(list_filter(string_split(text, ' '), t -> (
+      (lang2 = 'de' AND t IN ('der','die','das','und','nicht')) OR
+      (lang2 = 'en' AND t IN ('the','a','of','and','is')) OR
+      (lang2 = 'es' AND t IN ('el','la','de','que','y')) OR
+      (lang2 = 'fr' AND t IN ('le','la','de','et','un')) OR
+      (lang2 = 'zh' AND t IN ('的','是','了','在','我'))))) AS INT) AS score
+  FROM documents, (SELECT unnest(['de','en','es','fr','zh']) AS lang2)),
+ranked AS (
+  SELECT doc_id, lang2, score,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang2) AS rk
+  FROM scores)
+SELECT doc_id, lang2 AS pred_lang, score AS best_score
+FROM ranked WHERE rk = 1 ORDER BY doc_id""",
+
+    "q_doc_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS dupes
+FROM documents GROUP BY text ORDER BY keep_doc_id""",
+
+    "q_doc_jaccard_pairs" ->
+      """WITH sh AS (
+  SELECT lang, source, doc_id,
+    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+      THEN [array_to_string(string_split(text,' '), ' ')]
+      ELSE list_transform(range(0, len(string_split(text,' ')) - 2),
+           i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')) END) AS s
+  FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.05::DOUBLE
+ORDER BY id1, id2""",
+
+    // ---- embeddings --------------------------------------------------------
+    "q_emb_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT q.q_id, e.vec_id AS neighbor,
+    CAST(ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+  FROM q, embeddings e WHERE q.q_id <> e.vec_id),
+ranked AS (
+  SELECT q_id, neighbor, cos9,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk
+  FROM cand)
+SELECT q_id, rk, neighbor, CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
+FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+
+    // ---- events ------------------------------------------------------------
+    "q_events_tumbling" ->
+      """SELECT event_type, (epoch_us(ts) // 300000000) * 300 AS window_start_sec,
+  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY event_type, epoch_us(ts) // 300000000
+ORDER BY event_type, window_start_sec""",
+
+    "q_events_sessions" ->
+      """WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM events),
+flagged AS (
+  SELECT user_id, value, ts_us,
+    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+sess AS (
+  SELECT user_id, value, ts_us,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged)
+SELECT user_id, sess_id, COUNT(*) AS n_events,
+  (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec,
+  ROUND(SUM(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+
+    // ---- relational anchors -------------------------------------------------
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+  ROUND(SUM(l_extendedprice * (1.0::DOUBLE - l_discount)), 4) AS revenue,
+  COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+
+    "q_join_topn" ->
+      """WITH rev AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS revenue, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT c.c_custkey, c.c_name, r.revenue, r.n_orders,
+    ROW_NUMBER() OVER (ORDER BY r.revenue DESC, c.c_custkey) AS rk
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey)
+SELECT c_custkey, c_name, revenue, n_orders, rk
+FROM ranked WHERE rk <= 20 ORDER BY rk"""
+  )
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.synth.Synth
+
+/** End-to-end pipelines over the deterministic synthetic world derived from
+  * a testdata sf directory (SURVEY §3.1 query lifecycle).
+  */
+object Pipeline {
+
+  /** memoized per (session, sfDir): grid size + cached way tables. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, (Int, DataFrame, DataFrame)]()
+
+  def prepared(spark: SparkSession, sfDir: String): (Int, DataFrame, DataFrame) =
+    cache.computeIfAbsent(sfDir + "@" + System.identityHashCode(spark), { _ =>
+      val g = Synth.gridSize(spark, sfDir)
+      val raw = Synth.ways(spark, g).cache()
+      val wayData = WayOps.deriveWayData(spark, raw).cache()
+      (g, raw, wayData)
+    })
+
+  def topo(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, raw, wayData) = prepared(spark, sfDir)
+    TopoIntersections(spark, wayData, raw)
+  }
+
+  def geom(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, _, wayData) = prepared(spark, sfDir)
+    GeomIntersections(spark, wayData)
+  }
+
+  /** flagship: full intersections feature set with city assignment. */
+  def features(spark: SparkSession, sfDir: String): DataFrame = {
+    val (g, _, _) = prepared(spark, sfDir)
+    SpatialOps.assemble(topo(spark, sfDir), geom(spark, sfDir), Synth.cityPolys(g))
+  }
+
+  /** geotagged images (lat/lon derived from phash). */
+  def geoImages(spark: SparkSession, sfDir: String, withBytes: Boolean = false): DataFrame = {
+    val (g, _, _) = prepared(spark, sfDir)
+    Synth.withGeotag(Synth.images(spark, sfDir, g, withBytes), g)
+  }
+}

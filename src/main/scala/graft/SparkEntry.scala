@@ -1,13 +1,185 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.synth.Synth
+import graft.text.TextOps
+import graft.sim.SimOps
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2), with
+  * DuckDB oracle SQL in graft.OracleSql. Column names match between Spark
+  * results and oracle SQL (the driver compare sorts columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001: full intersections pipeline (J1+J2-J5+J6,
+    * W1, A4-A7, X1) with city assignment. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.features(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- spatial core (reference parity) --------------------------------
+    "q_topo_intersections" -> ((s, dir) =>
+      Pipeline.topo(s, dir).select(
+        col("streets"), col("raw"),
+        round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"),
+        col("nodeId").cast("string").as("node_id"),
+        concat_ws(",", col("wayIds")).as("way_ids"))
+        .orderBy("streets", "raw", "node_id")),
+
+    "q_geom_intersections" -> ((s, dir) =>
+      Pipeline.geom(s, dir).select(
+        col("streets"), col("raw"),
+        round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"),
+        col("nodeId").as("node_id"),
+        concat_ws(",", col("wayIds")).as("way_ids"))
+        .orderBy("streets", "raw", "lat", "lon")),
+
+    "q_deadends" -> ((s, dir) => {
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      WayOps.deadEnds(wayData)
+        .select(col("node").as("node_id"), concat_ws("/", col("dead_names")).as("dead"))
+        .orderBy("node_id")
+    }),
+
+    "q_name_propagation" -> ((s, dir) => {
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      wayData.filter(col("src").isin("link", "fake"))
+        .select(col("way_id"), col("name"), col("src"))
+        .orderBy("way_id")
+    }),
+
+    "q_bin_stats" -> ((s, dir) => {
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      val cells = GeomIntersections.withBounds(wayData)
+        .select(explode(graft.exprs.fns.cells_covering(
+          col("min_lat"), col("min_lon"), col("max_lat"), col("max_lon"), 2)).as("cell"))
+      cells.groupBy("cell").agg(count(lit(1)).as("n_ways"))
+        .orderBy(col("n_ways").desc, col("cell"))
+        .limit(20)
+    }),
+
+    // ---- image-table spatial ops (north_rule workload) ------------------
+    "q_image_tiles" -> ((s, dir) =>
+      SpatialOps.tileAssign(Pipeline.geoImages(s, dir), 15)
+        .select(col("image_id"), col("tile_id"))
+        .orderBy("image_id")),
+
+    "q_image_city" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      SpatialOps.imageCity(Pipeline.geoImages(s, dir), Synth.cityPolys(g))
+        .select(col("image_id"), col("city"))
+        .orderBy("image_id")
+    }),
+
+    "q_image_knn" -> ((s, dir) => {
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      val streets = wayData.filter(col("way_id") < 2000000L)
+      SpatialOps.knnWays(Pipeline.geoImages(s, dir), streets, k = 2)
+        .select(col("image_id"), col("rk"), col("way_id"), col("name"))
+        .orderBy("image_id", "rk")
+    }),
+
+    "q_image_way_join" -> ((s, dir) => {
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      val streets = wayData.filter(col("way_id") < 2000000L)
+      // images within 20 m (manhattan-free: true planar distance ≤ 0.0002°)
+      SpatialOps.imageWayCellJoin(Pipeline.geoImages(s, dir), streets, res = 3,
+        maxDistDeg = 0.0002)
+        .groupBy(col("way_id"), col("name"))
+        .agg(count(lit(1)).as("n_images"))
+        .orderBy("way_id")
+    }),
+
+    // ---- documents: text analysis + dedup -------------------------------
+    "q_doc_tokens" -> ((s, dir) =>
+      TextOps.tokenStats(Synth.documents(s, dir)).orderBy("doc_id")),
+
+    "q_doc_quality" -> ((s, dir) =>
+      TextOps.qualityScore(Synth.documents(s, dir)).orderBy("doc_id")),
+
+    "q_doc_langid" -> ((s, dir) =>
+      TextOps.langId(Synth.documents(s, dir)).orderBy("doc_id")),
+
+    "q_doc_dedup_exact" -> ((s, dir) =>
+      TextOps.dedupExact(Synth.documents(s, dir)).orderBy("keep_doc_id")),
+
+    "q_doc_jaccard_pairs" -> ((s, dir) =>
+      TextOps.ngramJaccardPairs(Synth.documents(s, dir), 0.05)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")),
+
+    "q_doc_minhash_lsh" -> ((s, dir) =>
+      TextOps.minHashLshPairs(s, Synth.documents(s, dir), jaccardMin = 0.2)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")),
+
+    "q_doc_simhash" -> ((s, dir) =>
+      TextOps.simHashPairs(Synth.documents(s, dir), maxHam = 12)
+        .orderBy("id1", "id2")),
+
+    "q_doc_fingerprints" -> ((s, dir) =>
+      TextOps.fingerprints(Synth.documents(s, dir)).orderBy("doc_id")),
+
+    // ---- embeddings: similarity search ----------------------------------
+    "q_emb_topk" -> ((s, dir) =>
+      SimOps.bruteForceTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
+        .orderBy("q_id", "rk")),
+
+    "q_emb_lsh_topk" -> ((s, dir) =>
+      SimOps.lshTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
+        .orderBy("q_id", "rk")),
+
+    "q_emb_near_dups" -> ((s, dir) =>
+      SimOps.cosineNearDupPairs(Synth.embeddings(s, dir), 0.95)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2")),
+
+    // ---- images: multimodal columns --------------------------------------
+    "q_image_features" -> ((s, dir) =>
+      ImageOps.decodeFeatures(s, Synth.images(s, dir, Pipeline.prepared(s, dir)._1))
+        .select(col("image_id"), col("w"), col("h"),
+          round(col("mean_r"), 4).as("mean_r"), round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"), col("decode_ok"))
+        .orderBy("image_id")),
+
+    // ---- events: windowed analytics --------------------------------------
+    "q_events_tumbling" -> ((s, dir) =>
+      EventOps.tumbling(Synth.events(s, dir), 300)
+        .select(col("event_type"), col("window_start_sec"), col("n"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("event_type", "window_start_sec")),
+
+    "q_events_sessions" -> ((s, dir) =>
+      EventOps.sessionize(Synth.events(s, dir), 1800)
+        .select(col("user_id"), col("sess_id"), col("n_events"), col("duration_sec"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("user_id", "sess_id")),
+
+    // ---- relational anchors (scan/filter/agg/join/window) ----------------
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_join_topn" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      import org.apache.spark.sql.expressions.Window
+      val rev = o.groupBy(col("o_custkey")).agg(
+        round(sum(col("o_totalprice")), 4).as("revenue"), count(lit(1)).as("n_orders"))
+      rev.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("revenue").desc, col("c_custkey"))))
+        .filter(col("rk") <= 20)
+        .orderBy("rk")
+    })
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Dataset, Row}
+import org.apache.spark.sql.functions._
+import graft.synth.Bmp
+
+/** Multimodal (binary) column operators: decode / feature-extract /
+  * thumbnail over the opaque `bytes` column, batched per partition
+  * (Scala analog of mapInPandas: one decoder instance per partition,
+  * rows streamed through it — no per-row setup cost).
+  *
+  * BMP decode is real (graft.synth.Bmp, deterministic). Other formats are
+  * STUBBED with a clearly-marked deterministic fake (this container ships no
+  * image codecs beyond javax.imageio, which tests use as the oracle for BMP).
+  */
+object ImageOps {
+
+  case class ImageFeatures(
+      image_id: String, fmt: String, w: Int, h: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, decode_ok: Boolean)
+
+  /** decode + per-channel mean feature extraction. Partition-batched typed
+    * island: binary payloads never pass through (de)serialization more than
+    * once and the hot loop is plain JVM byte math. */
+  def decodeFeatures(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "w", "h", "bytes", "phash")
+      .as[(String, String, Int, Int, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, fmt, w, h, bytes, phash) =>
+          fmt match {
+            case "bmp" =>
+              val (rgb, dw, dh) = Bmp.decode(bytes)
+              var r = 0L; var g = 0L; var b = 0L
+              var i = 0
+              while (i < rgb.length) {
+                r += rgb(i) & 0xff; g += rgb(i + 1) & 0xff; b += rgb(i + 2) & 0xff
+                i += 3
+              }
+              val n = (dw * dh).toDouble
+              ImageFeatures(id, fmt, dw, dh, r / n, g / n, b / n, decode_ok = true)
+            case _ =>
+              // STUB: no codec for this format in-container; deterministic
+              // fake derived from phash so the pipeline shape stays real.
+              val fake = (phash & 0xff).toDouble
+              ImageFeatures(id, fmt, w, h, fake, fake, fake, decode_ok = false)
+          }
+        }
+      }.toDF()
+  }
+
+  /** thumbnail (nearest-neighbor resize) of the decoded image, re-encoded as
+    * BMP. Real for BMP input; STUB (passthrough) otherwise. */
+  def thumbnails(spark: SparkSession, images: DataFrame, tw: Int, th: Int): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, fmt, bytes) =>
+          if (fmt == "bmp") {
+            val (rgb, w, h) = Bmp.decode(bytes)
+            val out = new Array[Byte](tw * th * 3)
+            var y = 0
+            while (y < th) {
+              val sy = y * h / th
+              var x = 0
+              while (x < tw) {
+                val sx = x * w / tw
+                val si = (sy * w + sx) * 3
+                val di = (y * tw + x) * 3
+                out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+                x += 1
+              }
+              y += 1
+            }
+            (id, fmt, Bmp.encode(out, tw, th))
+          } else (id, fmt, bytes) // STUB: unknown codec, pass through
+        }
+      }.toDF("image_id", "fmt", "thumb")
+  }
+
+  /** pixel-level PSNR between two byte payloads of the same fmt/size
+    * (verification path per input_hint: ≥40 dB for lossy, ∞/exact for BMP). */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    val (ra, _, _) = Bmp.decode(a)
+    val (rb, _, _) = Bmp.decode(b)
+    require(ra.length == rb.length, "size mismatch")
+    var se = 0.0
+    var i = 0
+    while (i < ra.length) {
+      val d = ((ra(i) & 0xff) - (rb(i) & 0xff)).toDouble
+      se += d * d
+      i += 1
+    }
+    if (se == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 * ra.length / se)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.exprs.fns
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * array<float>, label): brute-force cosine top-k baseline + an LSH-bucketed
+  * approximate variant for the 100 TB scale path.
+  */
+object SimOps {
+
+  /** brute-force cosine top-k: queries (small, broadcast) × corpus.
+    * Ranking key is round(cos*1e9) desc then vec_id asc so ordering is
+    * engine-reproducible. */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+                     k: Int): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = broadcast(q).join(embeddings, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", fns.cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("cos9", round(col("cos") * lit(1e9), 0).cast("long"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos9").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor"),
+        (col("cos9").cast("double") / lit(1e9)).as("cos_sim"))
+  }
+
+  /** deterministic pseudo-random hyperplanes for sign-LSH (splitmix64 per
+    * (plane, dim), mapped to [-1, 1)). */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        var z = p.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L + 0x1234567L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= (z >>> 31)
+        (z & 0xffffffffL).toDouble / 2147483648.0 - 1.0
+      }
+    }
+
+  /** sign-LSH bucket key: nPlanes sign bits of dot(embedding, plane). */
+  def lshBucket(emb: org.apache.spark.sql.Column, planes: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val dot = aggregate(
+        zip_with(emb, lit(plane), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a + b)
+  }
+
+  /** LSH-bucketed ANN: candidates only within the same sign-LSH bucket
+    * (scale path: bucket count ~2^nPlanes, join is an equi-join on bucket).
+    * Approximate — recall measured in tests against bruteForceTopK. */
+  def lshTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+              k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val withB = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = withB.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val cand = broadcast(q).join(withB, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", fns.cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("cos9", round(col("cos") * lit(1e9), 0).cast("long"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos9").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor"),
+        (col("cos9").cast("double") / lit(1e9)).as("cos_sim"))
+  }
+
+  /** embedding-cosine near-duplicate pairs via LSH buckets. */
+  def cosineNearDupPairs(embeddings: DataFrame, cosMin: Double,
+                         nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val withB = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val l = withB.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val r = withB.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    l.join(r, Seq("bucket")).filter(col("id1") < col("id2"))
+      .withColumn("cos", fns.cosine_sim(col("e1"), col("e2")))
+      .filter(col("cos") >= cosMin)
+      .select("id1", "id2", "cos")
+  }
+}

@@ -1,0 +1,191 @@
+package graft.synth
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic spatial world, derived from the provided testdata
+  * tables so a DuckDB oracle can recompute it with mirrored SQL (bit-identical
+  * IEEE arithmetic; see graft.oracle.OracleSql). No external data, no RNG —
+  * everything is integer arithmetic + exact double ops over `orders` keys.
+  *
+  * Layout (grid units: 1 row/col = 0.001°, microdeg = 1e-6°):
+  *  - G horizontal streets H0..H{G-1} at lat = 37 + r*0.001
+  *  - G vertical streets at lon = -122 + c*0.001, EXCEPT c=12 at -122+0.0113
+  *    (so c=11/c=12 are 30 m apart). Names: c∈{2,5} → 'Main St' (duplicate
+  *    intersections ≥50 m apart), c∈{11,12} → 'Twin' (<50 m, exercises the
+  *    coalescing branches of geo.js:827-967), else 'V{c}'.
+  *  - node(r,c) = r*1_000_000 + c, shared by H_r and V_c (topological joins)
+  *  - a diagonal motorway (ref 'I 80;US 50', unnamed) crossing the grid with
+  *    no shared nodes (geometric-only intersections, nodeId='Geom')
+  *  - two unnamed motorway_link ways chained off the motorway (X1 fixpoint
+  *    naming, geo.js:445-544)
+  *  - an unnamed residential way over nodes (1,1)-(1,2) (JUNCTION fake-name
+  *    path, geo.js:554-593)
+  *  - image+caption rows (input_hint shape) whose lat/lon derive from phash
+  */
+object Synth {
+  val LAT0 = 37.0
+  val LON0 = -122.0
+  val STEP = 0.001
+  val TWIN_B_LON_OFF = 0.0113 // column 12 sits 0.0003 east of column 11
+
+  val MOTORWAY_ID = 2000000L
+  val LINK1_ID = 5000000L
+  val LINK2_ID = 5000001L
+  val CIRCLE_ID = 6000000L
+  val MOTORWAY_NODE0 = 900000000L
+  val LINK_NODE0 = 910000000L
+
+  /** grid dimension: ceil(sqrt(count(orders))) clamped to [16, 512]. */
+  def gridSize(spark: SparkSession, sfDir: String): Int = {
+    val cnt = orders(spark, sfDir).count()
+    math.max(16, math.min(512, math.ceil(math.sqrt(cnt.toDouble)).toLong)).toInt
+  }
+
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** lon of grid column c (exact-double mirrored formula). */
+  private def lonOf(c: Column): Column =
+    when(c === 12, lit(LON0) + lit(TWIN_B_LON_OFF))
+      .otherwise(lit(LON0) + c.cast("double") * lit(STEP))
+  private def latOf(r: Column): Column = lit(LAT0) + r.cast("double") * lit(STEP)
+
+  /** street name of vertical column c. */
+  private def vName(c: Column): Column =
+    when(c.isin(2, 5), lit("Main St"))
+      .when(c.isin(11, 12), lit("Twin"))
+      .otherwise(concat(lit("V"), c))
+
+  /** ways table: (id, nodes, geometry array<struct<lat,lon>>, tags map). */
+  def ways(spark: SparkSession, g: Int): DataFrame = {
+    import spark.implicits._
+    val idx = spark.range(g.toLong).select($"id".cast("long").as("i"))
+
+    val hWays = idx.select(
+      $"i".as("id"),
+      transform(sequence(lit(0L), lit(g - 1L)), c => $"i" * 1000000L + c).as("nodes"),
+      transform(sequence(lit(0L), lit(g - 1L)),
+        c => struct(latOf($"i").as("lat"), lonOf(c).as("lon"))).as("geometry"),
+      map(lit("highway"), lit("residential"), lit("name"), concat(lit("H"), $"i")).as("tags"))
+
+    val vWays = idx.select(
+      ($"i" + 1000000L).as("id"),
+      transform(sequence(lit(0L), lit(g - 1L)), r => r * 1000000L + $"i").as("nodes"),
+      transform(sequence(lit(0L), lit(g - 1L)),
+        r => struct(latOf(r).as("lat"), lonOf($"i").as("lon"))).as("geometry"),
+      map(lit("highway"),
+        when($"i" % 10 === 7, lit("primary")).otherwise(lit("residential")),
+        lit("name"), vName($"i")).as("tags"))
+
+    val one = spark.range(1).select(lit(1L).as("one"))
+    val motorway = one.select(
+      lit(MOTORWAY_ID).as("id"),
+      transform(sequence(lit(0L), lit(g - 1L)), k => lit(MOTORWAY_NODE0) + k).as("nodes"),
+      transform(sequence(lit(0L), lit(g - 1L)), k => struct(
+        (lit(LAT0) + k.cast("double") * lit(STEP) + lit(0.00025)).as("lat"),
+        (lit(LON0) + k.cast("double") * lit(STEP) - lit(0.00025)).as("lon"))).as("geometry"),
+      map(lit("highway"), lit("motorway"), lit("ref"), lit("I 80;US 50")).as("tags"))
+
+    // two chained unnamed motorway_links: L1 touches motorway node k=1, L2 touches L1
+    val link1 = one.select(
+      lit(LINK1_ID).as("id"),
+      array(lit(MOTORWAY_NODE0 + 1), lit(LINK_NODE0 + 1)).as("nodes"),
+      array(struct(lit(37.00125).as("lat"), lit(-121.99925).as("lon")),
+        struct(lit(37.0015).as("lat"), lit(-121.998).as("lon"))).as("geometry"),
+      map(lit("highway"), lit("motorway_link")).as("tags"))
+    val link2 = one.select(
+      lit(LINK2_ID).as("id"),
+      array(lit(LINK_NODE0 + 1), lit(LINK_NODE0 + 2)).as("nodes"),
+      array(struct(lit(37.0015).as("lat"), lit(-121.998).as("lon")),
+        struct(lit(37.002).as("lat"), lit(-121.9975).as("lon"))).as("geometry"),
+      map(lit("highway"), lit("motorway_link")).as("tags"))
+
+    // unnamed residential way over grid nodes (1,1)-(1,2): JUNCTION fake name
+    val circle = one.select(
+      lit(CIRCLE_ID).as("id"),
+      array(lit(1000001L), lit(1000002L)).as("nodes"),
+      array(struct(lit(LAT0 + STEP).as("lat"), (lit(LON0) + lit(1.0) * lit(STEP)).as("lon")),
+        struct(lit(LAT0 + STEP).as("lat"), (lit(LON0) + lit(2.0) * lit(STEP)).as("lon"))).as("geometry"),
+      map(lit("highway"), lit("residential")).as("tags"))
+
+    hWays.unionByName(vWays).unionByName(motorway)
+      .unionByName(link1).unionByName(link2).unionByName(circle)
+  }
+
+  /** image table in exact input_hint shape:
+    * (image_id, bytes, w, h, fmt, caption, phash). */
+  def images(spark: SparkSession, sfDir: String, g: Int, withBytes: Boolean = true): DataFrame = {
+    val s = (g - 1) * 1000L
+    val o = orders(spark, sfDir).select(col("o_orderkey").as("k"))
+    val base = o.select(
+      col("k"),
+      ((col("k") * 48271L + 11L) % 2147483647L).as("h1"),
+      ((col("k") * 69621L + 7L) % 2147483647L).as("h2"))
+    val df = base.select(
+      concat(lit("img"), col("k")).as("image_id"),
+      (lit(8) + (col("h1") % 8)).cast("int").as("w"),
+      (lit(8) + (col("h2") % 8)).cast("int").as("h"),
+      lit("bmp").as("fmt"),
+      concat(lit("caption "), col("k")).as("caption"),
+      (col("h1") * 2147483648L + col("h2")).as("phash"))
+    if (withBytes) {
+      val bmp = udf((phash: Long, w: Int, h: Int) => Bmp.forPhash(phash, w, h))
+      df.withColumn("bytes", bmp(col("phash"), col("w"), col("h")))
+        .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    } else df
+  }
+
+  /** geotag derivation from phash (mirrored in oracle SQL):
+    * adds u, v (microdeg offsets) and lat, lon columns. */
+  def withGeotag(images: DataFrame, g: Int): DataFrame = {
+    val s = (g - 1) * 1000L
+    images
+      .withColumn("h1", expr("phash DIV 2147483648")) // integral long division
+      .withColumn("h2", col("phash") % lit(2147483648L))
+      .withColumn("u0", col("h1") % s)
+      .withColumn("v0", col("h2") % s)
+      .withColumn("u", when(col("u0") % 500 === 0, col("u0") + 13).otherwise(col("u0")))
+      .withColumn("v", when(col("v0") % 500 === 0, col("v0") + 13).otherwise(col("v0")))
+      .withColumn("lat", lit(LAT0) + col("u").cast("double") * lit(1e-6))
+      .withColumn("lon", lit(LON0) + col("v").cast("double") * lit(1e-6))
+      .drop("h1", "h2", "u0", "v0")
+  }
+
+  /** city polygons: two rectangles + one concave L, edges at half-microdegree
+    * offsets so no synthetic point ever sits on an edge. Returns prepared
+    * (name, rings) pairs for PointInPolygonFirst. u=lat-offset, v=lon-offset
+    * percentage points of the grid span s=(g-1)*1000 microdeg.
+    */
+  def cityPolys(g: Int): Array[(String, Array[Array[Double]])] = {
+    val s = (g - 1) * 1000L
+    def p(x: Int): Long = s * x / 100
+    def lat(u: Long): Double = LAT0 + (u + 0.5) * 1e-6
+    def lon(v: Long): Double = LON0 + (v + 0.5) * 1e-6
+    def rect(uLo: Long, uHi: Long, vLo: Long, vHi: Long): Array[Double] =
+      Array(lon(vLo), lat(uLo), lon(vHi), lat(uLo), lon(vHi), lat(uHi), lon(vLo), lat(uHi))
+    val alpha = rect(p(10), p(35), p(10), p(40))
+    val beta = rect(p(40), p(70), p(50), p(90))
+    // L-shape: (u,v) vertices 70/5 -> 95/5 -> 95/20 -> 80/20 -> 80/45 -> 70/45
+    val gamma = Array(
+      lon(p(5)), lat(p(70)), lon(p(5)), lat(p(95)), lon(p(20)), lat(p(95)),
+      lon(p(20)), lat(p(80)), lon(p(45)), lat(p(80)), lon(p(45)), lat(p(70)))
+    Array(
+      ("alpha", Array(alpha)),
+      ("beta", Array(beta)),
+      ("gamma", Array(gamma)))
+  }
+
+  /** boundaries as a DataFrame (name, kind, rings array<array<double>>). */
+  def boundariesDf(spark: SparkSession, g: Int): DataFrame = {
+    import spark.implicits._
+    val polys = cityPolys(g).map { case (n, r) => (n, "city", r.map(_.toSeq).toSeq) }.toSeq
+    polys.toDF("name", "kind", "rings")
+  }
+}

@@ -1,0 +1,157 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.exprs.fns
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (builder brief): exact dedup,
+  * MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard, language ID,
+  * quality scoring, token counting, rolling-hash fingerprinting.
+  * Everything oracle-checkable is built from mirrored-SQL-able primitives;
+  * the hash-based ops (minhash/simhash/fingerprint) are unit-tested against
+  * brute force instead.
+  */
+object TextOps {
+
+  def tokensCol(text: Column): Column = split(text, " ")
+
+  /** whitespace token count + a BPE-ish regex token count
+    * (letters / digits / single other). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+        .as("re_tokens"),
+      length(col("text")).as("n_chars_computed"))
+
+  /** quality scoring: mean word length, stopword ratio, alpha ratio,
+    * composite score. Deterministic arithmetic (mirrored in oracle SQL). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stop = size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("double")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      ((length(col("text")).cast("double") - (nTok - lit(1.0))) / nTok).as("mean_word_len"),
+      (stop / nTok).as("stopword_ratio"),
+      (size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0))).cast("double") /
+        length(col("text")).cast("double")).as("alpha_ratio"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 10 && col("stopword_ratio") > 0.01, lit(1.0))
+          .otherwise(col("stopword_ratio") * lit(50.0)))
+  }
+
+  /** n-gram-overlap language ID: per-language marker-token hit counts,
+    * argmax with alphabetical tie-break. Marker lists are fixed (public
+    * stopword heuristics). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = langMarkers.foldLeft(docs.select(col("doc_id"), toks.as("toks"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(col("toks"), t => t.isin(markers.map(m => m: Any): _*))))
+    }
+    // argmax by (score desc, lang asc)
+    val structs = array(langMarkers.map { case (lang, _) =>
+      struct((-col(s"score_$lang")).as("neg"), lit(lang).as("lang"))
+    }: _*)
+    scored.select(col("doc_id"),
+      element_at(array_sort(structs), 1).getField("lang").as("pred_lang"),
+      element_at(array_sort(structs), 1).getField("neg").as("neg_best"))
+      .select(col("doc_id"), col("pred_lang"), (-col("neg_best")).as("best_score"))
+  }
+
+  /** exact dedup: hash-groupBy on full text; keeps min doc_id per group. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dupes"))
+      .select(col("keep_doc_id"), col("dupes"))
+
+  /** word-3-gram shingles. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs, verified by exact shingle
+    * Jaccard. k minhashes in b bands of r rows (k = b*r): docs sharing any
+    * band bucket become candidates — the standard Broder/LSH construction.
+    * Scale shape: explode(bands) → groupBy(band bucket) → within-bucket
+    * self-join; no all-pairs product ever materializes.
+    */
+  def minHashLshPairs(spark: SparkSession, docs: DataFrame,
+                      bands: Int = 8, rows: Int = 4,
+                      jaccardMin: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    val sig = docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", fns.minhash_sig(col("sh"), k))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id1"), col("sh").as("sh1"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id2"), col("sh").as("sh2"))
+    l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= jaccardMin)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash over tokens, 4×16-bit band
+    * blocking (any equal quarter → candidate), verified by Hamming ≤ maxHam.
+    */
+  def simHashPairs(docs: DataFrame, maxHam: Int = 8): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      fns.simhash64(split(col("text"), " ")).as("sim"))
+    val bandExprs = (0 until 4).map(b =>
+      shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)))
+    val banded = sh.select(col("doc_id"), col("sim"),
+      posexplode(array(bandExprs: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"), col("sim").as("s1"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"), col("sim").as("s2"))
+    l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= maxHam)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** exact n-gram Jaccard similarity for pairs within (lang, source) groups
+    * (bounded group sizes → no quadratic blowup; mirrors in SQL). */
+  def ngramJaccardPairs(docs: DataFrame, jaccardMin: Double): DataFrame = {
+    val d = docs.select(col("lang"), col("source"), col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh"))
+    val l = d.select(col("lang"), col("source"), col("doc_id").as("id1"), col("sh").as("sh1"))
+    val r = d.select(col("lang"), col("source"), col("doc_id").as("id2"), col("sh").as("sh2"))
+    l.join(r, Seq("lang", "source")).filter(col("id1") < col("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= jaccardMin)
+      .select("lang", "source", "id1", "id2", "jaccard")
+  }
+
+  /** winnowing-style rolling-hash fingerprint per document. */
+  def fingerprints(docs: DataFrame, window: Int = 16): DataFrame =
+    docs.select(col("doc_id"), fns.rolling_min_hash(col("text"), window).as("fingerprint"))
+}
