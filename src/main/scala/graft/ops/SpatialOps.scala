@@ -69,11 +69,13 @@ object SpatialOps {
       .withColumn("cell0", fns.cell_encode(col("lat"), col("lon"), res))
       .withColumn("cell", explode(fns.cell_disk(col("cell0"), lit(ring))))
       .join(broadcast(wayCells), Seq("cell"))
-      // same way can surface from several disk cells
-      .dropDuplicates("image_id", "way_id")
+      // compute distance BEFORE dedup so the shuffle carries narrow rows,
+      // not way geometries (same way from several disk cells → same dist)
       .withColumn("dist9",
         round(fns.point_polyline_dist(col("lat"), col("lon"), col("geometry")) * lit(1e9), 0)
           .cast("long"))
+      .drop("geometry", "cell", "cell0")
+      .dropDuplicates("image_id", "way_id")
     val w = Window.partitionBy("image_id").orderBy(col("dist9"), col("way_id"))
     cands
       .withColumn("rk", row_number().over(w))

@@ -28,9 +28,13 @@ object SimOps {
   }
 
   /** deterministic pseudo-random hyperplanes for sign-LSH (splitmix64 per
-    * (plane, dim), mapped to [-1, 1)). */
+    * (table, plane, dim), mapped to [-1, 1)). */
   def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(nPlanes) { p =>
+    hyperplanesFor(0, nPlanes, dim)
+
+  def hyperplanesFor(table: Int, nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p0 =>
+      val p = table * 1000 + p0
       Array.tabulate(dim) { d =>
         var z = p.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L + 0x1234567L
         z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -51,17 +55,26 @@ object SimOps {
     bits.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a + b)
   }
 
-  /** LSH-bucketed ANN: candidates only within the same sign-LSH bucket
-    * (scale path: bucket count ~2^nPlanes, join is an equi-join on bucket).
+  /** Multi-table sign-LSH ANN: `tables` independent plane sets of `nPlanes`
+    * bits each; candidates = union over tables of same-bucket rows (the
+    * standard LSH recall amplifier: P(hit) = 1-(1-p^k)^T). Scale path: each
+    * table is an equi-join on (table, bucket) — no all-pairs product.
     * Approximate — recall measured in tests against bruteForceTopK. */
   def lshTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
-              k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
-    val withB = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
+              k: Int, nPlanes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      lshBucket(col("embedding"), hyperplanesFor(t, nPlanes, dim)).as(s"b$t")
+    }
+    val withB = embeddings.select(col("*") +: bucketCols: _*)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val q = withB.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-    val cand = broadcast(q).join(withB, Seq("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("tbl"), col("bucket"))
+    val cand = broadcast(q).join(withB, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("cos", fns.cosine_sim(col("q_emb"), col("embedding")))
       .withColumn("cos9", round(col("cos") * lit(1e9), 0).cast("long"))
     val w = Window.partitionBy("q_id").orderBy(col("cos9").desc, col("vec_id"))
