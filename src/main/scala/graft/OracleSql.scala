@@ -50,13 +50,10 @@ imgs AS (
     OR (u BETWEEN s*70//100 + 1 AND s*80//100 AND v BETWEEN s*20//100 + 1 AND s*45//100) THEN 'gamma'
   ELSE 'Unincorporated' END"""
 
-  val all: Map[String, String] = Map(
-
-    // ---- closed form: full topological pipeline on the synthetic grid ----
-    "q_topo_intersections" ->
-      s"""WITH $gridCte
-SELECT * FROM (
-  -- A: generic grid crossings (minus junction-consumed (1,1))
+  /** closed-form expected rows of the topological pipeline (columns:
+    * streets, raw, lat, lon, node_id, way_ids). */
+  private val topoBody =
+    s"""-- A: generic grid crossings (minus junction-consumed (1,1))
   SELECT 'H' || r.r || '/' || c.vname AS streets,
          'H' || r.r || '/' || c.vname AS raw,
          ROUND(r.lat, 6) AS lat, ROUND(c.lon, 6) AS lon,
@@ -96,15 +93,11 @@ SELECT * FROM (
   SELECT 'H1/Main St/V1', 'H1/H1/JUNCTION/Main St/V1/V1',
          ROUND(37.0::DOUBLE + 1.0::DOUBLE * 0.001::DOUBLE, 6),
          ROUND(((-122.0::DOUBLE + 1.0::DOUBLE * 0.001::DOUBLE) + (-122.0::DOUBLE + 2.0::DOUBLE * 0.001::DOUBLE)) / 2.0::DOUBLE, 6),
-         '1000001', '1,1000001,1000002,6000000'
-)
-ORDER BY streets, raw, node_id""",
+         '1000001', '1,1000001,1000002,6000000'"""
 
-    // ---- closed form: geometric (motorway diagonal) intersections --------
-    "q_geom_intersections" ->
-      s"""WITH $gridCte
-SELECT * FROM (
-  -- crossings with horizontal streets, r = 1..g-1
+  /** closed-form expected rows of the geometric pipeline. */
+  private val geomBody =
+    s"""-- crossings with horizontal streets, r = 1..g-1
   SELECT 'H' || r.r || '/I 80;US 50' AS streets,
          'I 80;US 50/H' || r.r AS raw,
          ROUND(r.lat, 6) AS lat,
@@ -122,8 +115,63 @@ SELECT * FROM (
                     ELSE -122.0::DOUBLE + CAST(c.c AS DOUBLE) * 0.001::DOUBLE END, 6),
          'Geom',
          (1000000 + c.c) || ',2000000'
-  FROM cc c, p WHERE c.c <= p.g - 2
-)
+  FROM cc c, p WHERE c.c <= p.g - 2"""
+
+  val all: Map[String, String] = Map(
+
+    // ---- closed form: full topological pipeline on the synthetic grid ----
+    "q_topo_intersections" ->
+      s"""WITH $gridCte
+SELECT * FROM ($topoBody)
+ORDER BY streets, raw, node_id""",
+
+    // ---- closed form: geometric (motorway diagonal) intersections --------
+    "q_geom_intersections" ->
+      s"""WITH $gridCte
+SELECT * FROM ($geomBody)
+ORDER BY streets, raw, lat, lon""",
+
+    // ---- closed form: full feature set with city assignment (J6 on the
+    // intersection output; u/v recovered from the fix6-rounded coords) ------
+    "q_feature_city" ->
+      s"""WITH $gridCte,
+feats AS ($topoBody UNION ALL $geomBody),
+withuv AS (
+  SELECT streets, raw, lat, lon, node_id,
+    CAST(ROUND((lat - 37.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS u,
+    CAST(ROUND((lon + 122.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS v
+  FROM feats)
+SELECT streets, raw, lat, lon, node_id, $cityCase AS city
+FROM withuv, (SELECT (g - 1) * 1000 AS s FROM p) sp
+ORDER BY streets, raw, node_id, lat, lon""",
+
+    // ---- P8/A9/F16: UI street filters (substring + regex + city) ----------
+    "q_street_filter" ->
+      s"""WITH $gridCte,
+feats AS ($topoBody UNION ALL $geomBody),
+withuv AS (
+  SELECT streets, raw, lat, lon, node_id,
+    CAST(ROUND((lat - 37.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS u,
+    CAST(ROUND((lon + 122.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS v
+  FROM feats)
+SELECT streets, raw, lat, lon, node_id, $cityCase AS city
+FROM withuv, (SELECT (g - 1) * 1000 AS s FROM p) sp
+WHERE streets LIKE '%Main St%' AND regexp_matches(streets, 'H1(/|${"$"})')
+ORDER BY streets, raw, node_id, lat, lon""",
+
+    // ---- J10/T5: county minus cities anti-join -----------------------------
+    "q_unincorporated_anti" ->
+      s"""WITH $gridCte,
+feats AS ($topoBody UNION ALL $geomBody),
+withuv AS (
+  SELECT streets, raw, lat, lon, node_id,
+    CAST(ROUND((lat - 37.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS u,
+    CAST(ROUND((lon + 122.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS v
+  FROM feats)
+SELECT streets, raw, lat, lon FROM (
+  SELECT streets, raw, lat, lon, $cityCase AS city
+  FROM withuv, (SELECT (g - 1) * 1000 AS s FROM p) sp)
+WHERE city = 'Unincorporated'
 ORDER BY streets, raw, lat, lon""",
 
     // ---- closed form: dead ends ------------------------------------------

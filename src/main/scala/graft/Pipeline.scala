@@ -37,6 +37,13 @@ object Pipeline {
     SpatialOps.assemble(topo(spark, sfDir), geom(spark, sfDir), Synth.cityPolys(g))
   }
 
+  /** geoturf.js variant (SURVEY §3.2): geometric finder only, NO city
+    * assignment, NO coordinate rounding, no wayIds in properties
+    * (geoturf.js:1151-1168). */
+  def geoturfFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    geom(spark, sfDir).select(
+      col("lat"), col("lon"), col("raw"), col("streets"), col("nodeId"))
+
   /** geotagged images (lat/lon derived from phash). */
   def geoImages(spark: SparkSession, sfDir: String, withBytes: Boolean = false): DataFrame = {
     val (g, _, _) = prepared(spark, sfDir)

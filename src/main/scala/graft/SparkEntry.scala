@@ -60,6 +60,40 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q_feature_city" -> ((s, dir) =>
+      Pipeline.features(s, dir).select(
+        col("streets"), col("raw"), col("lat"), col("lon"),
+        col("nodeId").as("node_id"), col("cityName").as("city"))
+        .orderBy("streets", "raw", "node_id", "lat", "lon")),
+
+    "q_street_filter" -> ((s, dir) =>
+      Pipeline.features(s, dir)
+        .filter(col("streets").contains("Main St") && col("streets").rlike("H1(/|$)"))
+        .select(col("streets"), col("raw"), col("lat"), col("lon"),
+          col("nodeId").as("node_id"), col("cityName").as("city"))
+        .orderBy("streets", "raw", "node_id", "lat", "lon")),
+
+    "q_unincorporated_anti" -> ((s, dir) => {
+      val feats = Pipeline.features(s, dir)
+      val cityFeats = feats.filter(col("cityName") =!= "Unincorporated")
+        .select(col("lat"), col("lon"))
+      feats.join(cityFeats, Seq("lat", "lon"), "left_anti")
+        .select(col("streets"), col("raw"), col("lat"), col("lon"))
+        .orderBy("streets", "raw", "lat", "lon")
+    }),
+
+    "q_offset_walk" -> ((s, dir) => {
+      import s.implicits._
+      val (_, raw, wayData) = Pipeline.prepared(s, dir)
+      val reqs = (for {
+        r <- Seq(3L, 7L); m <- Seq(-250.0, -100.0, 0.0, 100.0, 250.0, 1e6)
+      } yield (r, r * 1000000L + 3L, m)).toDF("way_id", "node_id", "offset_m")
+      OffsetOps.offsetAlong(s, raw, reqs).orderBy("way_id", "node_id", "offset_m")
+    }),
+
+    "q_geoturf_variant" -> ((s, dir) =>
+      Pipeline.geoturfFeatures(s, dir).orderBy("streets", "raw", "lat", "lon")),
+
     // ---- image-table spatial ops (north_rule workload) ------------------
     "q_image_tiles" -> ((s, dir) =>
       SpatialOps.tileAssign(Pipeline.geoImages(s, dir), 15)

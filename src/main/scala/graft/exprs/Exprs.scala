@@ -400,6 +400,17 @@ object fns {
   def segments_intersect(l1: Column, l2: Column): Column = c(SegmentsIntersect(e(l1), e(l2)))
   def point_polyline_dist(lat: Column, lon: Column, line: Column): Column =
     c(PointPolylineDist(e(lat), e(lon), e(line)))
+  /** planar point-to-segment distance over 6 scalar doubles — expressed via
+    * StaticInvoke so Catalyst codegens a direct static call (the hot inner
+    * op of segment-indexed spatial joins). */
+  def point_seg_dist(lat: Column, lon: Column, lat1: Column, lon1: Column,
+                     lat2: Column, lon2: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[graft.geom.Geom.type],
+      DoubleType,
+      "pointSegDist",
+      Seq(e(lat), e(lon), e(lat1), e(lon1), e(lat2), e(lon2)),
+      propagateNull = true))
   def point_in_polygon(lat: Column, lon: Column, rings: Column): Column =
     c(PointInPolygon(e(lat), e(lon), e(rings)))
   def point_in_polygon_first(lat: Column, lon: Column,

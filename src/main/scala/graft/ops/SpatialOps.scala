@@ -31,24 +31,42 @@ object SpatialOps {
         fns.point_in_polygon_first(col("lat"), col("lon"), polys, "Unincorporated"))
   }
 
-  /** J2 applied to the image workload: geotagged images equi-joined to ways
-    * on shared grid cell, refined by exact point-to-polyline distance ≤
-    * maxDistDeg. Ways replicate into covering cells (small side, broadcast);
-    * images encode once per row (no replication of the big side). */
+  /** Segment-level cell index: ways exploded into individual segments, each
+    * replicated into the cells of its (buffered) bbox. This is THE scale
+    * structure for point-vs-way joins: rows are 6 doubles + ids (no geometry
+    * arrays duplicated per cell), the per-candidate refine is a single
+    * codegen'd point-seg distance instead of an O(|way|) polyline scan, and
+    * dense ways cost proportional to their length, not length × cells.
+    */
+  def segmentCells(wayData: DataFrame, res: Int, bufferDeg: Double): DataFrame =
+    wayData
+      .select(col("way_id"), col("name"),
+        explode(expr(
+          """transform(sequence(0, size(geometry) - 2), i -> struct(
+               geometry[i].lat as lat1, geometry[i].lon as lon1,
+               geometry[i+1].lat as lat2, geometry[i+1].lon as lon2))""")).as("seg"))
+      .select(col("way_id"), col("name"),
+        col("seg.lat1"), col("seg.lon1"), col("seg.lat2"), col("seg.lon2"))
+      .withColumn("cell", explode(fns.cells_covering(
+        least(col("lat1"), col("lat2")) - bufferDeg,
+        least(col("lon1"), col("lon2")) - bufferDeg,
+        greatest(col("lat1"), col("lat2")) + bufferDeg,
+        greatest(col("lon1"), col("lon2")) + bufferDeg, res)))
+
+  /** J2 applied to the image workload: geotagged images equi-joined to the
+    * segment-cell index on their single cell, refined by codegen'd point-seg
+    * distance, min per (image, way). The big (image) side is never
+    * replicated; the way side absorbs the distance buffer. */
   def imageWayCellJoin(images: DataFrame, wayData: DataFrame,
                        res: Int, maxDistDeg: Double): DataFrame = {
-    // ways replicate into cells of their bbox EXPANDED by the distance
-    // threshold — the big (image) side stays single-cell, the small side
-    // absorbs the buffer (scale-friendly)
-    val wayCells = GeomIntersections.withBounds(wayData)
-      .select(col("way_id"), col("name"), col("geometry"),
-        explode(fns.cells_covering(col("min_lat") - maxDistDeg, col("min_lon") - maxDistDeg,
-          col("max_lat") + maxDistDeg, col("max_lon") + maxDistDeg, res)).as("cell"))
+    val segs = segmentCells(wayData, res, maxDistDeg)
     val imgCells = images.withColumn("cell", fns.cell_encode(col("lat"), col("lon"), res))
-    imgCells.join(broadcast(wayCells), Seq("cell"))
-      .withColumn("dist_deg",
-        fns.point_polyline_dist(col("lat"), col("lon"), col("geometry")))
-      .filter(col("dist_deg") <= maxDistDeg)
+    imgCells.join(broadcast(segs), Seq("cell"))
+      .withColumn("seg_dist", fns.point_seg_dist(col("lat"), col("lon"),
+        col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+      .filter(col("seg_dist") <= maxDistDeg)
+      .groupBy(col("image_id"), col("way_id"), col("name"))
+      .agg(min(col("seg_dist")).as("dist_deg"))
   }
 
   /** J7 kNN: k nearest ways per image via cell-disk candidate join + exact
@@ -61,23 +79,23 @@ object SpatialOps {
     */
   def knnWays(images: DataFrame, wayData: DataFrame,
               k: Int, res: Int = 3, ring: Int = 1): DataFrame = {
-    val wayCells = GeomIntersections.withBounds(wayData)
-      .select(col("way_id"), col("name"), col("geometry"),
-        explode(fns.cells_covering(col("min_lat"), col("min_lon"),
-          col("max_lat"), col("max_lon"), res)).as("cell"))
-    val cands = images
+    val segs = segmentCells(wayData, res, bufferDeg = 0.0)
+    val perSeg = images
       .withColumn("cell0", fns.cell_encode(col("lat"), col("lon"), res))
       .withColumn("cell", explode(fns.cell_disk(col("cell0"), lit(ring))))
-      .join(broadcast(wayCells), Seq("cell"))
-      // compute distance BEFORE dedup so the shuffle carries narrow rows,
-      // not way geometries (same way from several disk cells → same dist)
-      .withColumn("dist9",
-        round(fns.point_polyline_dist(col("lat"), col("lon"), col("geometry")) * lit(1e9), 0)
-          .cast("long"))
-      .drop("geometry", "cell", "cell0")
-      .dropDuplicates("image_id", "way_id")
+      .join(broadcast(segs), Seq("cell"))
+      .withColumn("seg_dist", fns.point_seg_dist(col("lat"), col("lon"),
+        col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+      .drop("lat1", "lon1", "lat2", "lon2", "cell", "cell0")
+    // min over the way's segments (partial agg is map-side: narrow rows);
+    // all other image columns ride along via first()
+    val carried = images.columns.filterNot(_ == "image_id").map(c =>
+      first(col(c), ignoreNulls = false).as(c)) :+ first(col("name")).as("name")
+    val grouped = perSeg.groupBy(col("image_id"), col("way_id"))
+      .agg(min(col("seg_dist")).as("dist"), carried.toIndexedSeq: _*)
+      .withColumn("dist9", round(col("dist") * lit(1e9), 0).cast("long"))
     val w = Window.partitionBy("image_id").orderBy(col("dist9"), col("way_id"))
-    cands
+    grouped
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
