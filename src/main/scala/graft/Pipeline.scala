@@ -21,21 +21,25 @@ object Pipeline {
       (g, raw, wayData)
     })
 
-  def topo(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, raw, wayData) = prepared(spark, sfDir)
-    TopoIntersections(spark, wayData, raw)
-  }
+  private val featCache = new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, DataFrame)]()
 
-  def geom(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, _, wayData) = prepared(spark, sfDir)
-    GeomIntersections(spark, wayData)
-  }
+  private def derived(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) =
+    featCache.computeIfAbsent(sfDir + "@" + System.identityHashCode(spark), { _ =>
+      val (g, raw, wayData) = prepared(spark, sfDir)
+      // the topological/geometric DAGs are reused by several queries
+      // (features, filters, anti-join) — cache the materialized results
+      val t = TopoIntersections(spark, wayData, raw).cache()
+      val ge = GeomIntersections(spark, wayData).cache()
+      val f = SpatialOps.assemble(t, ge, Synth.cityPolys(g)).cache()
+      (t, ge, f)
+    })
+
+  def topo(spark: SparkSession, sfDir: String): DataFrame = derived(spark, sfDir)._1
+
+  def geom(spark: SparkSession, sfDir: String): DataFrame = derived(spark, sfDir)._2
 
   /** flagship: full intersections feature set with city assignment. */
-  def features(spark: SparkSession, sfDir: String): DataFrame = {
-    val (g, _, _) = prepared(spark, sfDir)
-    SpatialOps.assemble(topo(spark, sfDir), geom(spark, sfDir), Synth.cityPolys(g))
-  }
+  def features(spark: SparkSession, sfDir: String): DataFrame = derived(spark, sfDir)._3
 
   /** geoturf.js variant (SURVEY §3.2): geometric finder only, NO city
     * assignment, NO coordinate rounding, no wayIds in properties

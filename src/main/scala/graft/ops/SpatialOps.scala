@@ -80,24 +80,26 @@ object SpatialOps {
   def knnWays(images: DataFrame, wayData: DataFrame,
               k: Int, res: Int = 3, ring: Int = 1): DataFrame = {
     val segs = segmentCells(wayData, res, bufferDeg = 0.0)
+    // candidate scan stays NARROW end-to-end: (image_id, way_id, dist) only;
+    // image payload and way names join back after top-k (k·N rows, not the
+    // full candidate set)
     val perSeg = images
+      .select(col("image_id"), col("lat"), col("lon"))
       .withColumn("cell0", fns.cell_encode(col("lat"), col("lon"), res))
       .withColumn("cell", explode(fns.cell_disk(col("cell0"), lit(ring))))
-      .join(broadcast(segs), Seq("cell"))
-      .withColumn("seg_dist", fns.point_seg_dist(col("lat"), col("lon"),
-        col("lat1"), col("lon1"), col("lat2"), col("lon2")))
-      .drop("lat1", "lon1", "lat2", "lon2", "cell", "cell0")
-    // min over the way's segments (partial agg is map-side: narrow rows);
-    // all other image columns ride along via first()
-    val carried = images.columns.filterNot(_ == "image_id").map(c =>
-      first(col(c), ignoreNulls = false).as(c)) :+ first(col("name")).as("name")
+      .join(broadcast(segs.drop("name")), Seq("cell"))
+      .select(col("image_id"), col("way_id"),
+        fns.point_seg_dist(col("lat"), col("lon"),
+          col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("seg_dist"))
     val grouped = perSeg.groupBy(col("image_id"), col("way_id"))
-      .agg(min(col("seg_dist")).as("dist"), carried.toIndexedSeq: _*)
+      .agg(min(col("seg_dist")).as("dist"))
       .withColumn("dist9", round(col("dist") * lit(1e9), 0).cast("long"))
     val w = Window.partitionBy("image_id").orderBy(col("dist9"), col("way_id"))
-    grouped
+    val topk = grouped
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+    val names = wayData.select(col("way_id"), col("name")).distinct()
+    topk.join(broadcast(names), Seq("way_id")).join(images, Seq("image_id"))
   }
 
   /** Raster-tile assignment: packed Web-Mercator tile id per image. */

@@ -99,16 +99,21 @@ object TextOps {
     val sig = docs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", fns.minhash_sig(col("sh"), k))
-    val banded = sig.select(col("doc_id"), col("sh"),
+      .cache()
+    // candidate generation on NARROW rows (doc_id, band, bucket): the band
+    // self-join and pair dedup never carry shingle arrays
+    val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id1"), col("sh").as("sh1"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id2"), col("sh").as("sh2"))
-    l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+    val pairs = l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").dropDuplicates("id1", "id2")
+    // verification joins the shingle sets back in by id (pairs << docs²)
+    val sh1 = sig.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val sh2 = sig.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    pairs.join(sh1, Seq("id1")).join(sh2, Seq("id2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", col("inter") / col("uni"))
