@@ -66,7 +66,8 @@ object SpatialOps {
         col("lat1"), col("lon1"), col("lat2"), col("lon2")))
       .filter(col("seg_dist") <= maxDistDeg)
       .groupBy(col("image_id"), col("way_id"), col("name"))
-      .agg(min(col("seg_dist")).as("dist_deg"))
+      .agg(min(col("seg_dist")).as("dist_deg"),
+        first(col("lat")).as("lat"), first(col("lon")).as("lon"))
   }
 
   /** J7 kNN: k nearest ways per image via cell-disk candidate join + exact

@@ -63,12 +63,19 @@ object TopoIntersections {
     val membs = WayOps.nodeMemberships(wayData)
 
     val wIntString = Window.partitionBy("intString").orderBy("ord")
+    // all node-keyed joins first (aggregation outputs are already hash
+    // partitioned on node — Catalyst reuses the exchange), THEN the
+    // intString windows (one reshuffle instead of re-shuffling after each)
     val ints0 = nodeAgg
       .join(nodeHw, Seq("node"))
       // P5: not all motorway_links (geo.js:1098-1108)
       .filter(exists(col("hws"), h => h =!= "motorway_link"))
       // P6: not all motorway+links (geo.js:1111-1123)
       .filter(!forall(col("hws"), h => h === "motorway" || h === "motorway_link"))
+      .join(nodeGps, Seq("node"))
+      .join(nodeWays, Seq("node"))
+      .join(dead, Seq("node"), "left")
+      .join(membs, Seq("node"))
       .withColumn("intString", concat_ws("/", array_sort(col("names"))))
       .withColumn("rn", row_number().over(wIntString))
       .withColumn("mx", max(col("rn")).over(Window.partitionBy("intString")))
@@ -80,18 +87,32 @@ object TopoIntersections {
         when(col("rn") === 1 || col("rn") >= 10, col("intString"))
           .otherwise(concat(col("intString"), lit("_"), col("rn"))))
       .withColumn("streets", fns.clean_street_key(col("raw")))
-      .join(nodeGps, Seq("node"))
-      .join(nodeWays, Seq("node"))
-      .join(dead, Seq("node"), "left")
-      .join(membs, Seq("node"))
       .select(col("lat"), col("lon"), col("raw"), col("streets"), col("wayIds"),
         col("node").as("nodeId"), col("ord"),
         coalesce(col("dead_names"), array().cast("array<string>")).as("deadNames"),
         col("memberships"))
+      // A4/A6 each split-and-union this relation (2×2 downstream branches);
+      // persist so the subtree executes once, not four times
+      .cache()
 
-    val afterJunction = averageJunctionDuplicates(ints0)
-    val coalesced = averageNearbyDuplicates(spark, afterJunction)
-    removeJunctions(coalesced)
+    if (sys.env.contains("GRAFT_PROFILE")) {
+      def t[T](n: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[profile]     topo/$n%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+      }
+      t("ints0")(ints0.cache().count())
+      val aj = averageJunctionDuplicates(ints0).cache()
+      t("afterJunction")(aj.count())
+      val co = averageNearbyDuplicates(spark, aj).cache()
+      t("coalesced")(co.count())
+      val rj = removeJunctions(co)
+      t("removeJunctions")(rj.count())
+      rj
+    } else {
+      val afterJunction = averageJunctionDuplicates(ints0).cache()
+      val coalesced = averageNearbyDuplicates(spark, afterJunction)
+      removeJunctions(coalesced)
+    }
   }
 
   /** A4 (geo.js:738-766): JUNCTION-named intersections with identical streets
@@ -120,6 +141,7 @@ object TopoIntersections {
   def averageNearbyDuplicates(spark: SparkSession, ints: DataFrame): DataFrame = {
     import spark.implicits._
     val counted = ints.withColumn("ct", count(lit(1)).over(Window.partitionBy("streets")))
+      .cache() // consumed by both the singles and dupes branches
     val singles = counted.filter(col("ct") === 1).drop("ct")
     val dupes = counted.filter(col("ct") > 1).drop("ct")
       .as[TopoRow]
