@@ -126,6 +126,13 @@ object SparkEntry {
         .orderBy("way_id")
     }),
 
+    "q_image_s2cells" -> ((s, dir) =>
+      Pipeline.geoImages(s, dir)
+        .select(col("image_id"),
+          graft.exprs.fns.s2_cell(col("lat"), col("lon"), 12).as("s2"))
+        .groupBy("s2").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s2")).limit(20)),
+
     // ---- documents: text analysis + dedup -------------------------------
     "q_doc_tokens" -> ((s, dir) =>
       TextOps.tokenStats(Synth.documents(s, dir)).orderBy("doc_id")),

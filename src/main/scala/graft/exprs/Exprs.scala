@@ -72,6 +72,35 @@ case class CellDisk(cell: Expression, k: Expression)
     copy(cell = l, k = r)
 }
 
+/** S2 cell id (level 0-30) of a lat/lon — from-scratch S2 (graft.cells.S2). */
+case class S2CellEncode(lat: Expression, lon: Expression, level: Int)
+    extends BinaryExpression {
+  require(level >= 0 && level <= 30)
+  override def left: Expression = lat
+  override def right: Expression = lon
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(latV: Any, lonV: Any): Any =
+    graft.cells.S2.fromLatLonAtLevel(latV.asInstanceOf[Double], lonV.asInstanceOf[Double], level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo) => s"graft.cells.S2.fromLatLonAtLevel($la, $lo, $level)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lat = l, lon = r)
+}
+
+/** parent cell at a coarser resolution (adaptive subdivision support). */
+case class CellParent(cell: Expression, res: Int, parentRes: Int)
+    extends UnaryExpression {
+  override def child: Expression = cell
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    GridCell.parent(v.asInstanceOf[Long], res, parentRes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cells.GridCell.parent($c, $res, $parentRes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(cell = c)
+}
+
 /** haversine meters between two points (replaces turf.distance, offset.js:112). */
 case class Haversine(lat1: Expression, lon1: Expression,
                      lat2: Expression, lon2: Expression)
@@ -394,6 +423,10 @@ object fns {
   def cells_covering(minLat: Column, minLon: Column, maxLat: Column, maxLon: Column, res: Int): Column =
     c(CellsCovering(e(minLat), e(minLon), e(maxLat), e(maxLon), res))
   def cell_disk(cell: Column, k: Column): Column = c(CellDisk(e(cell), e(k)))
+  def cell_parent(cell: Column, res: Int, parentRes: Int): Column =
+    c(CellParent(e(cell), res, parentRes))
+  def s2_cell(lat: Column, lon: Column, level: Int): Column =
+    c(S2CellEncode(e(lat), e(lon), level))
   def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     c(Haversine(e(lat1), e(lon1), e(lat2), e(lon2)))
   def tile_id(lat: Column, lon: Column, zoom: Int): Column = c(TileId(e(lat), e(lon), zoom))
