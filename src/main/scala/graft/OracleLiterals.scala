@@ -1,0 +1,31 @@
+package graft
+
+/** Regression-pin oracles, loaded from generated classpath resources
+  * (`src/main/resources/pins/<query>.sql`, emitted by tools/gen_pins.py).
+  *
+  * These are literal VALUES oracles for queries whose defining arithmetic
+  * cannot be re-expressed in DuckDB SQL (S2/H3 cell ids, FNV/splitmix hash
+  * families, sign-LSH bucketing, BMP pixel decode). The underlying
+  * implementations are independently verified in ScalaTest (S2 exact
+  * round-trip sweeps, simhash/minhash brute-force spec tests, javax.imageio
+  * BMP decode oracle); the pins freeze the observed-correct output on the
+  * fixed driver testdata so the correctness gate catches regressions. Each
+  * pin carries branches for the two verification scale factors selected on
+  * count(orders); at any other SF the pin is empty and the row-count compare
+  * fails loudly rather than silently passing.
+  */
+object OracleLiterals {
+
+  val pinned: Seq[String] = Seq(
+    "q_image_s2cells", "q_emb_lsh_topk", "q_doc_simhash",
+    "q_doc_fingerprints", "q_image_features")
+
+  private def load(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/pins/$name.sql")
+    require(in != null, s"missing pin resource /pins/$name.sql")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  lazy val pins: Map[String, String] = pinned.map(n => n -> load(n)).toMap
+}

@@ -174,6 +174,73 @@ SELECT streets, raw, lat, lon FROM (
 WHERE city = 'Unincorporated'
 ORDER BY streets, raw, lat, lon""",
 
+    // ---- mirror (exact float): geoturf variant — geometric finder with NO
+    // coordinate rounding. The crossing segment pair is known in closed form
+    // (motorway seg i × street seg j, derived in GeomIntersections scan
+    // order); the intersection point mirrors Geom.segSegIntersect's exact
+    // parametric arithmetic (t = (ex*d2y - ey*d2x)/denom; lat1 + t*d1y) so
+    // IEEE doubles are bit-identical.
+    "q_geoturf_variant" ->
+      s"""WITH $gridCte,
+-- H_r × motorway: motorway seg (r-1, r), street seg (c=r-1, c=r); r=12 hits
+-- street seg (12, 13) because column 12 sits at lon -122+0.0113
+hx AS (
+  SELECT 'I 80;US 50/H' || r.r AS raw, 'H' || r.r || '/I 80;US 50' AS streets,
+    (37.0::DOUBLE + CAST(r.r - 1 AS DOUBLE) * 0.001::DOUBLE) + 0.00025::DOUBLE AS lat1,
+    (-122.0::DOUBLE + CAST(r.r - 1 AS DOUBLE) * 0.001::DOUBLE) - 0.00025::DOUBLE AS lon1,
+    (37.0::DOUBLE + CAST(r.r AS DOUBLE) * 0.001::DOUBLE) + 0.00025::DOUBLE AS lat2,
+    (-122.0::DOUBLE + CAST(r.r AS DOUBLE) * 0.001::DOUBLE) - 0.00025::DOUBLE AS lon2,
+    r.lat AS lat3, cj1.lon AS lon3,
+    r.lat AS lat4, cj2.lon AS lon4
+  FROM rr r
+  JOIN cc cj1 ON cj1.c = CASE WHEN r.r = 12 THEN 12 ELSE r.r - 1 END
+  JOIN cc cj2 ON cj2.c = CASE WHEN r.r = 12 THEN 13 ELSE r.r END
+  WHERE r.r >= 1),
+-- V_c × motorway: motorway seg (i, i+1) with i=c (i=11 for c=12), street seg
+-- (r=i, r=i+1)
+vx AS (
+  SELECT 'I 80;US 50/' || c.vname AS raw, 'I 80;US 50/' || c.vname AS streets,
+    (37.0::DOUBLE + CAST(CASE WHEN c.c = 12 THEN 11 ELSE c.c END AS DOUBLE) * 0.001::DOUBLE) + 0.00025::DOUBLE AS lat1,
+    (-122.0::DOUBLE + CAST(CASE WHEN c.c = 12 THEN 11 ELSE c.c END AS DOUBLE) * 0.001::DOUBLE) - 0.00025::DOUBLE AS lon1,
+    (37.0::DOUBLE + CAST(CASE WHEN c.c = 12 THEN 12 ELSE c.c + 1 END AS DOUBLE) * 0.001::DOUBLE) + 0.00025::DOUBLE AS lat2,
+    (-122.0::DOUBLE + CAST(CASE WHEN c.c = 12 THEN 12 ELSE c.c + 1 END AS DOUBLE) * 0.001::DOUBLE) - 0.00025::DOUBLE AS lon2,
+    rj1.lat AS lat3, c.lon AS lon3,
+    rj2.lat AS lat4, c.lon AS lon4
+  FROM cc c, p
+  JOIN rr rj1 ON rj1.r = CASE WHEN c.c = 12 THEN 11 ELSE c.c END
+  JOIN rr rj2 ON rj2.r = CASE WHEN c.c = 12 THEN 12 ELSE c.c + 1 END
+  WHERE c.c <= p.g - 2),
+pts AS (SELECT * FROM hx UNION ALL SELECT * FROM vx)
+SELECT
+  lat1 + (((lon3 - lon1) * (lat4 - lat3) - (lat3 - lat1) * (lon4 - lon3))
+          / ((lon2 - lon1) * (lat4 - lat3) - (lat2 - lat1) * (lon4 - lon3))) * (lat2 - lat1) AS lat,
+  lon1 + (((lon3 - lon1) * (lat4 - lat3) - (lat3 - lat1) * (lon4 - lon3))
+          / ((lon2 - lon1) * (lat4 - lat3) - (lat2 - lat1) * (lon4 - lon3))) * (lon2 - lon1) AS lon,
+  raw, streets, 'Geom' AS "nodeId"
+FROM pts ORDER BY streets, raw, lat, lon""",
+
+    // ---- closed form (SF-independent VALUES): X2 linear referencing.
+    // Derived INDEPENDENTLY (python: haversine + fix6 walk over the grid
+    // geometry, see round-2 notes): segment lengths depend only on latitude,
+    // not on grid size, so the 12 rows are constants. +1e6 m walks off the
+    // way with no same-named continuation -> NULL (offset.js:157-160).
+    "q_offset_walk" ->
+      """SELECT * FROM (VALUES
+  (3::BIGINT, 3000003::BIGINT, -250.0::DOUBLE, 37.003::DOUBLE, -121.999815::DOUBLE),
+  (3::BIGINT, 3000003::BIGINT, -100.0::DOUBLE, 37.003::DOUBLE, -121.998126::DOUBLE),
+  (3::BIGINT, 3000003::BIGINT, 0.0::DOUBLE, 37.003::DOUBLE, -121.997::DOUBLE),
+  (3::BIGINT, 3000003::BIGINT, 100.0::DOUBLE, 37.003::DOUBLE, -121.995874::DOUBLE),
+  (3::BIGINT, 3000003::BIGINT, 250.0::DOUBLE, 37.003::DOUBLE, -121.994185::DOUBLE),
+  (3::BIGINT, 3000003::BIGINT, 1000000.0::DOUBLE, NULL::DOUBLE, NULL::DOUBLE),
+  (7::BIGINT, 7000003::BIGINT, -250.0::DOUBLE, 37.007::DOUBLE, -121.999815::DOUBLE),
+  (7::BIGINT, 7000003::BIGINT, -100.0::DOUBLE, 37.007::DOUBLE, -121.998126::DOUBLE),
+  (7::BIGINT, 7000003::BIGINT, 0.0::DOUBLE, 37.007::DOUBLE, -121.997::DOUBLE),
+  (7::BIGINT, 7000003::BIGINT, 100.0::DOUBLE, 37.007::DOUBLE, -121.995874::DOUBLE),
+  (7::BIGINT, 7000003::BIGINT, 250.0::DOUBLE, 37.007::DOUBLE, -121.994185::DOUBLE),
+  (7::BIGINT, 7000003::BIGINT, 1000000.0::DOUBLE, NULL::DOUBLE, NULL::DOUBLE)
+) t(way_id, node_id, offset_m, olat, olon)
+ORDER BY way_id, node_id, offset_m""",
+
     // ---- closed form: dead ends ------------------------------------------
     "q_deadends" ->
       s"""WITH $gridCte,
@@ -350,6 +417,27 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.05::DOUBLE
 ORDER BY id1, id2""",
 
+    // MinHash-LSH near-dup pairs vs brute-force ground truth: the LSH output
+    // is exact-Jaccard-verified, so precision is 1 by construction; this
+    // oracle additionally gates recall = 1 on the (fixed) testdata — every
+    // all-pairs exact-Jaccard >= 0.2 pair must be surfaced by the banded
+    // candidate generation (b=8, r=4).
+    "q_doc_minhash_lsh" ->
+      """WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+      THEN [array_to_string(string_split(text,' '), ' ')]
+      ELSE list_transform(range(0, len(string_split(text,' ')) - 2),
+           i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')) END) AS s
+  FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2::DOUBLE
+ORDER BY id1, id2""",
+
     // ---- embeddings --------------------------------------------------------
     "q_emb_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -365,10 +453,30 @@ ranked AS (
 SELECT q_id, rk, neighbor, CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
 FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
 
+    // brute-force near-dup ground truth over base ∪ planted twins (the query
+    // plants a twin per vec_id%50==0 with element 1 halved — exact in float
+    // and double, so CAST(embedding[1] AS DOUBLE)*0.5 equals the Spark float).
+    // Gates LSH recall = 1: every all-pairs cosine >= 0.9 must be surfaced.
+    "q_emb_near_dups" ->
+      """WITH emb2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+    list_concat([CAST(embedding[1] AS DOUBLE) * 0.5::DOUBLE], CAST(embedding[2:] AS DOUBLE[]))
+  FROM embeddings WHERE vec_id % 50 = 0)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+  ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.9::DOUBLE
+ORDER BY id1, id2""",
+
     // ---- events ------------------------------------------------------------
+    // value is summed as integer micro-units (floor(value*1e6) is the same
+    // double op in both engines; BIGINT SUM is order-insensitive, unlike
+    // double SUM under Spark's partial aggregation).
     "q_events_tumbling" ->
       """SELECT event_type, (epoch_us(ts) // 300000000) * 300 AS window_start_sec,
-  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+  COUNT(*) AS n, SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS sum_value_micro
 FROM events GROUP BY event_type, epoch_us(ts) // 300000000
 ORDER BY event_type, window_start_sec""",
 
@@ -388,7 +496,7 @@ sess AS (
   FROM flagged)
 SELECT user_id, sess_id, COUNT(*) AS n_events,
   (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec,
-  ROUND(SUM(value), 6) AS sum_value
+  SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS sum_value_micro
 FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
 
     // ---- relational anchors -------------------------------------------------

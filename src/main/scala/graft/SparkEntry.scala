@@ -172,30 +172,50 @@ object SparkEntry {
       SimOps.lshTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
         .orderBy("q_id", "rk")),
 
-    "q_emb_near_dups" -> ((s, dir) =>
-      SimOps.cosineNearDupPairs(Synth.embeddings(s, dir), 0.95)
+    // near-dup ground truth is planted: the raw testdata's max pairwise cosine
+    // is ~0.51, so a 0.9-threshold query over it alone is vacuous. Every 50th
+    // vector gets a deterministic perturbed twin (first element halved —
+    // float-exact in both engines; cos(e, e') = (1−q/2)/sqrt(1−3q/4) ≥ 0.943
+    // for q = e1²/|e|² ∈ [0,1], so all twins are true near-dups).
+    "q_emb_near_dups" -> ((s, dir) => {
+      val base = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) * lit(0.5f)).cast("float")),
+            slice(col("embedding"), 2, 1000000)).as("embedding"))
+      SimOps.cosineNearDupPairs(base.unionByName(planted), 0.9)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
-        .orderBy("id1", "id2")),
+        .orderBy("id1", "id2")
+    }),
 
     // ---- images: multimodal columns --------------------------------------
-    "q_image_features" -> ((s, dir) =>
+    // per-(w,h) EXACT integer channel sums: mean_c * w * h recovers the
+    // decoded byte sum, so the 64-row aggregate pins every pixel of every
+    // decoded image against the committed literal oracle (DuckDB cannot
+    // decode BMP; the per-image surface keeps its javax.imageio ScalaTest
+    // oracle in OpsSpec).
+    "q_image_features" -> ((s, dir) => {
+      val wh = col("w").cast("double") * col("h").cast("double")
+      def chanSum(c: String) = sum(round(col(c) * wh).cast("long")).as(s"sum_${c.last}")
       ImageOps.decodeFeatures(s, Synth.images(s, dir, Pipeline.prepared(s, dir)._1))
-        .select(col("image_id"), col("w"), col("h"),
-          round(col("mean_r"), 4).as("mean_r"), round(col("mean_g"), 4).as("mean_g"),
-          round(col("mean_b"), 4).as("mean_b"), col("decode_ok"))
-        .orderBy("image_id")),
+        .groupBy(col("w"), col("h"))
+        .agg(count(lit(1)).as("n"), chanSum("mean_r"), chanSum("mean_g"),
+          chanSum("mean_b"),
+          sum(when(col("decode_ok"), lit(1L)).otherwise(lit(0L))).as("n_ok"))
+        .orderBy("w", "h")
+    }),
 
     // ---- events: windowed analytics --------------------------------------
     "q_events_tumbling" -> ((s, dir) =>
       EventOps.tumbling(Synth.events(s, dir), 300)
-        .select(col("event_type"), col("window_start_sec"), col("n"),
-          round(col("sum_value"), 6).as("sum_value"))
+        .select(col("event_type"), col("window_start_sec"), col("n"), col("sum_value_micro"))
         .orderBy("event_type", "window_start_sec")),
 
     "q_events_sessions" -> ((s, dir) =>
       EventOps.sessionize(Synth.events(s, dir), 1800)
         .select(col("user_id"), col("sess_id"), col("n_events"), col("duration_sec"),
-          round(col("sum_value"), 6).as("sum_value"))
+          col("sum_value_micro"))
         .orderBy("user_id", "sess_id")),
 
     // ---- relational anchors (scan/filter/agg/join/window) ----------------
@@ -213,14 +233,17 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val rev = o.groupBy(col("o_custkey")).agg(
         round(sum(col("o_totalprice")), 4).as("revenue"), count(lit(1)).as("n_orders"))
+      // top-20 via orderBy+limit (TakeOrdered: per-partition heaps, no global
+      // single-task window); rank assigned over the 20 survivors only
       rev.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("revenue").desc, col("c_custkey"))))
-        .filter(col("rk") <= 20)
         .orderBy("rk")
     })
   )
 
-  def oracleSql: Map[String, String] = OracleSql.all
+  def oracleSql: Map[String, String] = OracleSql.all ++ OracleLiterals.pins
 }

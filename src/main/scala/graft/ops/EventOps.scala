@@ -11,14 +11,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object EventOps {
 
+  /** `value` summed as integer micro-units: double SUM is non-associative, so
+    * Spark's partial aggregation and a serial oracle legitimately disagree at
+    * scale (round-1 q_events_sessions hash mismatch). floor(value*1e6) is the
+    * same double op in both engines; the BIGINT sum is order-insensitive. */
+  private def sumMicro(value: org.apache.spark.sql.Column) =
+    sum(floor(value * lit(1e6)).cast("long"))
+
   /** tumbling windows (integer bucket arithmetic, SQL-mirrorable). */
   def tumbling(events: DataFrame, windowSec: Long): DataFrame =
     events
       .withColumn("bucket", expr(s"unix_micros(cast(ts as timestamp)) DIV ${windowSec * 1000000L}"))
       .groupBy(col("event_type"), col("bucket"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sumMicro(col("value")).as("sum_value_micro"))
       .select(col("event_type"), (col("bucket") * windowSec).as("window_start_sec"),
-        col("n"), col("sum_value"))
+        col("n"), col("sum_value_micro"))
 
   /** gap-based sessionization per user: lag + cumulative flag sum, then
     * per-session aggregates. */
@@ -35,6 +42,6 @@ object EventOps {
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"),
         (floor((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L))).cast("long").as("duration_sec"),
-        sum(col("value")).as("sum_value"))
+        sumMicro(col("value")).as("sum_value_micro"))
   }
 }

@@ -83,14 +83,33 @@ object SimOps {
         (col("cos9").cast("double") / lit(1e9)).as("cos_sim"))
   }
 
-  /** embedding-cosine near-duplicate pairs via LSH buckets. */
+  /** Embedding-cosine near-duplicate pairs via MULTI-TABLE sign-LSH buckets.
+    * Single-table recall at cos θ is p^k with p = 1−θ/π (round 1 shipped one
+    * table: recall ≈ 0.43 at cos 0.95 — near-dups were silently dropped);
+    * T independent tables amplify to 1−(1−p^k)^T ≈ 0.9997 at cos 0.9 with
+    * k=8, T=16. Scale shape: candidate generation is an equi-join on
+    * (table, bucket) over NARROW (id) rows; embeddings join back per id for
+    * exact cosine verification (pairs ≪ n²), so precision is exact and only
+    * recall is probabilistic. Identical embeddings collapse into one bucket —
+    * bucket size is bounded by the near-dup cluster size, which dedup use
+    * cases keep small; a salting pass (graft.ops.Skew) is the escape hatch
+    * for pathological clusters. */
   def cosineNearDupPairs(embeddings: DataFrame, cosMin: Double,
-                         nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim)
-    val withB = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
-    val l = withB.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
-    val r = withB.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
-    l.join(r, Seq("bucket")).filter(col("id1") < col("id2"))
+                         nPlanes: Int = 8, tables: Int = 16, dim: Int = 64): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      lshBucket(col("embedding"), hyperplanesFor(t, nPlanes, dim)).as(s"b$t")
+    }
+    val withB = embeddings.select(col("vec_id") +: col("embedding") +: bucketCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val l = withB.select(col("tbl"), col("bucket"), col("vec_id").as("id1"))
+    val r = withB.select(col("tbl"), col("bucket"), col("vec_id").as("id2"))
+    val pairs = l.join(r, Seq("tbl", "bucket")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").dropDuplicates("id1", "id2")
+    val e1 = embeddings.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val e2 = embeddings.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    pairs.join(e1, Seq("id1")).join(e2, Seq("id2"))
       .withColumn("cos", fns.cosine_sim(col("e1"), col("e2")))
       .filter(col("cos") >= cosMin)
       .select("id1", "id2", "cos")
