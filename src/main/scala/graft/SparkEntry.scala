@@ -118,9 +118,11 @@ object SparkEntry {
     "q_image_way_join" -> ((s, dir) => {
       val (_, _, wayData) = Pipeline.prepared(s, dir)
       val streets = wayData.filter(col("way_id") < 2000000L)
-      // images within 20 m (manhattan-free: true planar distance ≤ 0.0002°)
-      SpatialOps.imageWayCellJoin(Pipeline.geoImages(s, dir), streets, res = 3,
-        maxDistDeg = 0.0002)
+      // images within 20 m (manhattan-free: true planar distance ≤ 0.0002°),
+      // through the SALTED join path (result-identical to imageWayCellJoin,
+      // proven in SkewSpec) so skew handling is exercised by a green oracle
+      Skew.saltedImageWayJoin(Pipeline.geoImages(s, dir), streets, res = 3,
+        maxDistDeg = 0.0002, hotThreshold = 2000L, nSalts = 8)
         .groupBy(col("way_id"), col("name"))
         .agg(count(lit(1)).as("n_images"))
         .orderBy("way_id")

@@ -43,7 +43,7 @@ case class CellEncode(lat: Expression, lon: Expression, res: Int)
   */
 case class CellsCovering(minLat: Expression, minLon: Expression,
                          maxLat: Expression, maxLon: Expression, res: Int)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression {
   override def first: Expression = minLat
   override def second: Expression = minLon
   override def third: Expression = maxLat
@@ -51,12 +51,21 @@ case class CellsCovering(minLat: Expression, minLon: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
-    new GenericArrayData(GridCell.covering(
+    CellsCovering.coveringData(
       a.asInstanceOf[Double], b.asInstanceOf[Double],
-      c.asInstanceOf[Double], d.asInstanceOf[Double], res))
+      c.asInstanceOf[Double], d.asInstanceOf[Double], res)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.exprs.CellsCovering.coveringData($a, $b, $c, $d, $res)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
     copy(minLat = f, minLon = s, maxLat = t, maxLon = q)
+}
+object CellsCovering {
+  /** static entry for generated code. */
+  def coveringData(minLat: Double, minLon: Double, maxLat: Double,
+                   maxLon: Double, res: Int): ArrayData =
+    new GenericArrayData(GridCell.covering(minLat, minLon, maxLat, maxLon, res))
 }
 
 /** cells at Chebyshev distance ≤ k of `cell` (kNN ring expansion, SURVEY J7). */
@@ -147,21 +156,28 @@ case class TileId(lat: Expression, lon: Expression, zoom: Int)
   * keeping features[0] (`geo.js:209-214`). Per-segment bbox prefilter inside.
   */
 case class SegmentsIntersect(line1: Expression, line2: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = line1
   override def right: Expression = line2
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
-  override protected def nullSafeEval(l1: Any, l2: Any): Any = {
-    val a = SegmentsIntersect.toFlat(l1.asInstanceOf[ArrayData])
-    val b = SegmentsIntersect.toFlat(l2.asInstanceOf[ArrayData])
-    val hit = Geom.polylineIntersectFirst(a, b)
-    if (hit == null) null else new GenericArrayData(hit)
-  }
+  override protected def nullSafeEval(l1: Any, l2: Any): Any =
+    SegmentsIntersect.firstHit(l1.asInstanceOf[ArrayData], l2.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.exprs.SegmentsIntersect.firstHit($a, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(line1 = l, line2 = r)
 }
 object SegmentsIntersect {
+  /** static entry for generated code; null when the polylines are disjoint. */
+  def firstHit(l1: ArrayData, l2: ArrayData): ArrayData = {
+    val hit = Geom.polylineIntersectFirst(toFlat(l1), toFlat(l2))
+    if (hit == null) null else new GenericArrayData(hit)
+  }
   /** array<struct<lat:double,lon:double>> → flat [lat0,lon0,lat1,lon1,...] */
   def toFlat(arr: ArrayData): Array[Double] = {
     val n = arr.numElements()
@@ -207,21 +223,20 @@ case class PointPolylineDist(lat: Expression, lon: Expression, line: Expression)
 case class PointInPolygonFirst(lat: Expression, lon: Expression,
                                polys: Array[(String, Array[Array[Double]])],
                                default: String)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = lat
   override def right: Expression = lon
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
-  private lazy val names = polys.map(p => UTF8String.fromString(p._1))
-  private lazy val defaultU = UTF8String.fromString(default)
-  override protected def nullSafeEval(latV: Any, lonV: Any): Any = {
-    val la = latV.asInstanceOf[Double]; val lo = lonV.asInstanceOf[Double]
-    var i = 0
-    while (i < polys.length) {
-      if (Geom.pointInPolygon(la, lo, polys(i)._2)) return names(i)
-      i += 1
-    }
-    defaultU
+  // envelopes + interned names prepared ONCE at plan time; bound into the
+  // generated code as a reference object so the probe stays in whole-stage
+  // codegen (this is the hot per-image op of the headline join)
+  @transient private lazy val prepared = new graft.geom.PreparedPolys(polys, default)
+  override protected def nullSafeEval(latV: Any, lonV: Any): Any =
+    prepared.first(latV.asInstanceOf[Double], lonV.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("preparedPolys", prepared, "graft.geom.PreparedPolys")
+    defineCodeGen(ctx, ev, (la, lo) => s"$ref.first($la, $lo)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(lat = l, lon = r)
@@ -366,18 +381,64 @@ case class RollingMinHash(text: Expression, window: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(text = c)
 }
 
+/** One linear-referencing step WITHIN a way (X2, reference offset.js:170-244):
+  * walk `meters` from `nodeId` along (nodes, flat geometry). Returns
+  * struct<status:int, olat:double, olon:double, term:long, rem:double>:
+  * status 0 = landed (olat/olon set), 1 = ran off the way (term = terminal
+  * node id, rem = remaining signed meters — the driver loop continues on the
+  * unique same-named way), 2 = node not on way. The cross-way continuation
+  * is a relational join in OffsetOps.offsetAlong, NOT an in-memory map, so
+  * the operator is fully distributed.
+  */
+case class WalkWithinWay(nodes: Expression, flat: Expression,
+                         nodeId: Expression, meters: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def first: Expression = nodes
+  override def second: Expression = flat
+  override def third: Expression = nodeId
+  override def fourth: Expression = meters
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("olat", DoubleType, nullable = true),
+    StructField("olon", DoubleType, nullable = true),
+    StructField("term", LongType, nullable = true),
+    StructField("rem", DoubleType, nullable = true)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(nv: Any, fv: Any, idv: Any, mv: Any): Any = {
+    val nodes = nv.asInstanceOf[ArrayData].toLongArray()
+    val flat = fv.asInstanceOf[ArrayData].toDoubleArray()
+    val out = new Array[Double](4)
+    Geom.walkWithin(nodes, flat, idv.asInstanceOf[Long], mv.asInstanceOf[Double], out) match {
+      case 0 => InternalRow(0, out(0), out(1), null, null)
+      case 1 => InternalRow(1, null, null, nodes(out(2).toInt), out(3))
+      case _ => InternalRow(2, null, null, null, null)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(nodes = f, flat = s, nodeId = t, meters = q)
+}
+
 /** Cosine similarity of two float vectors (array<float>), computed in double.
   * Tight loop over ArrayData — faster than zip_with/aggregate HOFs and keeps
   * the ANN brute-force path cheap.
   */
 case class CosineSim(a: Expression, b: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = a
   override def right: Expression = b
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(x: Any, y: Any): Any = {
-    val u = x.asInstanceOf[ArrayData]; val v = y.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    CosineSim.cos(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, v) => s"graft.exprs.CosineSim.cos($u, $v)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+object CosineSim {
+  /** static entry for generated code (hot inner op of ANN brute force). */
+  def cos(u: ArrayData, v: ArrayData): Double = {
     val n = math.min(u.numElements(), v.numElements())
     var dot = 0.0; var nu = 0.0; var nv = 0.0
     var i = 0
@@ -388,8 +449,6 @@ case class CosineSim(a: Expression, b: Expression)
     }
     if (nu == 0.0 || nv == 0.0) 0.0 else dot / (math.sqrt(nu) * math.sqrt(nv))
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(a = l, b = r)
 }
 
 object Hashing {
@@ -454,6 +513,8 @@ object fns {
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def rolling_min_hash(text: Column, window: Int): Column = c(RollingMinHash(e(text), window))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def walk_within_way(nodes: Column, flat: Column, nodeId: Column, meters: Column): Column =
+    c(WalkWithinWay(e(nodes), e(flat), e(nodeId), e(meters)))
 
   /** Manhattan-degree pseudo-meters (geo.js:661-666) from built-ins. */
   def manhattan_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {

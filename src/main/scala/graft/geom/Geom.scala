@@ -219,6 +219,77 @@ object Geom {
     best
   }
 
+  /** fix6: round to 1e-6 degrees (reference offset.js fix6). */
+  @inline def fix6(x: Double): Double = math.round(x * 1e6) / 1e6
+
+  /** Linear-referencing walk WITHIN one way (reference offset.js:170-244):
+    * from `nodeId`, move `meters` along the way (sign = direction),
+    * interpolating inside the containing segment. Per-segment distances are
+    * fix6(haversine) like the reference.
+    *
+    * Returns status + payload packed for the WalkWithinWay expression:
+    *  - status 0 (done): out(0)=olat, out(1)=olon
+    *  - status 1 (ran off the way): out(2)=terminal node INDEX (0 or n-1,
+    *    exact in double), out(3)=remaining signed meters — caller continues
+    *    on the unique same-named way at the terminal node
+    *  - status 2 (dead): nodeId not on the way
+    */
+  def walkWithin(nodes: Array[Long], flat: Array[Double], nodeId: Long,
+                 meters: Double, out: Array[Double]): Int = {
+    val nodeIndex = nodes.indexOf(nodeId)
+    if (nodeIndex < 0) return 2
+    val n = nodes.length
+    def segDist(i: Int): Double =
+      fix6(haversineM(flat(2 * i), flat(2 * i + 1), flat(2 * i + 2), flat(2 * i + 3)))
+    var distSoFar = 0.0
+    if (meters >= 0) {
+      var i = nodeIndex
+      while (i < n - 1) {
+        val d = segDist(i)
+        if (d + distSoFar >= meters) {
+          val w2 = (meters - distSoFar) / d
+          out(0) = fix6((1 - w2) * flat(2 * i) + w2 * flat(2 * i + 2))
+          out(1) = fix6((1 - w2) * flat(2 * i + 1) + w2 * flat(2 * i + 3))
+          return 0
+        }
+        distSoFar += d
+        i += 1
+      }
+      out(2) = (n - 1).toDouble
+      out(3) = meters - distSoFar
+      1
+    } else {
+      val pos = -meters
+      var i = nodeIndex - 1
+      while (i >= 0) {
+        val d = segDist(i)
+        if (d + distSoFar >= pos) {
+          val w2 = (pos - distSoFar) / d
+          // interpolate from the upper node backward (offset.js:212-216)
+          out(0) = fix6((1 - w2) * flat(2 * i + 2) + w2 * flat(2 * i))
+          out(1) = fix6((1 - w2) * flat(2 * i + 3) + w2 * flat(2 * i + 1))
+          return 0
+        }
+        distSoFar += d
+        i -= 1
+      }
+      out(2) = 0.0
+      out(3) = meters + distSoFar
+      1
+    }
+  }
+
+  /** pointInPolygon without the envelope prefilter (caller already did it). */
+  def pointInPolygonNoEnv(lat: Double, lon: Double, rings: Array[Array[Double]]): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < rings.length) {
+      if (inRing(lat, lon, rings(r))) inside = !inside
+      r += 1
+    }
+    inside
+  }
+
   /** Web-Mercator slippy tile X for lon at zoom z. */
   @inline def tileX(lon: Double, z: Int): Long = {
     val n = 1L << z
@@ -233,4 +304,42 @@ object Geom {
     val y = math.floor((1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi) / 2.0 * n).toLong
     if (y < 0) 0L else if (y >= n) n - 1 else y
   }
+}
+
+/** Prepared polygon list for first-match point-in-polygon: names interned
+  * as UTF8String and per-polygon envelopes precomputed ONCE at plan time
+  * (the raw path recomputed the outer-ring envelope on every call — at
+  * 10¹² probe rows that is the dominant cost). Bound into generated code
+  * via ctx.addReferenceObj, so PointInPolygonFirst participates in
+  * whole-stage codegen. */
+final class PreparedPolys(polys: Array[(String, Array[Array[Double]])],
+                          default: String) extends Serializable {
+    private val names: Array[org.apache.spark.unsafe.types.UTF8String] =
+      polys.map(p => org.apache.spark.unsafe.types.UTF8String.fromString(p._1))
+    private val rings: Array[Array[Array[Double]]] = polys.map(_._2)
+    private val defaultU = org.apache.spark.unsafe.types.UTF8String.fromString(default)
+    // envelopes: minLon, maxLon, minLat, maxLat per polygon (outer ring)
+    private val env: Array[Array[Double]] = rings.map { rr =>
+      val outer = rr(0)
+      var minLon = Double.MaxValue; var maxLon = Double.MinValue
+      var minLat = Double.MaxValue; var maxLat = Double.MinValue
+      var k = 0
+      while (k < outer.length - 1) {
+        val x = outer(k); val y = outer(k + 1)
+        if (x < minLon) minLon = x; if (x > maxLon) maxLon = x
+        if (y < minLat) minLat = y; if (y > maxLat) maxLat = y
+        k += 2
+      }
+      Array(minLon, maxLon, minLat, maxLat)
+    }
+    def first(lat: Double, lon: Double): org.apache.spark.unsafe.types.UTF8String = {
+      var i = 0
+      while (i < rings.length) {
+        val e = env(i)
+        if (lon >= e(0) && lon <= e(1) && lat >= e(2) && lat <= e(3) &&
+            Geom.pointInPolygonNoEnv(lat, lon, rings(i))) return names(i)
+        i += 1
+      }
+      defaultU
+    }
 }

@@ -56,12 +56,21 @@ object SpatialOps {
   /** J2 applied to the image workload: geotagged images equi-joined to the
     * segment-cell index on their single cell, refined by codegen'd point-seg
     * distance, min per (image, way). The big (image) side is never
-    * replicated; the way side absorbs the distance buffer. */
+    * replicated; the way side absorbs the distance buffer.
+    *
+    * The segment side is SHUFFLE_HASH by default: at planet scale (~10⁹
+    * segment rows) a broadcast OOMs the driver, and even when it fits the
+    * build is driver-serial (measured ~10 s at 1.8 M rows, PERF.md) while a
+    * shuffled build parallelizes with cores. Callers with a genuinely tiny
+    * dimension table can pass broadcastSegs = true. Skewed inputs route
+    * through Skew.saltedImageWayJoin (result-identical, salted keys). */
   def imageWayCellJoin(images: DataFrame, wayData: DataFrame,
-                       res: Int, maxDistDeg: Double): DataFrame = {
-    val segs = segmentCells(wayData, res, maxDistDeg)
+                       res: Int, maxDistDeg: Double,
+                       broadcastSegs: Boolean = false): DataFrame = {
+    val segs0 = segmentCells(wayData, res, maxDistDeg)
+    val segs = if (broadcastSegs) broadcast(segs0) else segs0.hint("SHUFFLE_HASH")
     val imgCells = images.withColumn("cell", fns.cell_encode(col("lat"), col("lon"), res))
-    imgCells.join(broadcast(segs), Seq("cell"))
+    imgCells.join(segs, Seq("cell"))
       .withColumn("seg_dist", fns.point_seg_dist(col("lat"), col("lon"),
         col("lat1"), col("lon1"), col("lat2"), col("lon2")))
       .filter(col("seg_dist") <= maxDistDeg)
@@ -88,7 +97,10 @@ object SpatialOps {
       .select(col("image_id"), col("lat"), col("lon"))
       .withColumn("cell0", fns.cell_encode(col("lat"), col("lon"), res))
       .withColumn("cell", explode(fns.cell_disk(col("cell0"), lit(ring))))
-      .join(broadcast(segs.drop("name")), Seq("cell"))
+      // SHUFFLE_HASH: the segment index scales with the way table (never
+      // driver-broadcast); the probe side was just exploded ×(2·ring+1)² so
+      // it is the big side by construction
+      .join(segs.drop("name").hint("SHUFFLE_HASH"), Seq("cell"))
       .select(col("image_id"), col("way_id"),
         fns.point_seg_dist(col("lat"), col("lon"),
           col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("seg_dist"))
@@ -99,8 +111,10 @@ object SpatialOps {
     val topk = grouped
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+    // join-back tables scale with ways/images — no forced broadcast; AQE
+    // picks broadcast at small scale and sort-merge/shuffled-hash at large
     val names = wayData.select(col("way_id"), col("name")).distinct()
-    topk.join(broadcast(names), Seq("way_id")).join(images, Seq("image_id"))
+    topk.join(names, Seq("way_id")).join(images, Seq("image_id"))
   }
 
   /** Raster-tile assignment: packed Web-Mercator tile id per image. */
