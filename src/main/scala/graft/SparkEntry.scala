@@ -135,6 +135,13 @@ object SparkEntry {
         .groupBy("s2").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("s2")).limit(20)),
 
+    "q_image_h3cells" -> ((s, dir) =>
+      Pipeline.geoImages(s, dir)
+        .select(col("image_id"),
+          graft.exprs.fns.h3_cell(col("lat"), col("lon"), 9).as("h3"))
+        .groupBy("h3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("h3")).limit(20)),
+
     // ---- documents: text analysis + dedup -------------------------------
     "q_doc_tokens" -> ((s, dir) =>
       TextOps.tokenStats(Synth.documents(s, dir)).orderBy("doc_id")),

@@ -97,6 +97,24 @@ case class S2CellEncode(lat: Expression, lon: Expression, level: Int)
     copy(lat = l, lon = r)
 }
 
+/** H3-style cell id (aperture-7 icosahedral hex, res 0-15) — clean-room
+  * graft.cells.H3; see its scaladoc for the documented divergence from
+  * canonical H3 base-cell numbering. */
+case class H3CellEncode(lat: Expression, lon: Expression, res: Int)
+    extends BinaryExpression {
+  require(res >= 0 && res <= graft.cells.H3.MaxRes)
+  override def left: Expression = lat
+  override def right: Expression = lon
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(latV: Any, lonV: Any): Any =
+    graft.cells.H3.latLngToCell(latV.asInstanceOf[Double], lonV.asInstanceOf[Double], res)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo) => s"graft.cells.H3.latLngToCell($la, $lo, $res)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lat = l, lon = r)
+}
+
 /** parent cell at a coarser resolution (adaptive subdivision support). */
 case class CellParent(cell: Expression, res: Int, parentRes: Int)
     extends UnaryExpression {
@@ -486,6 +504,8 @@ object fns {
     c(CellParent(e(cell), res, parentRes))
   def s2_cell(lat: Column, lon: Column, level: Int): Column =
     c(S2CellEncode(e(lat), e(lon), level))
+  def h3_cell(lat: Column, lon: Column, res: Int): Column =
+    c(H3CellEncode(e(lat), e(lon), res))
   def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     c(Haversine(e(lat1), e(lon1), e(lat2), e(lon2)))
   def tile_id(lat: Column, lon: Column, zoom: Int): Column = c(TileId(e(lat), e(lon), zoom))
