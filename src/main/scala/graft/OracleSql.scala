@@ -159,6 +159,35 @@ FROM withuv, (SELECT (g - 1) * 1000 AS s FROM p) sp
 WHERE streets LIKE '%Main St%' AND regexp_matches(streets, 'H1(/|${"$"})')
 ORDER BY streets, raw, node_id, lat, lon""",
 
+    // ---- F16: fuzzy pattern table over the feature stream ------------------
+    "q_fuzzy_streets" ->
+      s"""WITH $gridCte,
+feats AS ($topoBody UNION ALL $geomBody),
+pats AS (SELECT * FROM (VALUES
+  ('Main St', 'Main St|Mian St|Main Street', false),
+  ('Twin', 'Twin|Twyn|Twinn', false),
+  ('I 80', 'I 80|I80|US 50', false),
+  ('V7', 'V7(/|${"$"})', false),
+  ('H1', 'H1(/|${"$"})', false),
+  ('NOT I 80', 'I 80|I80|US 50', true)
+) t(canonical, regex, negate))
+SELECT canonical, COUNT(*) AS n_matches
+FROM feats JOIN pats
+  ON CASE WHEN negate THEN NOT regexp_matches(streets, regex)
+          ELSE regexp_matches(streets, regex) END
+GROUP BY canonical ORDER BY canonical""",
+
+    // ---- county partition dimension (pruned single-county read) ------------
+    "q_county_pruned" ->
+      s"""WITH $gridCte,
+feats AS ($topoBody UNION ALL $geomBody)
+SELECT streets, raw, lat, lon, county FROM (
+  SELECT streets, raw, lat, lon,
+    'c' || (CAST(ROUND((lat - 37.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) * 4 // (sp.s + 1)) AS county
+  FROM feats, (SELECT (g - 1) * 1000 AS s FROM p) sp)
+WHERE county = 'c1'
+ORDER BY streets, raw, lat, lon""",
+
     // ---- J10/T5: county minus cities anti-join -----------------------------
     "q_unincorporated_anti" ->
       s"""WITH $gridCte,

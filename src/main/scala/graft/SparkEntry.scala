@@ -73,6 +73,24 @@ object SparkEntry {
           col("nodeId").as("node_id"), col("cityName").as("city"))
         .orderBy("streets", "raw", "node_id", "lat", "lon")),
 
+    // F16: broadcast fuzzy-pattern table (reference utils_helper.js:16-494
+    // shape: canonical + misspelling alternations + NOT entries) rlike-joined
+    // against the feature stream, aggregated to per-pattern match counts
+    "q_fuzzy_streets" -> ((s, dir) =>
+      PatternOps.fuzzyStreetCounts(Pipeline.features(s, dir)).orderBy("canonical")),
+
+    // county partition dimension (reference processAll.sh:5-13 processes one
+    // county per run): features stored PARTITIONED BY county, single-county
+    // read is pruned at file listing (PartitionFilters, see PatternCountySpec)
+    "q_county_pruned" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      val feats = Pipeline.features(s, dir).select("streets", "raw", "lat", "lon")
+      val path = PatternOps.countyPartitionedPath(s, feats, g, dir)
+      s.read.parquet(path).filter(col("county") === "c1")
+        .select(col("streets"), col("raw"), col("lat"), col("lon"), col("county"))
+        .orderBy("streets", "raw", "lat", "lon")
+    }),
+
     "q_unincorporated_anti" -> ((s, dir) => {
       val feats = Pipeline.features(s, dir)
       val cityFeats = feats.filter(col("cityName") =!= "Unincorporated")

@@ -58,6 +58,20 @@ object Lineage {
     }
   }
 
+  /** manifest totals for skip-path validation: (sum of rows, xor of the
+    * per-partition content hashes — partition-layout independent, since xor
+    * of per-partition bit_xor equals the global bit_xor). */
+  def readManifestTotals(dir: String): Option[(Long, Long)] = {
+    val p = manifestPath(dir)
+    if (!Files.exists(p)) None
+    else {
+      val s = Files.readString(p)
+      val rows = """"rows":(-?\d+)""".r.findAllMatchIn(s).map(_.group(1).toLong).toSeq
+      val hashes = """"hash":(-?\d+)""".r.findAllMatchIn(s).map(_.group(1).toLong).toSeq
+      Some((rows.sum, hashes.foldLeft(0L)(_ ^ _)))
+    }
+  }
+
   /** order-insensitive fingerprint of an input DataFrame (cheap: sum of
     * 64-bit row hashes — collision-safe enough for resume decisions). */
   def fingerprint(df: DataFrame): Long = {
@@ -69,19 +83,35 @@ object Lineage {
   /** Run `stage` and persist to `outDir` unless a valid checkpoint for the
     * same input fingerprint already exists; returns the (possibly reloaded)
     * output. This is the resume path: a killed job re-invokes materialize
-    * and every finished stage short-circuits to a parquet read. */
+    * and every finished stage short-circuits to a parquet read.
+    *
+    * Crash safety: the manifest is DELETED before the data rewrite starts —
+    * a job killed mid-overwrite leaves data without a manifest, which can
+    * only recompute, never serve the torn files. The skip path re-validates
+    * the stored parquet against the manifest's row count and xor-of-hashes
+    * (partition-layout independent), so a manifest that survived alongside
+    * corrupted/foreign data is detected and recomputed too. */
   def materialize(spark: SparkSession, outDir: String, input: DataFrame,
                   stage: DataFrame => DataFrame): DataFrame = {
     val fp = fingerprint(input)
-    readManifestFingerprint(outDir) match {
+    val valid = readManifestFingerprint(outDir) match {
       case Some(existing) if existing == fp =>
-        spark.read.parquet(s"$outDir/data")
-      case _ =>
-        val out = stage(input)
-        out.write.mode("overwrite").parquet(s"$outDir/data")
-        val written = spark.read.parquet(s"$outDir/data")
-        writeManifest(outDir, fp, partStats(written))
-        written
+        val stored = spark.read.parquet(s"$outDir/data")
+        val actual = {
+          val stats = partStats(stored)
+          (stats.map(_.rows).sum, stats.map(_.contentHash).foldLeft(0L)(_ ^ _))
+        }
+        readManifestTotals(outDir).contains(actual)
+      case _ => false
+    }
+    if (valid) spark.read.parquet(s"$outDir/data")
+    else {
+      // invalidate FIRST: no window where an old manifest covers new bytes
+      Files.deleteIfExists(manifestPath(outDir))
+      stage(input).write.mode("overwrite").parquet(s"$outDir/data")
+      val written = spark.read.parquet(s"$outDir/data")
+      writeManifest(outDir, fp, partStats(written))
+      written
     }
   }
 }

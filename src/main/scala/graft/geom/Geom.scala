@@ -37,10 +37,14 @@ object Geom {
 
   /** Segment (p1-p2) × segment (p3-p4) intersection.
     * Returns true and writes (lat, lon) into `out` when the closed segments
-    * properly intersect (including touching endpoints); collinear overlap
-    * reports the first overlap point (p3 side), matching the "first
-    * intersection" behavior of the reference (`geo.js:214` keeps
-    * `int.features[0]`).
+    * properly intersect (including touching endpoints).
+    *
+    * TURF PARITY (reference geo.js:209 uses turf.lineIntersect): when the
+    * parametric denominator is zero — parallel segments, collinear OVERLAP,
+    * and zero-length segments — turf reports NO intersection, and so do we.
+    * This matters on real OSM where duplicated same-line ways are common:
+    * JTS would report the overlap, the reference does not (divergence vs JTS
+    * asserted in GeomSpec).
     * Coordinates are treated as planar (lon=x, lat=y) — identical to turf's
     * lineIntersect plane-sweep on raw coordinates.
     */
@@ -51,61 +55,16 @@ object Geom {
     // x = lon, y = lat
     val d1x = lon2 - lon1; val d1y = lat2 - lat1
     val d2x = lon4 - lon3; val d2y = lat4 - lat3
-    // degenerate (zero-length) segments: point-on-segment tests
-    if (d1x == 0.0 && d1y == 0.0) {
-      if (d2x == 0.0 && d2y == 0.0) {
-        if (lat1 == lat3 && lon1 == lon3) { out(0) = lat1; out(1) = lon1; return true }
-        return false
-      }
-      if (pointSegDist(lat1, lon1, lat3, lon3, lat4, lon4) == 0.0) {
-        out(0) = lat1; out(1) = lon1; return true
-      }
-      return false
-    }
-    if (d2x == 0.0 && d2y == 0.0) {
-      if (pointSegDist(lat3, lon3, lat1, lon1, lat2, lon2) == 0.0) {
-        out(0) = lat3; out(1) = lon3; return true
-      }
-      return false
-    }
     val denom = d1x * d2y - d1y * d2x
+    if (denom == 0.0) return false // turf: parallel/collinear/degenerate → none
     val ex = lon3 - lon1; val ey = lat3 - lat1
-    if (denom != 0.0) {
-      val t = (ex * d2y - ey * d2x) / denom
-      val u = (ex * d1y - ey * d1x) / denom
-      if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0) {
-        out(0) = lat1 + t * d1y
-        out(1) = lon1 + t * d1x
-        true
-      } else false
-    } else {
-      // parallel: check collinearity then 1-D overlap
-      val cross = ex * d1y - ey * d1x
-      if (cross != 0.0) return false
-      // project on the dominant axis
-      if (math.abs(d1x) >= math.abs(d1y)) {
-        val lo1 = math.min(lon1, lon2); val hi1 = math.max(lon1, lon2)
-        val lo3 = math.min(lon3, lon4); val hi3 = math.max(lon3, lon4)
-        val lo = math.max(lo1, lo3); val hi = math.min(hi1, hi3)
-        if (lo > hi) false
-        else {
-          // first overlap point, p3-side preference like turf's feature order
-          val x = if (lon3 >= lo1 && lon3 <= hi1) lon3 else lo
-          val y = if (d1x != 0.0) lat1 + (x - lon1) / d1x * d1y else lat1
-          out(0) = y; out(1) = x; true
-        }
-      } else {
-        val lo1 = math.min(lat1, lat2); val hi1 = math.max(lat1, lat2)
-        val lo3 = math.min(lat3, lat4); val hi3 = math.max(lat3, lat4)
-        val lo = math.max(lo1, lo3); val hi = math.min(hi1, hi3)
-        if (lo > hi) false
-        else {
-          val y = if (lat3 >= lo1 && lat3 <= hi1) lat3 else lo
-          val x = if (d1y != 0.0) lon1 + (y - lat1) / d1y * d1x else lon1
-          out(0) = y; out(1) = x; true
-        }
-      }
-    }
+    val t = (ex * d2y - ey * d2x) / denom
+    val u = (ex * d1y - ey * d1x) / denom
+    if (t >= 0.0 && t <= 1.0 && u >= 0.0 && u <= 1.0) {
+      out(0) = lat1 + t * d1y
+      out(1) = lon1 + t * d1x
+      true
+    } else false
   }
 
   /** First intersection point of two polylines (flat arrays: lat0,lon0,lat1,lon1,...).

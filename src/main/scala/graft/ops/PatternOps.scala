@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** F16 fuzzy street patterns + the county partition dimension.
+  *
+  * The reference ships a 470-entry fuzzy street table
+  * (`/root/reference/js/utils_helper.js:16-494`): each entry is
+  * "Canonical|Alt1|Alt2|..." alternations of observed misspellings, plus
+  * negative entries like "NOT I80|^(?!.*80).*$" (negative lookahead,
+  * utils_helper.js:~490). Its street names are Berkeley-specific, so the
+  * synth world carries a table of the same SHAPE over its own names; the
+  * operator is the scale mechanism: a BROADCAST pattern-table join with an
+  * RLIKE condition — patterns are always a dimension table (hundreds of
+  * rows) against billions of feature rows, so the big side never shuffles.
+  * Negation is a flag rather than a lookahead so RE2-based engines (the
+  * DuckDB oracle) can mirror the exact predicate.
+  *
+  * County: the reference's actual unit of work is a COUNTY
+  * (`/root/reference/processAll.sh:5-13`, data/county_cities.json) — every
+  * run processes one county's extract. The synth world derives a 4-way
+  * county split from the latitude band (u*4 DIV (s+1)), and
+  * `countyPartitioned` writes features PARTITIONED BY county so a
+  * single-county query is partition-pruned at the file listing, exactly the
+  * layout a 100 TB multi-region store would use.
+  */
+object PatternOps {
+
+  /** (canonical, regex, negate) — reference-shaped entries over synth names:
+    * misspelling alternations and a NOT entry. */
+  val defaultPatterns: Seq[(String, String, Boolean)] = Seq(
+    ("Main St", "Main St|Mian St|Main Street", false),
+    ("Twin", "Twin|Twyn|Twinn", false),
+    ("I 80", "I 80|I80|US 50", false),
+    ("V7", "V7(/|$)", false),
+    ("H1", "H1(/|$)", false),
+    // reference form "NOT I80|^(?!.*80).*$": negate flag instead of lookahead
+    ("NOT I 80", "I 80|I80|US 50", true))
+
+  /** broadcast pattern-table rlike join: one row per (canonical, match),
+    * aggregated to match counts. `negate` rows count features NOT matching. */
+  def fuzzyStreetCounts(feats: DataFrame,
+                        patterns: Seq[(String, String, Boolean)] = defaultPatterns): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val p = patterns.toDF("canonical", "regex", "negate")
+    feats.join(broadcast(p),
+        expr("CASE WHEN negate THEN NOT (streets RLIKE regex) ELSE streets RLIKE regex END"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** features + county column (u recovered exactly from the fix6 latitude:
+    * u = round((lat-37)*1e6); county = u*4 DIV (s+1), s = (g-1)*1000). */
+  def withCounty(feats: DataFrame, g: Int): DataFrame = {
+    val s = (g - 1) * 1000L
+    feats
+      .withColumn("u", expr("CAST(ROUND((lat - 37.0D) * 1000000.0D) AS BIGINT)"))
+      .withColumn("county", concat(lit("c"), expr(s"u * 4 DIV ${s + 1}")))
+      .drop("u")
+  }
+
+  /** memoized per sfDir: features written PARTITIONED BY county (the
+    * reference's per-county processing unit as a storage layout); returns
+    * the path. Reading with a county filter is partition-pruned (verified in
+    * PatternCountySpec via the plan's PartitionFilters). */
+  private val partCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def countyPartitionedPath(spark: SparkSession, feats: DataFrame, g: Int,
+                            sfDir: String): String =
+    partCache.computeIfAbsent(sfDir + "@" + System.identityHashCode(spark), { _ =>
+      val dir = s"/tmp/graft_county_${new java.io.File(sfDir).getName}_${System.identityHashCode(spark)}"
+      withCounty(feats, g)
+        .write.mode("overwrite").partitionBy("county").parquet(dir)
+      dir
+    })
+}

@@ -31,34 +31,44 @@ object Streaming {
 
   /** gap-based sessionization with custom state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): emits a session when
-    * the gap is exceeded (processing-time timeout closes idle sessions).
-    * The streaming analog of EventOps.sessionize. */
+    * the gap is exceeded; a PROCESSING-TIME TIMEOUT flushes the open session
+    * of an idle user (without it, each user's last session would never be
+    * emitted — round-1 bug flagged in review). The streaming analog of
+    * EventOps.sessionize. */
   def sessionize(spark: SparkSession, events: Dataset[Ev], gapSec: Long): Dataset[SessOut] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessState], SessOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (user: Long, it: Iterator[Ev], state: GroupState[List[SessState]]) =>
-          val evs = it.toSeq.sortBy(_.ts_us)
-          var sessions = state.getOption.getOrElse(Nil)
-          var cur = sessions.headOption
-          var closed = List.empty[SessOut]
-          var nextId = cur.map(_.sessId).getOrElse(0L)
-          evs.foreach { e =>
-            cur match {
-              case Some(s) if e.ts_us - s.lastUs <= gapSec * 1000000L =>
-                cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1, sum = s.sum + e.value))
-              case Some(s) =>
-                closed ::= SessOut(user, s.sessId, s.n, (s.lastUs - s.startUs) / 1000000L, s.sum)
-                nextId += 1
-                cur = Some(SessState(nextId, e.ts_us, e.ts_us, 1, e.value))
-              case None =>
-                nextId += 1
-                cur = Some(SessState(nextId, e.ts_us, e.ts_us, 1, e.value))
+          if (state.hasTimedOut) {
+            // idle user: flush the open session and drop the state
+            val flushed = state.getOption.getOrElse(Nil).map(s =>
+              SessOut(user, s.sessId, s.n, (s.lastUs - s.startUs) / 1000000L, s.sum))
+            state.remove()
+            flushed.iterator
+          } else {
+            val evs = it.toSeq.sortBy(_.ts_us)
+            var cur = state.getOption.getOrElse(Nil).headOption
+            var closed = List.empty[SessOut]
+            var nextId = cur.map(_.sessId).getOrElse(0L)
+            evs.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.lastUs <= gapSec * 1000000L =>
+                  cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessOut(user, s.sessId, s.n, (s.lastUs - s.startUs) / 1000000L, s.sum)
+                  nextId += 1
+                  cur = Some(SessState(nextId, e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  nextId += 1
+                  cur = Some(SessState(nextId, e.ts_us, e.ts_us, 1, e.value))
+              }
             }
+            state.update(cur.toList)
+            state.setTimeoutDuration(s"$gapSec seconds")
+            closed.reverseIterator
           }
-          state.update(cur.toList)
-          closed.reverseIterator
       }
   }
 }

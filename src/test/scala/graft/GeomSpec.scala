@@ -24,10 +24,13 @@ class GeomSpec extends AnyFunSuite {
     assert(out(0) === 1.0 && out(1) === 1.0)
   }
 
-  test("segSegIntersect: collinear overlap reports p3-side first point") {
+  test("segSegIntersect: collinear overlap is NO intersection (turf parity, geo.js:209)") {
     val out = new Array[Double](2)
-    assert(Geom.segSegIntersect(0, 0, 0, 10, 0, 4, 0, 20, out))
-    assert(out(0) === 0.0 && out(1) === 4.0)
+    // turf.lineIntersect skips zero-denominator pairs — overlapping same-line
+    // ways (common in real OSM) must NOT produce intersections, unlike JTS
+    assert(!Geom.segSegIntersect(0, 0, 0, 10, 0, 4, 0, 20, out))
+    assert(!Geom.segSegIntersect(0, 0, 0, 10, 1, 0, 1, 10, out)) // parallel
+    assert(!Geom.segSegIntersect(0, 0, 0, 0, 0, 0, 0, 10, out))  // zero-length
   }
 
   test("segSegIntersect agrees with JTS on random segments") {
@@ -45,7 +48,11 @@ class GeomSpec extends AnyFunSuite {
         new org.locationtech.jts.geom.Coordinate(v(5), v(4)),
         new org.locationtech.jts.geom.Coordinate(v(7), v(6))))
       val jts = l1.intersects(l2)
-      assert(mine === jts, s"mine=$mine jts=$jts segs=${v.toSeq}")
+      // zero-denominator pairs (parallel/collinear/degenerate) are the
+      // DOCUMENTED turf-parity divergence from JTS: we report none
+      val denom = (v(3) - v(1)) * (v(4) - v(6)) - (v(2) - v(0)) * (v(5) - v(7))
+      if (denom == 0.0) assert(!mine, s"turf parity: denom==0 must be false, segs=${v.toSeq}")
+      else assert(mine === jts, s"mine=$mine jts=$jts segs=${v.toSeq}")
       if (mine) hits += 1
     }
     assert(hits > 100) // sanity: the generator actually produces intersections

@@ -35,26 +35,39 @@ class StreamCkptSpec extends AnyFunSuite {
     assert(streamed === expected)
   }
 
-  test("streaming sessionization closes sessions on gap (flatMapGroupsWithState)") {
+  test("streaming sessionization closes sessions on gap and flushes idle users on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streaming.Ev]
-    val out = Streaming.sessionize(spark, mem.toDS(), gapSec = 60)
+    // gapSec=2: short so the processing-time timeout fires within the test.
+    // The query runs continuous no-data micro-batches to evaluate timeouts,
+    // so processAllAvailable can spin — poll the result table instead.
+    val out = Streaming.sessionize(spark, mem.toDS(), gapSec = 2)
     val q = out.writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
+    def sessions(): Map[(Long, Long), Streaming.SessOut] =
+      spark.table("sessions").as[Streaming.SessOut]
+        .collect().map(s => (s.user_id, s.sess_id) -> s).toMap
+    def await(cond: => Boolean, what: String, ms: Long = 30000): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!cond && System.currentTimeMillis() - t0 < ms) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what; have ${sessions().keySet}")
+    }
     val m = 1000000L
     mem.addData(
-      Streaming.Ev(1, 0 * m, 1.0), Streaming.Ev(1, 30 * m, 2.0),
-      Streaming.Ev(1, 200 * m, 3.0), // gap > 60 s: closes session 1
+      Streaming.Ev(1, 0 * m, 1.0), Streaming.Ev(1, 1 * m, 2.0),
+      Streaming.Ev(1, 200 * m, 3.0), // event-time gap > 2 s: closes session 1
       Streaming.Ev(2, 10 * m, 5.0))
-    q.processAllAvailable()
-    mem.addData(Streaming.Ev(1, 500 * m, 4.0)) // closes session 2
-    q.processAllAvailable()
+    await(sessions().contains((1L, 1L)), "gap-closed session (1,1)")
+    // idle flush: no more data for either user -> processing-time timeout
+    // must emit user 1's open session 2 and user 2's only session
+    await(sessions().contains((1L, 2L)), "timeout-flushed session (1,2)")
+    await(sessions().contains((2L, 1L)), "timeout-flushed session (2,1)")
     q.stop()
-    val sess = spark.table("sessions")
-      .as[Streaming.SessOut].collect().map(s => (s.user_id, s.sess_id) -> s).toMap
-    assert(sess((1L, 1L)).n_events === 2 && sess((1L, 1L)).duration_sec === 30)
+    val sess = sessions()
+    assert(sess((1L, 1L)).n_events === 2 && sess((1L, 1L)).duration_sec === 1)
     assert(sess((1L, 1L)).sum_value === 3.0)
     assert(sess((1L, 2L)).n_events === 1 && sess((1L, 2L)).sum_value === 3.0)
+    assert(sess((2L, 1L)).n_events === 1 && sess((2L, 1L)).sum_value === 5.0)
   }
 
   test("lineage checkpoint: stage skipped on resume, recomputed on input change") {
@@ -78,5 +91,27 @@ class StreamCkptSpec extends AnyFunSuite {
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "_lineage_manifest.json"))
     assert(manifest.contains("\"partitions\"") && manifest.contains("\"rows\""))
+  }
+
+  test("lineage crash safety: stale manifest over torn data recomputes, never serves") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt2").toString
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val input = spark.range(100).toDF("id")
+    def stage(df: org.apache.spark.sql.DataFrame) = {
+      counter.incrementAndGet()
+      df.withColumn("sq", col("id") * col("id"))
+    }
+    Lineage.materialize(spark, dir, input, stage)
+    assert(counter.get() === 1)
+    // simulate a crash-torn overwrite: data replaced under a SURVIVING
+    // manifest (the pre-fix failure mode: served as valid on resume)
+    spark.range(7).toDF("id").withColumn("sq", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/data")
+    val out = Lineage.materialize(spark, dir, input, stage)
+    assert(counter.get() === 2, "torn data must recompute, not serve")
+    assert(out.count() === 100)
+    // and a healthy checkpoint still skips
+    Lineage.materialize(spark, dir, input, stage)
+    assert(counter.get() === 2)
   }
 }
