@@ -149,8 +149,17 @@ object Bench {
     // shows hypervisor steal spikes (±5×) that min-filtering must ride out
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "4").toInt
     val (imgP, segP, g) = prepHeadlineInput(spark, sfDir, mult, s"$benchDir/full")
-    // quarter-size twin: the strong pair runs on it (keeps the 1-core leg
-    // short), and it is the weak pair's low level (¼ data on ¼ CPUs)
+    // half-size twin for the strong pair: big enough that the fixed driver
+    // overhead per job (~0.25 s of scheduling, thread-invariant) stays <5%
+    // of the 4-core leg (it would be ~12% on the quarter input, structurally
+    // deflating the measured ratio), small enough that the 1-core leg stays
+    // ~12 s per attempt
+    val (imgPh, segPh) =
+      if (mult % 2 == 0 && mult >= 8) {
+        val (a, b, _) = prepHeadlineInput(spark, sfDir, mult / 2, s"$benchDir/half")
+        (a, b)
+      } else (imgP, segP)
+    // quarter-size twin: the weak pair's low level (¼ data on ¼ CPUs)
     val weakOk = cpus >= 8 && mult % 4 == 0
     val (imgPq, segPq) =
       if (weakOk) {
@@ -160,14 +169,18 @@ object Bench {
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
-    // Each level runs in its own JVM, hard-capped to N CPUs via taskset +
-    // ActiveProcessorCount (local[N] caps only task slots; GC/IO would
-    // otherwise borrow the host's idle cores and corrupt the comparison).
+    // Each level runs in its own PERSISTENT JVM, hard-capped to N CPUs via
+    // taskset + ActiveProcessorCount (local[N] caps only task slots; GC/IO
+    // would otherwise borrow the host's idle cores and corrupt the
+    // comparison). The two legs of a pair are INTERLEAVED in time
+    // (low, high, low, high, …) so both legs' min-filtered bests sample the
+    // same shared-host load distribution — a leg measured entirely inside a
+    // co-tenant steal storm would otherwise corrupt the ratio.
     // DVFS control: a 1-core leg otherwise runs at single-core turbo clock
     // while the 4-core leg runs at all-core clock, structurally understating
     // scaling efficiency (measured ~8% on this host). Register-only spinners
     // (nice +19, no memory traffic) keep the frequency domain loaded on the
-    // cores the worker does NOT own.
+    // cores the measured worker does NOT own while it runs.
     def withSpinners[T](n: Int)(body: => T): T = {
       val spinners = (n until cpus).map { c =>
         new ProcessBuilder("taskset", "-c", c.toString,
@@ -176,10 +189,11 @@ object Bench {
       try body finally spinners.foreach(_.destroyForcibly())
     }
 
-    def measure(n: Int, iP: String, sP: String): (Long, Double) = withSpinners(n) {
-      val cp = System.getProperty("java.class.path")
-      val javaBin = System.getProperty("java.home") + "/bin/java"
-      val addOpens = Seq(
+    /** persistent measured worker: RUN on stdin → RESULT rows sec steal. */
+    final class Worker(val n: Int, iP: String, sP: String) {
+      private val cp = System.getProperty("java.class.path")
+      private val javaBin = System.getProperty("java.home") + "/bin/java"
+      private val addOpens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
         "java.base/java.lang.reflect", "java.base/java.io",
         "java.base/java.net", "java.base/java.nio",
@@ -188,37 +202,111 @@ object Bench {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar"
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-      val cmd = Seq("taskset", "-c", s"0-${n - 1}", javaBin) ++ addOpens ++ Seq(
+      private val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      private val cmd = Seq("taskset", "-c", s"0-${n - 1}", javaBin) ++ addOpens ++ Seq(
         s"-XX:ActiveProcessorCount=$n", s"-Xmx$mem", "-cp", cp,
-        "graft.BenchWorker", iP, sP, g.toString, n.toString,
-        repeats.toString, shuffleParts.toString)
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectErrorStream(false)
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes())
-      val err = new String(proc.getErrorStream.readAllBytes())
-      proc.waitFor()
-      err.linesIterator.filter(_.contains("[bench]")).foreach(System.err.println)
-      val res = out.linesIterator.find(_.startsWith("RESULT "))
-        .getOrElse(sys.error(s"bench worker (n=$n) produced no RESULT: $err"))
-      val Array(_, rowsS, secS) = res.split(" ")
-      (rowsS.toLong, secS.toDouble)
+        "graft.BenchWorker", iP, sP, g.toString, n.toString, shuffleParts.toString)
+      private val proc = new ProcessBuilder(cmd: _*).start()
+      // drain stderr on a thread (a full pipe would deadlock the child)
+      locally {
+        val errStream = proc.getErrorStream
+        val t = new Thread(() => {
+          val br = new java.io.BufferedReader(new java.io.InputStreamReader(errStream))
+          var line = br.readLine()
+          while (line != null) {
+            if (line.contains("[bench]")) System.err.println(s"[n=$n] $line")
+            line = br.readLine()
+          }
+        })
+        t.setDaemon(true); t.start()
+      }
+      private val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      private val in = new java.io.PrintWriter(proc.getOutputStream, true)
+      locally { // wait for READY
+        var line = out.readLine()
+        while (line != null && line.trim != "READY") line = out.readLine()
+        if (line == null) sys.error(s"bench worker (n=$n) died before READY")
+      }
+      /** one measured attempt, with the idle cores spinner-loaded. */
+      def run(): (Long, Double, Double) = withSpinners(n) {
+        in.println("RUN")
+        var line = out.readLine()
+        while (line != null && !line.startsWith("RESULT ")) line = out.readLine()
+        if (line == null) sys.error(s"bench worker (n=$n) died mid-run")
+        val Array(_, rowsS, secS, stealS) = line.split(" ")
+        (rowsS.toLong, secS.toDouble, stealS.toDouble)
+      }
+      def close(): Unit = {
+        try { in.println("EXIT"); proc.waitFor(15, java.util.concurrent.TimeUnit.SECONDS) }
+        catch { case _: Throwable => () }
+        proc.destroyForcibly(); ()
+      }
+    }
+
+    /** interleaved pair measurement: alternate low/high attempts; keep the
+      * min of each leg; stop when both legs have a post-warmup sample with
+      * <5% steal and neither min is still improving (or budget/attempt cap).
+      * Returns (rowsLow, secLow, rowsHigh, secHigh). */
+    def measurePair(nL: Int, iL: String, sL: String,
+                    nH: Int, iH: String, sH: String,
+                    budgetNs: Long): (Long, Double, Long, Double) = {
+      val wl = new Worker(nL, iL, sL)
+      val wh = new Worker(nH, iH, sH)
+      try {
+        val maxAttempts = repeats * 3
+        val tStart = System.nanoTime()
+        var bestL = (0L, Double.MaxValue); var bestH = (0L, Double.MaxValue)
+        var cleanL = 0; var cleanH = 0
+        var attempts = 0
+        var improving = true
+        while (attempts < repeats ||
+               (attempts < maxAttempts && System.nanoTime() - tStart < budgetNs &&
+                 (cleanL == 0 || cleanH == 0 || improving))) {
+          val (rL, sLo, fL) = wl.run()
+          val (rH, sHi, fH) = wh.run()
+          System.err.println(
+            f"[bench] pair $nL/$nH attempt $attempts: low $sLo%.2f s (steal ${fL * 100}%.1f%%), high $sHi%.2f s (steal ${fH * 100}%.1f%%)")
+          if (attempts > 0) { // first attempt is JIT warmup
+            if (fL < 0.05) cleanL += 1
+            if (fH < 0.05) cleanH += 1
+          }
+          improving = sLo < bestL._2 * 0.92 || sHi < bestH._2 * 0.92
+          if (sLo < bestL._2) bestL = (rL, sLo)
+          if (sHi < bestH._2) bestH = (rH, sHi)
+          attempts += 1
+        }
+        System.err.println(
+          f"[bench] pair $nL/$nH best: low ${bestL._2}%.2f s, high ${bestH._2}%.2f s ($attempts attempts)")
+        (bestL._1, bestL._2, bestH._1, bestH._2)
+      } finally { wl.close(); wh.close() }
     }
     spark = null
     // never die without the JSON line: the driver parses it per round
-    def tryMeasure(n: Int, i: String, s: String): (Long, Double) =
-      try measure(n, i, s)
+    def tryPair(nL: Int, iL: String, sL: String, nH: Int, iH: String, sH: String,
+                budgetNs: Long): (Long, Double, Long, Double) =
+      try measurePair(nL, iL, sL, nH, iH, sH, budgetNs)
       catch { case e: Throwable =>
-        System.err.println(s"[bench] measure(n=$n) failed: $e"); (0L, -1.0) }
-    // strong pair (quarter-size input when available)
-    val (rowsLow, secLow) = tryMeasure(nLow, imgPq, segPq)
-    val (rowsHigh, secHigh) = tryMeasure(nHigh, imgPq, segPq)
+        System.err.println(s"[bench] measurePair($nL,$nH) failed: $e"); (0L, -1.0, 0L, -1.0) }
+    // strong pair (half-size input when available)
+    val (rowsLow, secLow, rowsHigh, secHigh) =
+      tryPair(nLow, imgPh, segPh, nHigh, imgPh, segPh, 150e9.toLong)
     // weak pair: quarter data at cpus/4 vs full data at cpus; the full-data
     // run doubles as the headline throughput at full parallelism
-    val (rowsWLow, secWLow) =
-      if (weakOk) tryMeasure(cpus / 4, imgPq, segPq) else (0L, -1.0)
-    val (rowsWHigh, secWHigh) = tryMeasure(cpus, imgP, segP)
+    val (rowsWLow, secWLow, rowsWHigh, secWHigh) =
+      if (weakOk) tryPair(cpus / 4, imgPq, segPq, cpus, imgP, segP, 110e9.toLong)
+      else {
+        // no weak twin: still measure full-parallelism throughput (single leg)
+        val (r, s) = try {
+          val w = new Worker(cpus, imgP, segP)
+          try {
+            val best = (0 until repeats).map(_ => w.run()).minBy(_._2)
+            (best._1, best._2)
+          } finally w.close()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] full-leg measure failed: $e"); (0L, -1.0) }
+        (0L, -1.0, r, s)
+      }
     val rpsLow = if (secLow > 0) rowsLow / secLow else -1.0
     val rpsHigh = if (secHigh > 0) rowsHigh / secHigh else -1.0
     val rpsFull = if (secWHigh > 0) rowsWHigh / secWHigh else rpsHigh

@@ -8,11 +8,19 @@ import org.apache.spark.sql.SparkSession
   * alone caps only task slots, letting GC borrow the host's idle cores and
   * corrupting thread-scaling numbers. Registers the pre-written cell-bucketed
   * tables in its own catalog (the co-partitioned layout makes the measured
-  * join exchange-free) and prints "RESULT <rows> <minSeconds>".
+  * join exchange-free).
+  *
+  * Runs as a PERSISTENT server: the parent sends "RUN" on stdin for each
+  * measured attempt and reads "RESULT <rows> <sec> <stealFrac>" on stdout.
+  * Persistence lets the parent INTERLEAVE attempts of the low- and high-
+  * parallelism legs in time, so the min-filtered best of each leg samples
+  * the same shared-host load distribution — a leg measured entirely inside
+  * a co-tenant steal storm would otherwise corrupt the efficiency ratio in
+  * either direction. It also amortizes JIT warmup across many attempts.
   */
 object BenchWorker {
   def main(args: Array[String]): Unit = {
-    val Array(imagesBPath, segsBPath, gS, nS, repeatsS, shufS) = args
+    val Array(imagesBPath, segsBPath, gS, nS, shufS) = args
     val n = nS.toInt
     val spark = SparkSession.builder()
       .master(s"local[$n]")
@@ -36,9 +44,8 @@ object BenchWorker {
 
     // hypervisor steal on the pinned CPUs, from /proc/stat deltas: the
     // sandbox host shows multi-second steal storms from co-tenant VMs that
-    // taskset cannot shield. A repeat measured under steal is noise, so the
-    // worker keeps sampling (within a time budget) until it has at least one
-    // post-warmup run with <5% steal, then reports the min.
+    // taskset cannot shield. The parent uses the per-run steal fraction to
+    // decide when it has clean samples.
     def stealTotal(): (Long, Long) = {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
@@ -58,35 +65,23 @@ object BenchWorker {
       } finally src.close()
     }
 
-    // co-tenant VMs also steal MEMORY BANDWIDTH, which /proc/stat cannot see
-    // — so in addition to the no-clean-sample rule, keep sampling while the
-    // minimum is still improving (rides out storm decay and JIT warmup).
-    val want = repeatsS.toInt
-    val maxAttempts = want * 3
-    val budgetNs = 150e9.toLong
-    val tStart = System.nanoTime()
-    var runs = List.empty[(Long, Double, Double)]
-    var attempts = 0
-    var clean = 0
-    var bestSec = Double.MaxValue
-    var improving = true
-    while (attempts < want ||
-           (attempts < maxAttempts && System.nanoTime() - tStart < budgetNs &&
-             (clean == 0 || improving))) {
-      val (s0, t0) = stealTotal()
-      val (rows, sec) = Bench.headline(spark, gS.toInt)
-      val (s1, t1) = stealTotal()
-      val frac = if (t1 > t0) (s1 - s0).toDouble / (t1 - t0) else 0.0
-      System.err.println(f"[bench]   steal during run: ${frac * 100}%.1f%%")
-      if (attempts > 0 && frac < 0.05) clean += 1 // first run is JIT warmup
-      improving = sec < bestSec * 0.92
-      if (sec < bestSec) bestSec = sec
-      runs = (rows, sec, frac) :: runs
-      attempts += 1
+    println("READY")
+    Console.flush()
+    val in = scala.io.Source.stdin.getLines()
+    var done = false
+    while (!done && in.hasNext) {
+      in.next().trim match {
+        case "RUN" =>
+          val (s0, t0) = stealTotal()
+          val (rows, sec) = Bench.headline(spark, gS.toInt)
+          val (s1, t1) = stealTotal()
+          val frac = if (t1 > t0) (s1 - s0).toDouble / (t1 - t0) else 0.0
+          println(s"RESULT $rows $sec $frac")
+          Console.flush()
+        case "EXIT" => done = true
+        case _      => ()
+      }
     }
-    val best = runs.minBy(_._2)
-    System.err.println(f"[bench] n=$n best ${best._2}%.2f s (steal ${best._3 * 100}%.1f%%, $attempts attempts)")
-    println(s"RESULT ${best._1} ${best._2}")
     spark.stop()
   }
 }

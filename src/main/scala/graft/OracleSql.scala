@@ -482,6 +482,36 @@ ranked AS (
 SELECT q_id, rk, neighbor, CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
 FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
 
+    // IVF: deterministic seed centroids (vec_id < 16), every vector assigned
+    // to its argmax-cos9 centroid (ties → smallest cid), queries probe their
+    // top-4 lists; exact cosine rank over probed candidates. Mirrors
+    // SimOps.ivfTopK exactly (same cos9 rounding + tie-breaks).
+    "q_emb_ivf_topk" ->
+      """WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < 16),
+emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT emb2.vec_id, emb2.e, cent.cid,
+    ROW_NUMBER() OVER (PARTITION BY emb2.vec_id ORDER BY
+      CAST(ROUND(list_cosine_similarity(emb2.e, cent.ce) * 1000000000.0::DOUBLE) AS BIGINT) DESC,
+      cent.cid) AS crk
+  FROM emb2, cent),
+assign AS (SELECT vec_id, e, cid AS list_id FROM scored WHERE crk = 1),
+probes AS (
+  SELECT vec_id AS q_id, e AS qe, cid AS p_list
+  FROM scored WHERE vec_id % 100 = 0 AND crk <= 4),
+cand AS (
+  SELECT p.q_id, a.vec_id AS neighbor,
+    CAST(ROUND(list_cosine_similarity(p.qe, a.e) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+  FROM probes p JOIN assign a ON a.list_id = p.p_list AND a.vec_id <> p.q_id),
+ranked AS (
+  SELECT q_id, neighbor, cos9,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk
+  FROM cand)
+SELECT q_id, rk, neighbor, CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
+FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+
     // brute-force near-dup ground truth over base ∪ planted twins (the query
     // plants a twin per vec_id%50==0 with element 1 halved — exact in float
     // and double, so CAST(embedding[1] AS DOUBLE)*0.5 equals the Spark float).

@@ -199,6 +199,14 @@ object SparkEntry {
       SimOps.lshTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
         .orderBy("q_id", "rk")),
 
+    // IVF coarse-quantizer ANN (deterministic seed centroids → exact oracle);
+    // the 100 TB shape: one map-side assignment pass, corpus clustered by
+    // list_id at rest, queries probe nprobe/nlist of the data
+    "q_emb_ivf_topk" -> ((s, dir) =>
+      SimOps.ivfTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0,
+          k = 5, nlist = 16, nprobe = 4)
+        .orderBy("q_id", "rk")),
+
     // near-dup ground truth is planted: the raw testdata's max pairwise cosine
     // is ~0.51, so a 0.9-threshold query over it alone is vacuous. Every 50th
     // vector gets a deterministic perturbed twin (first element halved —

@@ -83,6 +83,63 @@ object SimOps {
         (col("cos9").cast("double") / lit(1e9)).as("cos_sim"))
   }
 
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * IVF part): every corpus vector is assigned to its nearest of `nlist`
+    * centroids (the inverted list) in one map-side pass; a query probes only
+    * its `nprobe` nearest lists and ranks those candidates by exact cosine.
+    *
+    * Centroids here are deterministic seeds (the vectors with
+    * vec_id < nlist) rather than k-means iterates, so the assignment is
+    * reproducible in plain SQL and the whole operator is exact-oracle-able;
+    * swapping in trained centroids changes recall, not the plan. The
+    * quantizer is collected to the driver by construction — at 100 TB it is
+    * a small offline-trained artifact (kB–MB), never data-sized, so this is
+    * the correct scale shape, not a data collect. Candidate generation is an
+    * equi-join on list_id; with the corpus partitioned/bucketed by list_id
+    * at rest, a query touches ~nprobe/nlist of the data and the join is
+    * co-located. Ties (equal rounded cosine) break to the smallest centroid
+    * id in both engines. */
+  def ivfTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents: Array[(Long, Array[Float])] = embeddings
+      .filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def c9(e: org.apache.spark.sql.Column, ce: Array[Float]): org.apache.spark.sql.Column =
+      round(fns.cosine_sim(e, lit(ce)) * lit(1e9), 0).cast("long")
+    // nearest centroid = max (cos9, -cid) struct → smallest cid on ties
+    def listId(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val scored = array(cents.map { case (cid, ce) =>
+        struct(c9(e, ce).as("c9"), lit(-cid).as("ncid"))
+      }: _*)
+      -array_max(scored).getField("ncid")
+    }
+    val assigned = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("list_id", listId(col("embedding")))
+    val qs = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(col("sc.c9").desc, col("sc.cid"))
+    val probes = qs
+      .select(col("q_id"), col("q_emb"), explode(array(cents.map { case (cid, ce) =>
+        struct(c9(col("q_emb"), ce).as("c9"), lit(cid).as("cid"))
+      }: _*)).as("sc"))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("sc.cid").as("p_list"))
+    val cand = broadcast(probes)
+      .join(assigned, col("p_list") === col("list_id") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos9",
+        round(fns.cosine_sim(col("q_emb"), col("embedding")) * lit(1e9), 0).cast("long"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos9").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id").as("neighbor"),
+        (col("cos9").cast("double") / lit(1e9)).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via MULTI-TABLE sign-LSH buckets.
     * Single-table recall at cos θ is p^k with p = 1−θ/π (round 1 shipped one
     * table: recall ≈ 0.43 at cos 0.95 — near-dups were silently dropped);

@@ -74,6 +74,33 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("IVF ANN: exhaustive probe equals brute force; nprobe=4 recall reported") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pred = col("vec_id") % 50 === 0
+    // probing every list is exhaustive search — must equal brute force
+    // EXACTLY (same cos9 rounding + tie-breaks), which also proves the
+    // inverted lists partition the corpus (no vector lost or duplicated)
+    val all = SimOps.ivfTopK(emb, pred, 5, nlist = 16, nprobe = 16)
+      .select("q_id", "rk", "neighbor").as[(Long, Int, Long)].collect().toSet
+    val bf = SimOps.bruteForceTopK(emb, pred, 5)
+      .select("q_id", "rk", "neighbor").as[(Long, Int, Long)].collect().toSet
+    assert(all === bf)
+    // nprobe=4/16 path: dense ranks, no self-matches, recall vs brute force
+    val ivf = SimOps.ivfTopK(emb, pred, 5, nlist = 16, nprobe = 4)
+      .select("q_id", "rk", "neighbor").as[(Long, Int, Long)].collect()
+    ivf.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+      rs.foreach { case (q, _, n) => assert(q != n) }
+    }
+    val ivfSet = ivf.map(t => (t._1, t._3)).toSet
+    val bfPairs = bf.map(t => (t._1, t._3))
+    val recall = bfPairs.count(ivfSet).toDouble / bfPairs.size
+    info(f"IVF nprobe=4/16 recall@5 = $recall%.2f")
+    // random synth vectors spread true neighbors uniformly over lists, so
+    // the floor is ~nprobe/nlist = 0.25; real clustered embeddings do better
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("BMP round trip: exact pixels + imageio oracle + PSNR = inf") {
     val phash = 0x1234abcd5678L
     val rgb = Bmp.pixels(phash, 13, 7) // odd width exercises row padding
