@@ -290,11 +290,11 @@ object Bench {
         System.err.println(s"[bench] measurePair($nL,$nH) failed: $e"); (0L, -1.0, 0L, -1.0) }
     // strong pair (half-size input when available)
     val (rowsLow, secLow, rowsHigh, secHigh) =
-      tryPair(nLow, imgPh, segPh, nHigh, imgPh, segPh, 150e9.toLong)
+      tryPair(nLow, imgPh, segPh, nHigh, imgPh, segPh, 130e9.toLong)
     // weak pair: quarter data at cpus/4 vs full data at cpus; the full-data
     // run doubles as the headline throughput at full parallelism
     val (rowsWLow, secWLow, rowsWHigh, secWHigh) =
-      if (weakOk) tryPair(cpus / 4, imgPq, segPq, cpus, imgP, segP, 110e9.toLong)
+      if (weakOk) tryPair(cpus / 4, imgPq, segPq, cpus, imgP, segP, 90e9.toLong)
       else {
         // no weak twin: still measure full-parallelism throughput (single leg)
         val (r, s) = try {

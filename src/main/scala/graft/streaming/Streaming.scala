@@ -24,6 +24,32 @@ object Streaming {
         unix_timestamp(col("window.start")).as("window_start_sec"),
         col("n"), col("sum_value"))
 
+  /** Streaming twin of the headline spatial join (the BASELINE.json metric):
+    * a stream of geotagged image rows (image_id, ts, lat, lon) is cell-keyed
+    * map-side and equi-joined against the STATIC segment index — stream-
+    * static joins are stateless, each micro-batch probes the static side,
+    * which at scale is the cell-bucketed segs table so the probe is
+    * co-located — refined by exact point-segment distance, then aggregated
+    * to watermarked tumbling per-cell match counts (n_pairs exact,
+    * n_images ≈ HLL approx_count_distinct: exact distinct over an unbounded
+    * stream would need unbounded state).
+    */
+  def imageSegmentCounts(images: DataFrame, segs: DataFrame, res: Int,
+                         maxDistDeg: Double, windowSec: Long = 60,
+                         watermark: String = "2 minutes"): DataFrame =
+    images
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("cell", graft.exprs.fns.cell_encode(col("lat"), col("lon"), res))
+      .join(segs, Seq("cell"))
+      .where(graft.exprs.fns.point_seg_dist(col("lat"), col("lon"),
+        col("lat1"), col("lon1"), col("lat2"), col("lon2")) <= maxDistDeg)
+      .withWatermark("ts", watermark)
+      .groupBy(col("cell"), window(col("ts"), s"$windowSec seconds"))
+      .agg(count(lit(1)).as("n_pairs"),
+        approx_count_distinct(col("image_id")).as("n_images_approx"))
+      .select(col("cell"), unix_timestamp(col("window.start")).as("window_start_sec"),
+        col("n_pairs"), col("n_images_approx"))
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessState(sessId: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class SessOut(user_id: Long, sess_id: Long, n_events: Long,

@@ -35,6 +35,48 @@ class StreamCkptSpec extends AnyFunSuite {
     assert(streamed === expected)
   }
 
+  test("streaming image-segment join matches the batch headline join per cell") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val g = graft.synth.Synth.gridSize(spark, sf)
+    val (_, _, wayData) = Pipeline.prepared(spark, sf)
+    val segs = graft.ops.SpatialOps.segmentCells(
+        wayData.select("way_id", "name", "geometry"),
+        res = 3, bufferDeg = 0.00035)
+      .drop("name").cache()
+    val imgs = graft.synth.Synth.withGeotag(
+        graft.synth.Synth.images(spark, sf, g, withBytes = false).limit(3000), g)
+      .select(col("image_id"), col("lat"), col("lon"),
+        lit(new java.sql.Timestamp(1767225630L * 1000L)).as("ts")) // 2026-01-01T00:00:30Z
+      .cache()
+    val rows = imgs.as[(String, Double, Double, java.sql.Timestamp)].collect()
+
+    val mem = MemoryStream[(String, Double, Double, java.sql.Timestamp)]
+    val sdf = Streaming.imageSegmentCounts(
+      mem.toDF().toDF("image_id", "lat", "lon", "ts"), segs,
+      res = 3, maxDistDeg = 0.00035, windowSec = 60)
+    val q = sdf.writeStream.format("memory").queryName("imgseg")
+      .outputMode("complete").start()
+    mem.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("imgseg")
+      .select("cell", "window_start_sec", "n_pairs")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = imgs
+      .withColumn("cell", graft.exprs.fns.cell_encode(col("lat"), col("lon"), 3))
+      .join(segs, Seq("cell"))
+      .where(graft.exprs.fns.point_seg_dist(col("lat"), col("lon"),
+        col("lat1"), col("lon1"), col("lat2"), col("lon2")) <= 0.00035)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("cell"), lit(1767225600L).as("window_start_sec"), col("n_pairs"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === expected)
+  }
+
   test("streaming sessionization closes sessions on gap and flushes idle users on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streaming.Ev]
