@@ -28,7 +28,12 @@ object GeomIntersections {
     * nodeId string ('Geom' or first common node id), ord (large sentinel —
     * geometric rows come after topological ones in the reference output).
     */
-  def apply(spark: SparkSession, wayData: DataFrame, res: Int = 2): DataFrame = {
+  /** broadcastLeft: the left side is the named-motorway subset (~1% of ways
+    * in the reference world) — broadcast by default; at planet scale pass
+    * false to build a shuffled hash join on cell instead (same result, no
+    * driver-sized relation; mirrors SpatialOps.imageWayCellJoin's knob). */
+  def apply(spark: SparkSession, wayData: DataFrame, res: Int = 2,
+            broadcastLeft: Boolean = true): DataFrame = {
     val bounded = withBounds(wayData)
     val withCells = bounded
       .select(col("way_id"), col("name"), col("highway"), col("nodes"), col("geometry"),
@@ -48,7 +53,8 @@ object GeomIntersections {
     // J3 symmetry breaking (gpsBins.js:216-226): yield way2 iff it fails the
     // predicate or has a larger id; never self-pair. Cross-cell duplicate
     // pairs are dropped (W4 normalization knob; the reference may emit them).
-    val pairs = broadcast(left).join(right,
+    val leftK = if (broadcastLeft) broadcast(left) else left.hint("SHUFFLE_HASH")
+    val pairs = leftK.join(right,
         left("cell") === right("cell") &&
           col("id1") =!= col("id2") &&
           (col("hw2") =!= "motorway" || col("id2") > col("id1")), "inner")
