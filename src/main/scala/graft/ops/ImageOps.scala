@@ -79,6 +79,31 @@ object ImageOps {
       }.toDF("image_id", "fmt", "thumb")
   }
 
+  /** frame sampling over an opaque "video" payload: frames are fixed-size
+    * encoded stills concatenated back-to-back (a container-less layout, like
+    * raw AVI). The sampler SLICES the kept frames out by offset arithmetic
+    * WITHOUT decoding — at 100 TB a 1-in-K sampler must never touch the
+    * (K−1)/K of the bytes it drops — and each emitted frame is a standalone
+    * decodable still. Real for BMP (exact frame size from the header
+    * formula); other fmts stubbed (skipped, like decodeFeatures). Input:
+    * (video_id, fmt, w, h, n_frames, bytes). */
+  def sampleFrames(spark: SparkSession, videos: DataFrame, everyK: Int): DataFrame = {
+    import spark.implicits._
+    require(everyK >= 1, "everyK must be >= 1")
+    videos.select("video_id", "fmt", "w", "h", "n_frames", "bytes")
+      .as[(String, String, Int, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, w, h, n, bytes) =>
+          if (fmt == "bmp") {
+            val fsize = Bmp.encodedSize(w, h)
+            (0 until n by everyK).iterator.map { f =>
+              (id, f, java.util.Arrays.copyOfRange(bytes, f * fsize, (f + 1) * fsize))
+            }
+          } else Iterator.empty // STUB: no codec for this container format
+        }
+      }.toDF("video_id", "frame_idx", "frame_bytes")
+  }
+
   /** pixel-level PSNR between two byte payloads of the same fmt/size
     * (verification path per input_hint: ≥40 dB for lossy, ∞/exact for BMP). */
   def psnr(a: Array[Byte], b: Array[Byte]): Double = {

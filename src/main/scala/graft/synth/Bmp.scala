@@ -30,6 +30,10 @@ object Bmp {
     out
   }
 
+  /** byte length of a w×h 24-bit BMP produced by [[encode]] — lets frame
+    * samplers slice concatenated frames by pure offset arithmetic. */
+  def encodedSize(w: Int, h: Int): Int = 54 + ((w * 3 + 3) / 4 * 4) * h
+
   /** Encode RGB pixels (row-major, 3 bytes/px) as a 24-bit BMP. */
   def encode(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val rowSize = (w * 3 + 3) / 4 * 4

@@ -101,6 +101,28 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("frame sampling slices byte-exact decodable frames without decoding") {
+    val w = 16; val h = 9; val n = 24
+    def frame(vid: Long, f: Int): Array[Byte] =
+      Bmp.encode(Bmp.pixels(vid * 1000 + f, w, h), w, h)
+    val videos = Seq(1L, 2L).map { vid =>
+      val bytes = (0 until n).map(frame(vid, _)).reduce(_ ++ _)
+      (s"v$vid", "bmp", w, h, n, bytes)
+    } :+ (("v_jpeg", "jpeg", w, h, n, Array.fill[Byte](100)(0))) // stub path
+    val df = videos.toDF("video_id", "fmt", "w", "h", "n_frames", "bytes")
+    val out = graft.ops.ImageOps.sampleFrames(spark, df, everyK = 5)
+      .as[(String, Int, Array[Byte])].collect()
+    // 1-in-5 of 24 frames -> indices 0,5,10,15,20 per bmp video; jpeg skipped
+    assert(out.map(t => (t._1, t._2)).sorted.toSeq ===
+      (for (v <- Seq("v1", "v2"); f <- Seq(0, 5, 10, 15, 20)) yield (v, f)).sorted)
+    out.foreach { case (vidS, f, bytes) =>
+      val vid = vidS.drop(1).toLong
+      assert(bytes.toSeq === frame(vid, f).toSeq, s"frame ($vidS,$f) not byte-exact")
+      val (rgb, dw, dh) = Bmp.decode(bytes) // sampled frame stands alone
+      assert(dw === w && dh === h && rgb.length === w * h * 3)
+    }
+  }
+
   test("BMP round trip: exact pixels + imageio oracle + PSNR = inf") {
     val phash = 0x1234abcd5678L
     val rgb = Bmp.pixels(phash, 13, 7) // odd width exercises row padding
