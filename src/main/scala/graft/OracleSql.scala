@@ -177,6 +177,26 @@ FROM feats JOIN pats
           ELSE regexp_matches(streets, regex) END
 GROUP BY canonical ORDER BY canonical""",
 
+    // F16 at reference scale: the 470-row generated table. The VALUES block
+    // is emitted from the SAME Scala data the Spark query joins
+    // (PatternOps.fullPatterns), so both engines evaluate the identical
+    // predicate list.
+    "q_fuzzy_streets_full" -> {
+      val vals = graft.ops.PatternOps.fullPatterns
+        .map { case (c, r, n) => s"('$c', '$r', $n)" }
+        .mkString(",\n  ")
+      s"""WITH $gridCte,
+feats AS ($topoBody UNION ALL $geomBody),
+pats AS (SELECT * FROM (VALUES
+  $vals
+) t(canonical, regex, negate))
+SELECT canonical, COUNT(*) AS n_matches
+FROM feats JOIN pats
+  ON CASE WHEN negate THEN NOT regexp_matches(streets, regex)
+          ELSE regexp_matches(streets, regex) END
+GROUP BY canonical ORDER BY canonical"""
+    },
+
     // ---- county partition dimension (pruned single-county read) ------------
     "q_county_pruned" ->
       s"""WITH $gridCte,

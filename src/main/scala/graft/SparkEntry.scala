@@ -79,6 +79,11 @@ object SparkEntry {
     "q_fuzzy_streets" -> ((s, dir) =>
       PatternOps.fuzzyStreetCounts(Pipeline.features(s, dir)).orderBy("canonical")),
 
+    // F16 at reference scale: the full 470-entry generated pattern table
+    "q_fuzzy_streets_full" -> ((s, dir) =>
+      PatternOps.fuzzyStreetCounts(Pipeline.features(s, dir), PatternOps.fullPatterns)
+        .orderBy("canonical")),
+
     // county partition dimension (reference processAll.sh:5-13 processes one
     // county per run): features stored PARTITIONED BY county, single-county
     // read is pruned at file listing (PartitionFilters, see PatternCountySpec)

@@ -38,6 +38,28 @@ object PatternOps {
     // reference form "NOT I80|^(?!.*80).*$": negate flag instead of lookahead
     ("NOT I 80", "I 80|I80|US 50", true))
 
+  /** reference-SCALE table: 470 entries, matching the count of
+    * `/root/reference/js/utils_helper.js:16-494`, generated over the synth
+    * street families (H0-H231 / V0-V231, each canonical + a spaced
+    * misspelling alternation; 464 rows) plus 6 hand-shaped entries incl.
+    * negations. Families beyond the grid size match nothing — both engines
+    * drop empty groups identically.
+    * Only RE2-compatible constructs (alternation, anchors) so the DuckDB
+    * oracle evaluates the exact same predicate. */
+  val fullPatterns: Seq[(String, String, Boolean)] = {
+    val gen = (0 until 232).flatMap { k =>
+      Seq((s"H$k", s"H$k(/|$$)|H $k(/|$$)", false),
+          (s"V$k", s"V$k(/|$$)|V $k(/|$$)", false))
+    }
+    gen ++ Seq(
+      ("Main St", "Main St|Mian St|Main Street", false),
+      ("Twin", "Twin|Twyn|Twinn", false),
+      ("I 80", "I 80|I80|US 50", false),
+      ("JUNCTION", "JUNCTION", false),
+      ("NOT I 80", "I 80|I80|US 50", true),
+      ("NOT Main St", "Main St|Mian St|Main Street", true))
+  }
+
   /** broadcast pattern-table rlike join: one row per (canonical, match),
     * aggregated to match counts. `negate` rows count features NOT matching. */
   def fuzzyStreetCounts(feats: DataFrame,
