@@ -430,6 +430,14 @@ FROM (
   FROM documents)
 ORDER BY doc_id""",
 
+    // normalization: same ASCII-class regexes in both engines ('g' flag —
+    // DuckDB regexp_replace is first-match-only without it)
+    "q_doc_normalize" ->
+      """SELECT doc_id,
+  TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+  len(string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
+FROM documents ORDER BY doc_id""",
+
     "q_doc_langid" ->
       """WITH scores AS (
   SELECT doc_id, lang2, CAST(len(list_filter(string_split(text, ' '), t -> (

@@ -195,6 +195,10 @@ object SparkEntry {
     "q_doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(Synth.documents(s, dir)).orderBy("doc_id")),
 
+    // canonical normalization (dedup pre-pass): case-fold + strip + collapse
+    "q_doc_normalize" -> ((s, dir) =>
+      TextOps.normalize(Synth.documents(s, dir)).orderBy("doc_id")),
+
     // ---- embeddings: similarity search ----------------------------------
     "q_emb_topk" -> ((s, dir) =>
       SimOps.bruteForceTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)

@@ -27,6 +27,20 @@ object TextOps {
         .as("re_tokens"),
       length(col("text")).as("n_chars_computed"))
 
+  /** canonical text normalization — the standard pre-pass before exact/near
+    * dedup (case-fold, strip non-alphanumerics, collapse whitespace): two
+    * byte-different crawls of the same page normalize to equal keys. Pure
+    * per-row expressions (codegen'd, no shuffle); only ASCII-class regexes so
+    * Java (Spark) and RE2 (DuckDB oracle) agree exactly. */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      size(split(norm, " ")).as("n_tokens"))
+  }
+
   /** quality scoring: mean word length, stopword ratio, alpha ratio,
     * composite score. Deterministic arithmetic (mirrored in oracle SQL). */
   def qualityScore(docs: DataFrame): DataFrame = {
