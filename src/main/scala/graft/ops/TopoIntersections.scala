@@ -31,51 +31,60 @@ object TopoIntersections {
   def apply(spark: SparkSession, wayData: DataFrame, rawWays: DataFrame): DataFrame = {
     import spark.implicits._
 
-    // node -> set of way names (J1/A1) + first-insertion order key (W1 order)
-    val nodePairs = wayData
-      .select(col("way_pos"), col("name"), posexplode(col("nodes")))
-      .select(col("name"), col("col").as("node"),
-        (col("way_pos") * 1000000L + col("pos")).as("okey"))
-    val nodeAgg = nodePairs.groupBy("node")
-      .agg(collect_set(col("name")).as("names"), min(col("okey")).as("ord"))
-      .filter(size(col("names")) > 1)
-
-    val tagged = rawWays.filter(col("tags").isNotNull)
-    // P5/P6: per-node highway types over ALL tagged ways (mapNodeIdToWays)
-    val nodeHw = tagged
-      .select(explode(col("nodes")).as("node"), col("tags").getItem("highway").as("hw"))
-      .groupBy("node").agg(collect_set(col("hw")).as("hws"))
-    // wayIds output column: all tagged ways touching the node (geo.js:1132)
-    val nodeWays = tagged
-      .select(explode(col("nodes")).as("node"), col("id"))
-      .groupBy("node").agg(sort_array(collect_set(col("id"))).as("wayIds"))
-    // node gps (mapNodeIdToGps): first occurrence in wayData order
-    val nodeGps = wayData
-      .select(col("way_pos"), posexplode(arrays_zip(col("nodes"), col("geometry"))))
-      .select(col("col.nodes").as("node"),
+    // ONE explode + ONE groupBy(node) per source table (was 6 separate
+    // explode→shuffle→aggregate passes + 5 node joins in round 1 — at scale
+    // the shuffle volume of the exploded node table dominates this job, so
+    // every per-node aggregate that shares a source must share its pass):
+    //
+    // wayData pass: names set + first-insertion order (J1/A1/W1), first-
+    // occurrence gps (mapNodeIdToGps), memberships (onSameWay), and the A7
+    // dead-end parity (endpoint occurrences per name, odd count = dead end —
+    // computed from the per-node endpoint-name list, which is degree-bounded).
+    val n = size(col("nodes"))
+    val exploded = wayData
+      .select(col("way_pos"), col("way_id"), col("name"), col("src"), n.as("n"),
+        posexplode(arrays_zip(col("nodes"), col("geometry"))))
+      .select(col("name"), col("way_id"),
+        col("col.nodes").as("node"),
         col("col.geometry.lat").as("lat"), col("col.geometry.lon").as("lon"),
-        (col("way_pos") * 1000000L + col("pos")).as("okey"))
-      .groupBy("node")
-      .agg(min_by(struct(col("lat"), col("lon")), col("okey")).as("g"))
-      .select(col("node"), col("g.lat").as("lat"), col("g.lon").as("lon"))
+        (col("way_pos") * 1000000L + col("pos")).as("okey"),
+        // endpoint of a named non-fake way with >=2 nodes (WayOps.deadEnds)
+        (col("src") =!= "fake" && col("n") >= 2 &&
+          (col("pos") === 0 || col("pos") === col("n") - 1)).as("is_end"))
+    val wdAgg = exploded.groupBy("node")
+      .agg(
+        collect_set(col("name")).as("names"),
+        min(col("okey")).as("ord"),
+        min_by(struct(col("lat"), col("lon")), col("okey")).as("g"),
+        collect_set(struct(col("way_id"), col("name"))).as("memberships"),
+        collect_list(when(col("is_end"), col("name"))).as("end_names"))
+      .filter(size(col("names")) > 1)
+      .withColumn("dead_names",
+        sort_array(filter(array_distinct(col("end_names")),
+          nm => size(filter(col("end_names"), x => x === nm)) % 2 === 1)))
+      .select(col("node"), col("names"), col("ord"),
+        col("g.lat").as("lat"), col("g.lon").as("lon"),
+        col("memberships"), col("dead_names"))
 
-    val dead = WayOps.deadEnds(wayData)
-    val membs = WayOps.nodeMemberships(wayData)
+    // rawWays pass: per-node highway types (P5/P6, mapNodeIdToWays) + the
+    // wayIds output column (all tagged ways touching the node, geo.js:1132)
+    val tagged = rawWays.filter(col("tags").isNotNull)
+    val rawAgg = tagged
+      .select(explode(col("nodes")).as("node"), col("id"),
+        col("tags").getItem("highway").as("hw"))
+      .groupBy("node").agg(
+        collect_set(col("hw")).as("hws"),
+        sort_array(collect_set(col("id"))).as("wayIds"))
 
     val wIntString = Window.partitionBy("intString").orderBy("ord")
-    // all node-keyed joins first (aggregation outputs are already hash
-    // partitioned on node — Catalyst reuses the exchange), THEN the
-    // intString windows (one reshuffle instead of re-shuffling after each)
-    val ints0 = nodeAgg
-      .join(nodeHw, Seq("node"))
+    // single node-keyed join (both aggregation outputs are hash partitioned
+    // on node — no extra exchange), THEN the intString windows (one reshuffle)
+    val ints0 = wdAgg
+      .join(rawAgg, Seq("node"))
       // P5: not all motorway_links (geo.js:1098-1108)
       .filter(exists(col("hws"), h => h =!= "motorway_link"))
       // P6: not all motorway+links (geo.js:1111-1123)
       .filter(!forall(col("hws"), h => h === "motorway" || h === "motorway_link"))
-      .join(nodeGps, Seq("node"))
-      .join(nodeWays, Seq("node"))
-      .join(dead, Seq("node"), "left")
-      .join(membs, Seq("node"))
       .withColumn("intString", concat_ws("/", array_sort(col("names"))))
       .withColumn("rn", row_number().over(wIntString))
       .withColumn("mx", max(col("rn")).over(Window.partitionBy("intString")))
