@@ -406,6 +406,19 @@ FROM imgs i, ways2 w
 WHERE (CASE WHEN w.kind = 'h' THEN ABS(i.lat - w.wlat) ELSE ABS(i.lon - w.wlon) END) <= 0.0002::DOUBLE
 GROUP BY w.way_id, w.name ORDER BY w.way_id""",
 
+    // ---- mirror: naive haversine distance join (DistanceJoinRewrite rule) ---
+    // the oracle IS the naive theta-join; the engine runs the same predicate
+    // but the optimizer rule turns it into a cell-bucketed equi-join
+    "q_rule_distance_join" ->
+      s"""WITH $imgCte,
+lms AS (SELECT image_id AS lm_id, lat AS llat, lon AS llon FROM imgs WHERE (u*31 + v) % 997 = 0)
+SELECT i.image_id, l.lm_id
+FROM imgs i, lms l
+WHERE 2*6371008.8*asin(least(1.0, sqrt(
+    sin(radians((l.llat - i.lat)/2))*sin(radians((l.llat - i.lat)/2)) +
+    cos(radians(i.lat))*cos(radians(l.llat))*sin(radians((l.llon - i.lon)/2))*sin(radians((l.llon - i.lon)/2))))) <= 150.0::DOUBLE
+ORDER BY image_id, lm_id""",
+
     // ---- documents ---------------------------------------------------------
     "q_doc_tokens" ->
       """SELECT doc_id,

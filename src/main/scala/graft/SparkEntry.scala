@@ -165,6 +165,24 @@ object SparkEntry {
         .groupBy("h3").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("h3")).limit(20)),
 
+    // Catalyst extension (graft.plans.DistanceJoinRewrite): the query is the
+    // NAIVE distance theta-join — Spark alone would nested-loop it — and the
+    // injected optimizer rule rewrites it into the cell-bucketed equi-join
+    // with a per-row-adaptive disk. The oracle runs the same naive predicate.
+    "q_rule_distance_join" -> ((s, dir) => {
+      graft.plans.GraftPlans.enable(s)
+      val imgs = Pipeline.geoImages(s, dir)
+        .select(col("image_id"), col("lat"), col("lon"), col("u"), col("v"))
+      val lms = imgs.filter((col("u") * 31 + col("v")) % 997 === 0)
+        .select(col("image_id").as("lm_id"), col("lat").as("llat"), col("lon").as("llon"))
+      // landmarks first: on equal size estimates the rule explodes the left
+      // (small) side into the disk, the big image side keeps one cell per row
+      lms.join(imgs, graft.exprs.fns.haversine_m(
+          col("llat"), col("llon"), col("lat"), col("lon")) <= lit(150.0))
+        .select(col("image_id"), col("lm_id"))
+        .orderBy("image_id", "lm_id")
+    }),
+
     // ---- documents: text analysis + dedup -------------------------------
     "q_doc_tokens" -> ((s, dir) =>
       TextOps.tokenStats(Synth.documents(s, dir)).orderBy("doc_id")),

@@ -98,6 +98,33 @@ object GridCell {
     out
   }
 
+  /** Chebyshev cell radius k such that the (2k+1)² disk at `res` around a
+    * point at latitude `lat` covers every point within `meters` great-circle
+    * meters of it (spherical model, matching Geom.haversineM).
+    *
+    * Latitude extent: a haversine distance d bounds |Δlat| ≤ d/R exactly
+    * (hav(d/R) = hav(Δlat) + cosφ₁cosφ₂·hav(Δlon) ≥ hav(Δlat), hav monotone
+    * on [0,π]). Longitude extent: sin²(Δlon/2) ≤ sin²(d/2R)/(cosφ₁cosφ₂);
+    * bounding both cosines below by cos(|lat| + latRad) keeps the bound
+    * conservative (exact algebra, no small-angle approximation). Points
+    * whose `meters`-neighborhood reaches within 1° of a pole fall back to a
+    * full-longitude disk (the neighborhood may span all longitudes there).
+    * Neighborhoods crossing the antimeridian are NOT covered — the uniform
+    * grid does not wrap (same limitation as the reference's lat/lon bins).
+    */
+  def kFor(lat: Double, meters: Double, res: Int): Int = {
+    val cs = 1.0 / pow10(res) // cell size in degrees
+    val fullLon = (180.0 * pow10(res)).toInt
+    val latRadDeg = meters / (graft.geom.Geom.EarthRadiusM * math.Pi / 180.0)
+    val phiMax = math.abs(lat) + latRadDeg
+    if (phiMax >= 89.0) return math.max(1, fullLon)
+    val c = math.cos(math.toRadians(phiMax))
+    val sinHalf = math.sin(meters / (2.0 * graft.geom.Geom.EarthRadiusM))
+    val lonRadDeg = 2.0 * math.toDegrees(math.asin(math.min(1.0, sinHalf / c)))
+    val k = math.max(math.ceil(latRadDeg / cs), math.ceil(lonRadDeg / cs)).toInt
+    math.max(1, math.min(k, fullLon))
+  }
+
   /** Parent cell at a coarser resolution (for adaptive subdivision). */
   def parent(cell: Long, res: Int, parentRes: Int): Long = {
     require(parentRes <= res)

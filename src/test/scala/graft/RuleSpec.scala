@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cells.GridCell
+import graft.exprs.fns
+import graft.plans.{DistanceJoinRewrite, GraftExtensions, GraftPlans}
+
+/** DistanceJoinRewrite: a naive haversine theta-join must (a) plan as a
+  * nested-loop/cartesian without the rule, (b) plan as a cell equi-join with
+  * it, (c) return the identical row set, including at high latitudes where
+  * the per-row disk radius must exceed 1. */
+class RuleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def withRule[A](body: => A): A = {
+    GraftPlans.enable(spark)
+    try body
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == DistanceJoinRewrite)
+  }
+
+  /** deterministic scattered points around (lat0, lon0), ~1.1 km span */
+  private def pts(n: Int, tag: String, lat0: Double, lon0: Double,
+                  s: SparkSession = spark): DataFrame =
+    s.range(n).select(
+      concat(lit(tag), col("id")).as(s"${tag}_id"),
+      (lit(lat0) + (col("id") * 7919L % 1000L).cast("double") * lit(1e-5)).as(s"${tag}_lat"),
+      (lit(lon0) + (col("id") * 104729L % 1000L).cast("double") * lit(1e-5)).as(s"${tag}_lon"))
+
+  private def distJoin(a: DataFrame, b: DataFrame, meters: Double): DataFrame =
+    a.join(b, fns.haversine_m(col("a_lat"), col("a_lon"),
+      col("b_lat"), col("b_lon")) <= lit(meters))
+      .select(col("a_id"), col("b_id"))
+
+  test("rewrite preserves the naive join's exact row set") {
+    val a = pts(400, "a", 37.0, -122.0)
+    val b = pts(150, "b", 37.001, -122.001)
+    val naive = distJoin(a, b, 111.0)
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"),
+      s"sanity: without the rule this must be a nested-loop join\n$naivePlan")
+    val expected = naive.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(expected.nonEmpty)
+
+    withRule {
+      val rewritten = distJoin(a, b, 111.0)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rule must remove the nested-loop join\n$plan")
+      assert(plan.contains("_graft_cell"), "cell key must appear in the plan")
+      val got = rewritten.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === expected)
+    }
+  }
+
+  test("high latitude: per-row disk radius k > 1 keeps the join correct") {
+    // at lat 83, 250 m is ~0.0185° of longitude: res picks 0.01° cells from
+    // the LATITUDE radius, so a fixed 3×3 disk would miss this pair
+    // (cells 2 apart in lon); CellDiskK must widen the disk per row
+    import spark.implicits._
+    val a = Seq(("a0", 83.0, 9.9999)).toDF("a_id", "a_lat", "a_lon")
+    val b = Seq(("b0", 83.0, 10.0150), ("b1", 83.0, 11.0)).toDF("b_id", "b_lat", "b_lon")
+    assert(graft.geom.Geom.haversineM(83.0, 9.9999, 83.0, 10.0150) <= 250.0)
+    val expected = distJoin(a, b, 250.0).collect().map(_.getString(1)).toSet
+    assert(expected === Set("b0"))
+    withRule {
+      val got = distJoin(a, b, 250.0)
+      assert(got.queryExecution.executedPlan.toString.contains("_graft_cell"))
+      assert(got.collect().map(_.getString(1)).toSet === expected)
+    }
+  }
+
+  test("rule does not fire when an equi-key already exists") {
+    val a = pts(50, "a", 37.0, -122.0).withColumn("k", col("a_id"))
+    val b = pts(50, "b", 37.0, -122.0).withColumn("k", col("b_id"))
+    withRule {
+      val j = a.join(b, a("k") === b("k") &&
+        fns.haversine_m(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon")) <= lit(500.0))
+      assert(!j.queryExecution.optimizedPlan.toString.contains("_graft_cell"))
+    }
+  }
+
+  test("kFor disk covers every point within the radius (lat/res/meters sweep)") {
+    for (lat <- BigDecimal(-88) to BigDecimal(88) by BigDecimal(7.3); res <- 0 to 5;
+         meters <- Seq(50.0, 500.0, 5000.0, 50000.0)) {
+      val lat0 = lat.toDouble
+      val k = GridCell.kFor(lat0, meters, res)
+      val c0 = GridCell.encode(lat0, 0.0, res)
+      val latRad = meters / (graft.geom.Geom.EarthRadiusM * math.Pi / 180.0)
+      val lonMax = math.min(179.0, 2.5 * latRad / math.max(0.02, math.cos(math.toRadians(math.abs(lat0) + latRad))))
+      for (i <- -10 to 10; jj <- -10 to 10) {
+        val dlat = i * latRad / 10.0; val dlon = jj * lonMax / 10.0
+        if (math.abs(lat0 + dlat) <= 90.0 &&
+            graft.geom.Geom.haversineM(lat0, 0.0, lat0 + dlat, dlon) <= meters) {
+          val c1 = GridCell.encode(lat0 + dlat, dlon, res)
+          val dx = math.abs(GridCell.unpackLonIdx(c1) - GridCell.unpackLonIdx(c0))
+          val dy = math.abs(GridCell.unpackLatIdx(c1) - GridCell.unpackLatIdx(c0))
+          assert(math.max(dx, dy) <= k,
+            s"lat=$lat0 res=$res m=$meters: point ($dlat,$dlon) outside disk k=$k")
+        }
+      }
+    }
+  }
+
+  test("session built with GraftExtensions has the rule active") {
+    val orig = spark // force shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions()).getOrCreate()
+      val a = pts(60, "a", 37.0, -122.0, s2)
+      val b = pts(60, "b", 37.0, -122.0, s2)
+      val j = distJoin(a, b, 100.0)
+      assert(j.queryExecution.optimizedPlan.toString.contains("_graft_cell"))
+      assert(j.count() > 0)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+}
