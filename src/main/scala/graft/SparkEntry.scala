@@ -268,6 +268,20 @@ object SparkEntry {
         .orderBy("w", "h")
     }),
 
+    // ---- audio: multimodal columns (REAL wav decode, JDK-parser-oracled) --
+    // integer aggregate per sample-rate group: sums of per-clip exact integer
+    // features pin every decoded PCM sample against the committed oracle
+    "q_audio_features" -> ((s, dir) =>
+      AudioOps.decodeFeatures(s, Synth.audio(s, dir))
+        .groupBy(col("sample_rate"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_samples").cast("long")).as("sum_samples"),
+          sum(col("duration_ms")).as("sum_ms"),
+          sum(col("rms_milli")).as("sum_rms_milli"),
+          sum(col("peak").cast("long")).as("sum_peak"),
+          sum(when(col("decode_ok"), lit(1L)).otherwise(lit(0L))).as("n_ok"))
+        .orderBy("sample_rate")),
+
     // ---- events: windowed analytics --------------------------------------
     "q_events_tumbling" -> ((s, dir) =>
       EventOps.tumbling(Synth.events(s, dir), 300)

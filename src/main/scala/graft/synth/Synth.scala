@@ -51,6 +51,25 @@ object Synth {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
 
+  /** audio table (multimodal twin of `images`): deterministic 16-bit PCM
+    * mono WAV payloads, one per order key. Real RIFF bytes (graft.synth.Wav),
+    * sample stream seeded by the key — every field is reproducible from
+    * o_orderkey alone, so aggregate features can be pinned as oracles. */
+  def audio(spark: SparkSession, sfDir: String, withBytes: Boolean = true): DataFrame = {
+    val o = orders(spark, sfDir).select(col("o_orderkey").as("k"))
+    val df = o.select(
+      col("k"),
+      concat(lit("aud"), col("k")).as("audio_id"),
+      lit("wav").as("fmt"),
+      when(col("k") % 3 === 0, 16000).otherwise(8000).as("sample_rate"),
+      (lit(400) + (col("k") * 2654435761L % 800L)).cast("int").as("n_samples"))
+    if (withBytes) {
+      val wav = udf((k: Long, sr: Int, n: Int) => Wav.forSeed(k * 7919L + 17L, sr, n))
+      df.withColumn("bytes", wav(col("k"), col("sample_rate"), col("n_samples")))
+        .select("audio_id", "bytes", "fmt", "sample_rate", "n_samples")
+    } else df.drop("k")
+  }
+
   /** lon of grid column c (exact-double mirrored formula). */
   private def lonOf(c: Column): Column =
     when(c === 12, lit(LON0) + lit(TWIN_B_LON_OFF))

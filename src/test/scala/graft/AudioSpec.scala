@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayInputStream
+import javax.sound.sampled.AudioSystem
+import graft.ops.AudioOps
+import graft.synth.{Synth, Wav}
+
+/** WAV codec + audio operators. The independent oracle is the JDK's own
+  * javax.sound.sampled RIFF parser — a decoder we did not write. */
+class AudioSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** decode via the JDK: (interleaved samples, sampleRate, channels). */
+  private def jdkDecode(bytes: Array[Byte]): (Array[Short], Int, Int) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleSizeInBits === 16)
+    val raw = in.readAllBytes()
+    val out = new Array[Short](raw.length / 2)
+    for (i <- out.indices)
+      out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+    (out, fmt.getSampleRate.toInt, fmt.getChannels)
+  }
+
+  test("encode→decode round-trip, mono and interleaved stereo") {
+    val mono = Wav.samplesForSeed(42L, 500)
+    val (d1, sr1, ch1) = Wav.decode(Wav.encode(mono, 8000, 1))
+    assert((sr1, ch1) === ((8000, 1)) && d1.sameElements(mono))
+    val stereo = Wav.samplesForSeed(43L, 600) // 300 L/R frames
+    val (d2, sr2, ch2) = Wav.decode(Wav.encode(stereo, 16000, 2))
+    assert((sr2, ch2) === ((16000, 2)) && d2.sameElements(stereo))
+  }
+
+  test("JDK javax.sound parser agrees byte-for-byte with Wav.decode") {
+    for (seed <- Seq(1L, 99L, 12345L); sr <- Seq(8000, 16000)) {
+      val bytes = Wav.forSeed(seed, sr, 700)
+      val (ours, oSr, oCh) = Wav.decode(bytes)
+      val (jdk, jSr, jCh) = jdkDecode(bytes)
+      assert((oSr, oCh) === ((jSr, jCh)))
+      assert(ours.sameElements(jdk))
+    }
+  }
+
+  test("chunk walk skips unknown chunks (with odd-size padding)") {
+    val base = Wav.encode(Wav.samplesForSeed(7L, 100), 8000, 1)
+    // splice an unknown 'LIST' chunk of odd size 5 (+1 pad) after 'WAVE'
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = base.take(12) ++ junk ++ base.drop(12)
+    // patch RIFF size
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte; spliced(5) = ((total >> 8) & 0xff).toByte
+    spliced(6) = ((total >> 16) & 0xff).toByte; spliced(7) = ((total >> 24) & 0xff).toByte
+    val (ours, sr, ch) = Wav.decode(spliced)
+    val (jdk, jSr, jCh) = jdkDecode(spliced)
+    assert((sr, ch) === ((jSr, jCh)))
+    assert(ours.sameElements(jdk))
+  }
+
+  test("decodeFeatures: all synth clips decode; RMS matches direct computation") {
+    val feats = AudioOps.decodeFeatures(spark, Synth.audio(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(feats.nonEmpty && feats.values.forall(_.getBoolean(8)))
+    // independent recomputation for one clip (k = 3 → 16 kHz branch)
+    val samples = Wav.samplesForSeed(3L * 7919L + 17L, (400 + 3L * 2654435761L % 800L).toInt)
+    val rms = math.sqrt(samples.map(s => s.toDouble * s.toDouble).sum / samples.length)
+    val row = feats("aud3")
+    assert(row.getInt(2) === 16000)
+    assert(row.getInt(4) === samples.length)
+    assert(row.getLong(6) === math.round(rms * 1000.0))
+    assert(row.getInt(7) === samples.map(s => math.abs(s.toInt)).max)
+  }
+
+  test("malformed payload yields decode_ok = false, not a crash") {
+    import spark.implicits._
+    val bad = Seq(("x1", "wav", Array[Byte](1, 2, 3)),
+      ("x2", "mp3", "ID3garbagegarbage".getBytes("US-ASCII"))).toDF("audio_id", "fmt", "bytes")
+    val rows = AudioOps.decodeFeatures(spark, bad).collect()
+    assert(rows.length === 2 && rows.forall(!_.getBoolean(8)))
+  }
+
+  test("downsample keeps every k-th frame and emits standalone decodable WAVs") {
+    val audio = Synth.audio(spark, "/root/testdata/sf0.001").limit(20)
+    val down = AudioOps.downsample(spark, audio, 4).collect()
+    val orig = audio.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    assert(down.length === 20)
+    down.foreach { r =>
+      val (s0, sr0, _) = Wav.decode(orig(r.getString(0)))
+      val (s1, sr1, ch1) = Wav.decode(r.getAs[Array[Byte]]("bytes"))
+      assert(sr1 === sr0 / 4 && sr1 === r.getInt(2) && ch1 === 1)
+      assert(s1.length === (s0.length + 3) / 4)
+      assert(s1.indices.forall(i => s1(i) == s0(i * 4)))
+      val (jdk, _, _) = jdkDecode(r.getAs[Array[Byte]]("bytes")) // JDK reads it too
+      assert(jdk.sameElements(s1))
+    }
+  }
+}
