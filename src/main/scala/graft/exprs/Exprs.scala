@@ -492,6 +492,34 @@ object Hashing {
 }
 
 /** Column-level wrappers. */
+/** Matches `text` against a whole pattern TABLE at once, returning the
+  * indices of satisfied entries (RLIKE find() semantics, XOR the per-entry
+  * negate flag). The point is compilation cost: `streets RLIKE regex` with a
+  * non-literal regex recompiles the pattern per ROW — at 470 patterns ×
+  * millions of rows that is the dominant cost of the F16 pattern join
+  * (measured 31 s at sf0.1). Here every pattern compiles once per expression
+  * instance and is reused across all rows of all partitions. */
+case class MultiPatternMatch(text: Expression, regexes: Array[String],
+                             negates: Array[Boolean])
+    extends UnaryExpression with CodegenFallback {
+  require(regexes.length == negates.length)
+  @transient private lazy val compiled = regexes.map(java.util.regex.Pattern.compile)
+  override def child: Expression = text
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var i = 0
+    while (i < compiled.length) {
+      if (compiled(i).matcher(s).find() != negates(i)) out += i
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(text = c)
+}
+
 object fns {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -535,6 +563,8 @@ object fns {
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def walk_within_way(nodes: Column, flat: Column, nodeId: Column, meters: Column): Column =
     c(WalkWithinWay(e(nodes), e(flat), e(nodeId), e(meters)))
+  def patterns_matched(text: Column, regexes: Array[String], negates: Array[Boolean]): Column =
+    c(MultiPatternMatch(e(text), regexes, negates))
 
   /** Manhattan-degree pseudo-meters (geo.js:661-666) from built-ins. */
   def manhattan_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {

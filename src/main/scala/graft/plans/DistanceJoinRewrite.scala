@@ -156,19 +156,23 @@ object DistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** `spark.sql.extensions` entry point: registers DistanceJoinRewrite in the
-  * session optimizer at build time. */
+  * session optimizer and the `graft_*` SQL function surface at build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DistanceJoinRewrite)
+    GraftFunctions.all.foreach(ext.injectFunction)
+  }
 }
 
 /** Injection into a LIVE session (the driver owns session construction, so
   * queries can't pass `spark.sql.extensions`): appends the rule to the
-  * experimental optimizer batch, idempotently. */
+  * experimental optimizer batch and registers the `graft_*` SQL functions,
+  * idempotently. */
 object GraftPlans {
   def enable(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(DistanceJoinRewrite))
       spark.experimental.extraOptimizations = cur :+ DistanceJoinRewrite
+    org.apache.spark.sql.graft.FunctionBridge.register(spark, GraftFunctions.all)
   }
 }

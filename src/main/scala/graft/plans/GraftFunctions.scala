@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+import graft.exprs._
+
+/** SQL surface for the library's native expressions: `graft_*` functions
+  * registered via SparkSessionExtensions.injectFunction (session build) or
+  * FunctionBridge (live session, used by GraftPlans.enable). Everything a
+  * DataFrame user reaches through graft.exprs.fns is reachable from
+  * spark.sql(...) strings with identical semantics — the builders construct
+  * the very same Catalyst expressions, so plans and codegen are identical.
+  *
+  * Static parameters (resolution, level, zoom, k) must be INT literals: they
+  * select precomputed tables / codegen constants inside the expressions.
+  */
+object GraftFunctions {
+
+  private def intLit(fn: String, e: Expression, pos: Int): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an INTEGER literal, got $other")
+  }
+
+  private def entry(name: String, usage: String, arity: Int)
+                   (builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val checked: Seq[Expression] => Expression = { args =>
+      require(args.length == arity, s"$name expects $arity arguments, got ${args.length}")
+      builder(args)
+    }
+    (FunctionIdentifier(name),
+      new ExpressionInfo(s"graft.exprs ($usage)", name), checked)
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    entry("graft_cell_encode", "grid cell id of (lat, lon) at res decimal digits", 3) {
+      a => CellEncode(a(0), a(1), intLit("graft_cell_encode", a(2), 3)) },
+    entry("graft_cells_covering", "cells covered by the bbox at res", 5) {
+      a => CellsCovering(a(0), a(1), a(2), a(3), intLit("graft_cells_covering", a(4), 5)) },
+    entry("graft_cell_disk", "cells at Chebyshev distance <= k", 2) {
+      a => CellDisk(a(0), a(1)) },
+    entry("graft_cell_parent", "parent cell at a coarser res", 3) {
+      a => CellParent(a(0), intLit("graft_cell_parent", a(1), 2),
+        intLit("graft_cell_parent", a(2), 3)) },
+    entry("graft_s2_cell", "S2 cell id at level (0-30)", 3) {
+      a => S2CellEncode(a(0), a(1), intLit("graft_s2_cell", a(2), 3)) },
+    entry("graft_h3_cell", "hex cell id at res (0-15)", 3) {
+      a => H3CellEncode(a(0), a(1), intLit("graft_h3_cell", a(2), 3)) },
+    entry("graft_tile_id", "packed Web-Mercator tile id at zoom", 3) {
+      a => TileId(a(0), a(1), intLit("graft_tile_id", a(2), 3)) },
+    entry("graft_haversine_m", "great-circle meters between two points", 4) {
+      a => Haversine(a(0), a(1), a(2), a(3)) },
+    entry("graft_point_seg_dist", "planar point-to-segment distance (degrees)", 6) {
+      a => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[graft.geom.Geom.type], DoubleType, "pointSegDist", a,
+        propagateNull = true) },
+    entry("graft_clean_street_key", "reference clean(): first-only _d strip", 1) {
+      a => CleanStreetKey(a(0)) },
+    entry("graft_simhash64", "64-bit SimHash of a token array", 1) {
+      a => SimHash64(a(0)) },
+    entry("graft_minhash_sig", "k-permutation MinHash signature of a token array", 2) {
+      a => MinHashSig(a(0), intLit("graft_minhash_sig", a(1), 2)) },
+    entry("graft_rolling_min_hash", "winnowing rolling-hash fingerprint", 2) {
+      a => RollingMinHash(a(0), intLit("graft_rolling_min_hash", a(1), 2)) },
+    entry("graft_cosine_sim", "cosine similarity of two float vectors", 2) {
+      a => CosineSim(a(0), a(1)) }
+  )
+}

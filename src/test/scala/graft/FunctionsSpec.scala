@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.cells.{GridCell, H3, S2}
+import graft.plans.GraftPlans
+
+/** graft_* SQL function surface: same Catalyst expressions as
+  * graft.exprs.fns, reachable from spark.sql strings. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("scalar functions evaluate identically to the fns builders") {
+    GraftPlans.enable(spark)
+    val r = spark.sql(
+      """SELECT graft_cell_encode(37.51D, -122.17D, 2)  AS cell,
+        |       graft_s2_cell(37.51D, -122.17D, 12)     AS s2,
+        |       graft_h3_cell(37.51D, -122.17D, 9)      AS h3,
+        |       graft_haversine_m(37.0D, -122.0D, 37.1D, -122.0D) AS hm,
+        |       graft_clean_street_key('Main St_3')     AS ck,
+        |       graft_cell_parent(graft_cell_encode(37.51D, -122.17D, 3), 3, 1) AS par
+        |""".stripMargin).head()
+    assert(r.getLong(0) === GridCell.encode(37.51, -122.17, 2))
+    assert(r.getLong(1) === S2.fromLatLonAtLevel(37.51, -122.17, 12))
+    assert(r.getLong(2) === H3.latLngToCell(37.51, -122.17, 9))
+    assert(math.abs(r.getDouble(3) - graft.geom.Geom.haversineM(37.0, -122.0, 37.1, -122.0)) < 1e-9)
+    assert(r.getString(4) === "Main St")
+    assert(r.getLong(5) === GridCell.parent(GridCell.encode(37.51, -122.17, 3), 3, 1))
+  }
+
+  test("table-valued use over a view, including array-returning functions") {
+    GraftPlans.enable(spark)
+    import spark.implicits._
+    Seq((37.001, -121.999), (37.201, -121.799)).toDF("lat", "lon")
+      .createOrReplaceTempView("pts")
+    val rows = spark.sql(
+      """SELECT graft_tile_id(lat, lon, 15) AS t,
+        |       size(graft_cells_covering(lat, lon, lat + 0.02D, lon + 0.02D, 2)) AS nc,
+        |       size(graft_cell_disk(graft_cell_encode(lat, lon, 2), 2)) AS nd
+        |FROM pts""".stripMargin).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getInt(1) === 9))  // 0.02° bbox at 0.01° cells → 3×3
+    assert(rows.forall(_.getInt(2) === 25)) // Chebyshev disk k=2 → 5×5
+  }
+
+  test("static parameters reject non-literal arguments with a clear error") {
+    GraftPlans.enable(spark)
+    import spark.implicits._
+    Seq((37.0, -122.0, 2)).toDF("lat", "lon", "r").createOrReplaceTempView("bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cell_encode(lat, lon, r) FROM bad").collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal"))
+  }
+}

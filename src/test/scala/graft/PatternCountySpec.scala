@@ -21,12 +21,15 @@ class PatternCountySpec extends AnyFunSuite {
     assert(out === Map("Main St" -> 2L, "V7" -> 1L, "NOT I 80" -> 3L))
   }
 
-  test("pattern side is broadcast (big feature side never shuffles)") {
+  test("feature side never joins wide: patterns ride in the expression, only per-pattern counts shuffle") {
     import spark.implicits._
     val feats = Seq("H1/Main St").toDF("streets")
     val plan = PatternOps.fuzzyStreetCounts(feats).queryExecution.executedPlan.toString()
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"expected broadcast pattern join, got:\n$plan")
+    assert(plan.contains("multipatternmatch"), s"expected MultiPatternMatch, got:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"feature side must not enter a nested-loop pattern join:\n$plan")
+    assert(plan.contains("BroadcastExchange"), // the tiny (pidx → canonical) name join
+      s"canonical-name dimension join should broadcast:\n$plan")
   }
 
   test("county column is a 4-way latitude-band split; single-county read is partition-pruned") {
