@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.cells.GridCell
+
+/** Spatial storage layout: Hilbert-curve clustering (the Iceberg
+  * "sort-order/Z-order" maintenance story for a 100 TB spatial table).
+  *
+  * A table clustered by a locality-preserving 1-D order of its 2-D cell
+  * index puts spatially-near rows into the same files, so a bbox/cell-range
+  * query prunes most files on parquet column min/max statistics instead of
+  * scanning the world. The Hilbert curve (public construction, via the
+  * classic bit-interleave-with-rotation xy→d mapping) preserves locality
+  * strictly better than Z-order: consecutive d are always edge-adjacent
+  * cells, so per-file bounding boxes stay compact.
+  */
+object Layout {
+
+  /** Hilbert distance of (x, y) on the 2^order × 2^order curve.
+    * Classic iterative xy2d: quadrant bit per level, rotate/flip carry. */
+  def xy2d(order: Int, x0: Long, y0: Long): Long = {
+    require(order >= 1 && order <= 31, s"order out of range: $order")
+    var x = x0; var y = y0
+    var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) { // rotate quadrant
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** inverse (d → (x, y)) — used by tests to prove the curve is a bijection
+    * with unit steps. */
+  def d2xy(order: Int, d0: Long): (Long, Long) = {
+    var x = 0L; var y = 0L
+    var t = d0
+    var s = 1L
+    val top = 1L << order
+    while (s < top) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+
+  /** Hilbert order that covers the packed grid-cell index space at `res`:
+    * cell indices live in [-180·10^res, 180·10^res); shifting by OFF makes
+    * them non-negative and < 2·OFF ≤ 2^26. */
+  def orderFor(res: Int): Int = {
+    val span = 2L * GridCell.OFF
+    var o = 1
+    while ((1L << o) < span) o += 1
+    o
+  }
+
+  /** Hilbert distance of a packed grid cell id. */
+  def hilbertOfCell(cell: Long, res: Int): Long = {
+    val x = GridCell.unpackLonIdx(cell) + GridCell.OFF
+    val y = GridCell.unpackLatIdx(cell) + GridCell.OFF
+    xy2d(orderFor(res), x, y)
+  }
+
+  /** Write `df` as parquet clustered on the Hilbert order of its (lat, lon)
+    * grid cell: range-partitioned into `numFiles` Hilbert spans, sorted
+    * within each. Every output file then covers one compact curve segment —
+    * a compact spatial region — so cell/bbox predicates prune at the
+    * file/row-group level via parquet min/max stats on the retained `cell`
+    * column. This is a full-shuffle maintenance job by design (run it like
+    * a compaction, once per partition epoch, not per query). */
+  def writeSpatiallyClustered(df: DataFrame, latCol: String, lonCol: String,
+                              res: Int, numFiles: Int, path: String): Unit = {
+    val withIdx = df
+      .withColumn("cell", graft.exprs.fns.cell_encode(col(latCol), col(lonCol), res))
+      .withColumn("hilbert", udf((c: Long) => hilbertOfCell(c, res)).apply(col("cell")))
+    withIdx
+      .repartitionByRange(numFiles, col("hilbert"))
+      .sortWithinPartitions(col("hilbert"))
+      .drop("hilbert")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}

@@ -50,6 +50,35 @@ object Streaming {
       .select(col("cell"), unix_timestamp(col("window.start")).as("window_start_sec"),
         col("n_pairs"), col("n_images_approx"))
 
+  /** STREAM-STREAM interval join: a feed of geotagged pings enriched by a
+    * separately-arriving caption feed for the same image, matched when the
+    * caption lands within ±joinWindowSec of the ping. Both sides carry
+    * watermarks and the join condition is time-bounded, which is exactly
+    * what lets Spark EXPIRE buffered state: a side's rows older than
+    * (watermark − interval) can never match future input and are dropped,
+    * so state stays proportional to the interval × arrival rate, not the
+    * stream length — the only shape that survives an unbounded 100 TB feed.
+    */
+  def pingCaptionJoin(pings: DataFrame, captions: DataFrame,
+                      joinWindowSec: Long = 120,
+                      watermark: String = "2 minutes"): DataFrame = {
+    val p = pings
+      .withColumn("ping_ts", col("ts").cast("timestamp"))
+      .select(col("image_id"), col("lat"), col("lon"), col("ping_ts"))
+      .withWatermark("ping_ts", watermark)
+    val c = captions
+      .withColumn("cap_ts", col("ts").cast("timestamp"))
+      .select(col("image_id").as("cap_image_id"), col("caption"), col("cap_ts"))
+      .withWatermark("cap_ts", watermark)
+    p.join(c,
+      col("image_id") === col("cap_image_id") &&
+        col("cap_ts") >= col("ping_ts") - expr(s"INTERVAL $joinWindowSec SECONDS") &&
+        col("cap_ts") <= col("ping_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"))
+      .select(col("image_id"), col("lat"), col("lon"),
+        unix_timestamp(col("ping_ts")).as("ping_sec"),
+        unix_timestamp(col("cap_ts")).as("cap_sec"), col("caption"))
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessState(sessId: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class SessOut(user_id: Long, sess_id: Long, n_events: Long,

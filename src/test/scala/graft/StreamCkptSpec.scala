@@ -77,6 +77,39 @@ class StreamCkptSpec extends AnyFunSuite {
     assert(streamed === expected)
   }
 
+  test("stream-stream interval join: in-window joins, out-of-window never, expired state dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val base = 1767225600L // 2026-01-01T00:00:00Z
+    val pings = MemoryStream[(String, Double, Double, java.sql.Timestamp)]
+    val caps = MemoryStream[(String, String, java.sql.Timestamp)]
+    val out = Streaming.pingCaptionJoin(
+      pings.toDF().toDF("image_id", "lat", "lon", "ts"),
+      caps.toDF().toDF("image_id", "caption", "ts"),
+      joinWindowSec = 120, watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("pingcap")
+      .outputMode("append").start()
+    // batch 1: img1's caption lands +30 s (in ±120 s window); img2's +500 s (out)
+    pings.addData(Seq(("img1", 37.0, -122.0, ts(base)),
+      ("img2", 37.1, -122.1, ts(base + 60)), ("img3", 37.2, -122.2, ts(base + 60))))
+    caps.addData(Seq(("img1", "cap one", ts(base + 30)),
+      ("img2", "cap late", ts(base + 500))))
+    q.processAllAvailable()
+    // batch 2: advance BOTH watermarks far past img3's ping (+4000 s)
+    pings.addData(Seq(("adv", 0.0, 0.0, ts(base + 4000))))
+    caps.addData(Seq(("advx", "advance", ts(base + 4000))))
+    q.processAllAvailable()
+    // batch 3: img3's caption is time-compatible with img3's ping (+70 s) but
+    // arrives after the watermark passed — the buffered ping state is expired
+    // and the late caption is dropped: MUST NOT produce a row
+    caps.addData(Seq(("img3", "too old", ts(base + 70))))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pingcap").select("image_id", "caption")
+      .as[(String, String)].collect().toSet
+    assert(rows === Set(("img1", "cap one")))
+  }
+
   test("streaming sessionization closes sessions on gap and flushes idle users on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streaming.Ev]
