@@ -492,6 +492,30 @@ object Hashing {
 }
 
 /** Column-level wrappers. */
+/** segment × segment intersection point as array(lat, lon), null if none —
+  * the scalar refine of the segment-indexed geometric finder (same
+  * turf-parity kernel as SegmentsIntersect's polyline scan). */
+case class SegSegHit(children: IndexedSeq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 8, "SegSegHit takes 8 coordinate children")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vs = new Array[Double](8)
+    var i = 0
+    while (i < 8) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vs(i) = v.asInstanceOf[Double]
+      i += 1
+    }
+    val hit = Geom.segHit(vs(0), vs(1), vs(2), vs(3), vs(4), vs(5), vs(6), vs(7))
+    if (hit == null) null else new GenericArrayData(Array[Any](hit(0), hit(1)))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
 /** Matches `text` against a whole pattern TABLE at once, returning the
   * indices of satisfied entries (RLIKE find() semantics, XOR the per-entry
   * negate flag). The point is compilation cost: `streets RLIKE regex` with a
@@ -565,6 +589,8 @@ object fns {
     c(WalkWithinWay(e(nodes), e(flat), e(nodeId), e(meters)))
   def patterns_matched(text: Column, regexes: Array[String], negates: Array[Boolean]): Column =
     c(MultiPatternMatch(e(text), regexes, negates))
+  def seg_seg_hit(cols: Column*): Column =
+    c(SegSegHit(cols.map(e).toIndexedSeq))
 
   /** Manhattan-degree pseudo-meters (geo.js:661-666) from built-ins. */
   def manhattan_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {

@@ -142,6 +142,22 @@ class GeomSpec extends AnyFunSuite {
     assert(Geom.tileX(-180.0, 1) === 0 && Geom.tileX(179.9999, 1) === 1)
     assert(Geom.tileY(85.0, 1) === 0 && Geom.tileY(-85.0, 1) === 1)
   }
+
+  test("segment-indexed geometric finder is row-identical to the bbox-binned path") {
+    val spark = SparkTestSession.spark
+    val (_, _, wayData) = Pipeline.prepared(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      import org.apache.spark.sql.functions._
+      df.select(concat_ws("|", round(col("lat"), 9), round(col("lon"), 9),
+          col("raw"), col("streets"), concat_ws(",", col("wayIds")),
+          col("nodeId"), col("ord")).as("k"))
+        .collect().map(_.getString(0)).toSet
+    }
+    val bbox = canon(ops.GeomIntersections(spark, wayData))
+    val seg = canon(ops.GeomIntersections.applySegmentIndexed(spark, wayData))
+    assert(bbox.nonEmpty)
+    assert(seg === bbox)
+  }
 }
 
 class CellsSpec extends AnyFunSuite {
@@ -187,4 +203,5 @@ class CellsSpec extends AnyFunSuite {
       assert(cells.contains(c))
     }
   }
+
 }
