@@ -257,6 +257,15 @@ object SparkEntry {
           k = 5, nlist = 16, nprobe = 4)
         .orderBy("q_id", "rk")),
 
+    // product-quantization ANN with exact short-list re-rank: the ADC scan
+    // reads only (vec_id, 8 int codes) — 8 B of corpus payload per vector —
+    // and full-float embeddings are fetched for just rerank·k candidates per
+    // query. Lloyd training is deterministic (fixed sample, fixed order) →
+    // regression-pinned oracle; recall vs brute force gated in DedupSimSpec.
+    "q_emb_pq_topk" -> ((s, dir) =>
+      SimOps.pqTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
+        .orderBy("q_id", "rk")),
+
     // near-dup ground truth is planted: the raw testdata's max pairwise cosine
     // is ~0.51, so a 0.9-threshold query over it alone is vacuous. Every 50th
     // vector gets a deterministic perturbed twin (first element halved —

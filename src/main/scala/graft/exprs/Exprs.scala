@@ -492,6 +492,111 @@ object Hashing {
 }
 
 /** Column-level wrappers. */
+/** Product-quantization encode (Jégou et al., PAMI 2011, public): the
+  * vector splits into m = books.length subvectors; each maps to the id of
+  * its nearest (subspace-L2, ties → smallest id) codeword. Output: m ints.
+  * Codebooks ride in the expression (kB-sized artifact, task closure). */
+case class PqEncode(emb: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression with CodegenFallback {
+  override def child: Expression = emb
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val m = books.length
+    val dsub = books(0)(0).length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < books(j).length) {
+        val cw = books(j)(c)
+        var d = 0.0; var t = 0
+        while (t < dsub) {
+          val diff = a.getFloat(base + t).toDouble - cw(t)
+          d += diff * diff; t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best; j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(emb = c)
+}
+
+/** ADC preparation: per QUERY row, the m×k table of dot(q_subspace_j,
+  * codeword_c) plus the query norm appended at the end (m*k + 1 doubles).
+  * Computed once per query; scoring a corpus code is then m lookups. */
+case class PqDotTable(emb: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression with CodegenFallback {
+  override def child: Expression = emb
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val m = books.length
+    val k = books(0).length
+    val dsub = books(0)(0).length
+    val out = new Array[Any](m * k + 1)
+    var qn = 0.0
+    var i = 0
+    while (i < m * dsub) { val x = a.getFloat(i).toDouble; qn += x * x; i += 1 }
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var c = 0
+      while (c < k) {
+        val cw = books(j)(c)
+        var dot = 0.0; var t = 0
+        while (t < dsub) { dot += a.getFloat(base + t).toDouble * cw(t); t += 1 }
+        out(j * k + c) = dot; c += 1
+      }
+      j += 1
+    }
+    out(m * k) = math.sqrt(qn)
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(emb = c)
+}
+
+/** ADC score: approximate cosine between the query (via its dot table) and
+  * a PQ-coded corpus vector — m table lookups + the reconstruction norm
+  * (precomputed per codeword), rounded to 1e-9 for reproducible ranking. */
+case class PqAdcCos9(table: Expression, codes: Expression,
+                     books: Array[Array[Array[Float]]])
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = table
+  override def right: Expression = codes
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val normSq: Array[Array[Double]] =
+    books.map(_.map(cw => cw.map(x => x.toDouble * x).sum))
+  override protected def nullSafeEval(tv: Any, cv: Any): Any = {
+    val t = tv.asInstanceOf[ArrayData]
+    val c = cv.asInstanceOf[ArrayData]
+    val m = books.length
+    val k = books(0).length
+    var dot = 0.0; var n2 = 0.0
+    var j = 0
+    while (j < m) {
+      val code = c.getInt(j)
+      dot += t.getDouble(j * k + code)
+      n2 += normSq(j)(code)
+      j += 1
+    }
+    val qn = t.getDouble(m * k)
+    val denom = qn * math.sqrt(n2)
+    val cos = if (denom == 0.0) 0.0 else dot / denom
+    math.round(cos * 1e9)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(table = l, codes = r)
+}
+
 /** segment × segment intersection point as array(lat, lon), null if none —
   * the scalar refine of the segment-indexed geometric finder (same
   * turf-parity kernel as SegmentsIntersect's polyline scan). */
@@ -591,6 +696,12 @@ object fns {
     c(MultiPatternMatch(e(text), regexes, negates))
   def seg_seg_hit(cols: Column*): Column =
     c(SegSegHit(cols.map(e).toIndexedSeq))
+  def pq_encode(emb: Column, books: Array[Array[Array[Float]]]): Column =
+    c(PqEncode(e(emb), books))
+  def pq_dot_table(emb: Column, books: Array[Array[Array[Float]]]): Column =
+    c(PqDotTable(e(emb), books))
+  def pq_adc_cos9(table: Column, codes: Column, books: Array[Array[Array[Float]]]): Column =
+    c(PqAdcCos9(e(table), e(codes), books))
 
   /** Manhattan-degree pseudo-meters (geo.js:661-666) from built-ins. */
   def manhattan_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {

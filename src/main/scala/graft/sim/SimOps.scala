@@ -140,6 +140,108 @@ object SimOps {
         (col("cos9").cast("double") / lit(1e9)).as("cos_sim"))
   }
 
+  /** deterministic PQ codebooks: subvectors of the first nCentroids corpus
+    * vectors (same seed convention as ivfTopK — reproducible and
+    * exact-oracle-able; k-means-trained books swap in without plan changes).
+    * Shape: books(subspace)(codeword)(component). */
+  def pqBooks(embeddings: DataFrame, m: Int, nCentroids: Int, dim: Int): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val seeds = embeddings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+    Array.tabulate(m)(j => seeds.map(s => s.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** PQ codebook TRAINING: per-subspace Lloyd (k-means) iterations over a
+    * deterministic sample (vec_id-ascending — at 100 TB the standard
+    * offline sample, kB-MB artifact; training is driver-side by design,
+    * like any model artifact, never data-sized). Deterministic: seed
+    * centroids are the first k sample subvectors, ties assign to the
+    * smallest centroid id, an emptied cluster keeps its old codeword. */
+  def pqTrainBooks(embeddings: DataFrame, m: Int, k: Int, dim: Int,
+                   iters: Int = 5, sampleN: Int = 2048): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val sample = embeddings.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    Array.tabulate(m) { j =>
+      val pts = sample.map(s => s.slice(j * dsub, (j + 1) * dsub).map(_.toDouble))
+      var cents = pts.take(k).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var t = 0
+            while (t < dsub) { val x = p(t) - cents(c)(t); d += x * x; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var t = 0
+          while (t < dsub) { sums(best)(t) += p(t); t += 1 }
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c)))
+      }
+      cents.map(_.map(_.toFloat))
+    }
+  }
+
+  /** Product-quantization ANN (Jégou et al., PAMI 2011): the corpus is
+    * stored as m SMALL INTS per vector (here m=8 over 64 float dims: 8 B of
+    * payload instead of 256 B — the 100 TB memory story); a query
+    * precomputes one m×k dot table and scoring any corpus vector is m table
+    * lookups (asymmetric distance computation). The ADC scan reads only
+    * (vec_id, codes); the top `rerankFactor·k` ADC candidates per query are
+    * then re-ranked by EXACT cosine — the standard short-list re-rank
+    * (Jégou et al., "Searching in one billion vectors", ICASSP 2011) — so
+    * full-float embeddings are fetched for a per-query constant number of
+    * rows, never the corpus. rerankFactor = 0 disables re-rank (pure ADC
+    * ranking, weaker recall, zero float reads). Approximate: recall vs
+    * bruteForceTopK measured in tests; exact for vectors that coincide with
+    * codebook seeds (zero reconstruction error). */
+  def pqTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
+             k: Int, m: Int = 8, nCentroids: Int = 32, dim: Int = 64,
+             trainIters: Int = 5, rerankFactor: Int = 8): DataFrame = {
+    val books =
+      if (trainIters > 0) pqTrainBooks(embeddings, m, nCentroids, dim, trainIters)
+      else pqBooks(embeddings, m, nCentroids, dim)
+    // offline encode pass: at rest this is the stored table (id, m bytes)
+    val codes = embeddings.select(col("vec_id"),
+      fns.pq_encode(col("embedding"), books).as("codes"))
+    val qs = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"),
+        fns.pq_dot_table(col("embedding"), books).as("qtab"))
+    val cand = broadcast(qs).join(codes, col("q_id") =!= col("vec_id"))
+      .withColumn("cos9", fns.pq_adc_cos9(col("qtab"), col("codes"), books))
+    val w = Window.partitionBy("q_id").orderBy(col("cos9").desc, col("vec_id"))
+    if (rerankFactor <= 0) {
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor"),
+          (col("cos9").cast("double") / lit(1e9)).as("cos_pq"))
+    } else {
+      val short = cand.withColumn("prk", row_number().over(w))
+        .filter(col("prk") <= k * rerankFactor)
+        .select("q_id", "vec_id")
+      val qe = embeddings.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact = short
+        .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(qe), Seq("q_id"))
+        .withColumn("cos9",
+          round(fns.cosine_sim(col("q_emb"), col("embedding")) * lit(1e9), 0).cast("long"))
+      val w2 = Window.partitionBy("q_id").orderBy(col("cos9").desc, col("vec_id"))
+      exact.withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+        .select(col("q_id"), col("rk"), col("vec_id").as("neighbor"),
+          (col("cos9").cast("double") / lit(1e9)).as("cos_sim"))
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs via MULTI-TABLE sign-LSH buckets.
     * Single-table recall at cos θ is p^k with p = 1−θ/π (round 1 shipped one
     * table: recall ≈ 0.43 at cos 0.95 — near-dups were silently dropped);

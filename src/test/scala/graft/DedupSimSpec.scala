@@ -74,6 +74,41 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("PQ ANN: codes are m small ints; recall vs brute force; exact on codebook seeds") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pred = col("vec_id") % 50 === 0
+    val m = 8; val nCent = 32
+    val books = SimOps.pqBooks(emb, m, nCent, 64)
+    assert(books.length === m && books(0).length === nCent && books(0)(0).length === 8)
+    // code shape: every corpus row → m ids in [0, nCent)
+    val codes = emb.select(graft.exprs.fns.pq_encode(col("embedding"), books).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == m && c.forall(x => x >= 0 && x < nCent)))
+    // a seed vector reconstructs exactly → its PQ self-similarity is 1.0
+    val selfCos = emb.filter(col("vec_id") === 3)
+      .select(graft.exprs.fns.pq_adc_cos9(
+        graft.exprs.fns.pq_dot_table(col("embedding"), books),
+        graft.exprs.fns.pq_encode(col("embedding"), books), books).as("c9"))
+      .as[Long].head()
+    assert(selfCos === 1000000000L, s"seed self-cos9=$selfCos")
+    // recall against exact top-k: pure ADC ranking (8-byte codes only) is
+    // weak on this near-uniform corpus (~0.28); the short-list re-rank
+    // (ADC candidates → exact cosine) is the shipped default and must be
+    // strong
+    val bf = SimOps.bruteForceTopK(emb, pred, 5)
+      .select("q_id", "neighbor").as[(Long, Long)].collect().toSet
+    val adc = SimOps.pqTopK(emb, pred, 5, m = m, nCentroids = nCent, rerankFactor = 0)
+      .select("q_id", "neighbor").as[(Long, Long)].collect().toSet
+    val adcRecall = bf.intersect(adc).size.toDouble / bf.size
+    val pq = SimOps.pqTopK(emb, pred, 5, m = m, nCentroids = nCent)
+      .select("q_id", "neighbor").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(pq).size.toDouble / bf.size
+    System.err.println(s"[pq] ADC-only recall@5 = $adcRecall; reranked recall@5 = $recall")
+    assert(adcRecall >= 0.15, s"adcRecall=$adcRecall")
+    assert(recall >= 0.6, s"recall=$recall")
+    assert(recall >= adcRecall, "re-rank must not lose recall vs pure ADC")
+  }
+
   test("IVF ANN: exhaustive probe equals brute force; nprobe=4 recall reported") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val pred = col("vec_id") % 50 === 0
