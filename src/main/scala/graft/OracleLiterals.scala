@@ -18,8 +18,8 @@ object OracleLiterals {
 
   val pinned: Seq[String] = Seq(
     "q_image_s2cells", "q_image_h3cells", "q_emb_lsh_topk", "q_emb_pq_topk",
-    "q_doc_simhash", "q_doc_fingerprints", "q_image_features",
-    "q_audio_features")
+    "q_doc_simhash", "q_doc_fingerprints", "q_doc_token_hll",
+    "q_image_features", "q_audio_features")
 
   private def load(name: String): Option[String] = {
     val in = getClass.getResourceAsStream(s"/pins/$name.sql")

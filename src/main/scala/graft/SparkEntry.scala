@@ -240,6 +240,20 @@ object SparkEntry {
     "q_doc_normalize" -> ((s, dir) =>
       TextOps.normalize(Synth.documents(s, dir)).orderBy("doc_id")),
 
+    // HLL distinct-token sketch per language (custom TypedImperativeAggregate;
+    // max-merge ⇒ identical result under any partitioning ⇒ pinnable). The
+    // exact count(distinct) rides along so the pin itself documents the
+    // sketch's error on this corpus. At 100 TB the sketch shuffles one 4 KiB
+    // register array per group per map task instead of every token.
+    "q_doc_token_hll" -> ((s, dir) =>
+      Synth.documents(s, dir)
+        .select(col("lang"), col("text"),
+          explode(TextOps.shingles(col("text"))).as("sh"))
+        .groupBy("lang")
+        .agg(graft.exprs.sketches.hll_distinct(col("sh"), 12).as("distinct_est"),
+          countDistinct(col("sh")).as("distinct_exact"))
+        .orderBy("lang")),
+
     // ---- embeddings: similarity search ----------------------------------
     "q_emb_topk" -> ((s, dir) =>
       SimOps.bruteForceTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)

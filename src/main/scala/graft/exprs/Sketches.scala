@@ -1,0 +1,117 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet, Meunier,
+  * AofA 2007 — public construction) as a native Catalyst
+  * `TypedImperativeAggregate`: the buffer is the m = 2^p register array
+  * (one byte per register), update is a 64-bit hash + max, merge is
+  * element-wise max. Because max is commutative, associative and
+  * idempotent, the result is EXACTLY the same under any partitioning, task
+  * order, or retry — unlike a double sum, this sketch is deterministic by
+  * construction, so its output is regression-pinnable and safe to gate.
+  *
+  * Scale shape: constant-size state (4 KiB at p=12) per group flowing
+  * through Spark's standard partial → final aggregation; a 100 TB
+  * distinct-count costs one scan + a shuffle of one sketch per group per
+  * map task, never a shuffle of the values themselves (contrast exact
+  * count(DISTINCT x), which is an expand + full reshuffle of x).
+  *
+  * 64-bit hashing (FNV-1a + splitmix64 finalizer, same family as
+  * graft.exprs.Hashing) removes the 2^32 large-range correction of the
+  * original paper; small-range linear counting is kept. Standard error is
+  * ~1.04/sqrt(m) ≈ 1.6% at p = 12.
+  */
+case class HllDistinct(child: Expression, p: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+  private val m = 1 << p
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_distinct"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  private def mix64(h0: Long): Long = {
+    var z = h0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def hashValue(v: Any): Long = v match {
+    case s: UTF8String => mix64(Hashing.utf8Hash(s))
+    case l: Long       => mix64(l)
+    case i: Int        => mix64(i.toLong)
+    case other => throw new IllegalArgumentException(
+      s"hll_distinct: unsupported input ${other.getClass}")
+  }
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hashValue(v)
+      val idx = (h >>> (64 - p)).toInt
+      val w = h << p
+      val rho = if (w == 0L) (64 - p + 1) else java.lang.Long.numberOfLeadingZeros(w) + 1
+      if (rho > buf(idx)) buf(idx) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val alpha =
+      if (m == 16) 0.673
+      else if (m == 32) 0.697
+      else if (m == 64) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      invSum += java.lang.Math.pow(2.0, -buf(i).toDouble)
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    val e = alpha * m.toDouble * m.toDouble / invSum
+    val est =
+      if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else e
+    math.round(est)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllDistinct =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllDistinct =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllDistinct =
+    copy(child = c)
+}
+
+object sketches {
+  /** HLL distinct-count estimate of `col` (string or integral), 2^p
+    * registers. Deterministic under any partitioning → pinnable. */
+  def hll_distinct(col: Column, p: Int = 12): Column =
+    ColumnBridge.column(
+      HllDistinct(ColumnBridge.expression(col), p).toAggregateExpression())
+}
