@@ -249,36 +249,78 @@ object Bench {
       }
     }
 
+    // Single-thread sequential-read memory-bandwidth probe (GiB/s). CPU
+    // steal from /proc/stat misses co-tenant MEMORY-BANDWIDTH contention
+    // entirely (observed: the same leg at ~5% steal ran 2.4 s in a quiet
+    // window and 46 s in a storm) — the probe is the independent witness:
+    // it collapses with the storm, so attempts whose probe rate is well
+    // below the best-seen rate are not counted as clean-window evidence.
+    val probeArr = new Array[Long](16 << 20) // 128 MiB
+    @volatile var probeSink = 0L
+    def bwProbe(): Double = {
+      var sum = 0L
+      val t0 = System.nanoTime()
+      var pass = 0
+      while (pass < 2) {
+        var i = 0
+        while (i < probeArr.length) { sum += probeArr(i); i += 1 }
+        pass += 1
+      }
+      probeSink = sum
+      2.0 * 0.125 / ((System.nanoTime() - t0) / 1e9) // 2 × 128 MiB in GiB/s
+    }
+    (0 until 3).foreach(_ => bwProbe()) // JIT + page-fault warmup
+
+    // Page-cache warm: sequentially read every input file of both legs
+    // before each attempt. Co-tenants evict the cache between attempts; a
+    // cold leg then measures the shared disk, not the join. Warm inputs are
+    // the honest single-box stand-in for a cluster's storage layer — both
+    // legs read identical bytes, and the warm pass costs ~0.1 s when the
+    // cache already holds them.
+    def warmInputs(dirs: String*): Unit = dirs.distinct.foreach { d =>
+      val buf = new Array[Byte](1 << 20)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val in = java.nio.file.Files.newInputStream(p)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+      }
+    }
+
     /** interleaved pair measurement: alternate low/high attempts; keep the
-      * min of each leg; stop when both legs have a post-warmup sample with
-      * <5% steal and neither min is still improving (or budget/attempt cap).
-      * Returns (rowsLow, secLow, rowsHigh, secHigh). */
+      * min of each leg; stop when both legs have ≥2 post-warmup samples that
+      * are clean on BOTH witnesses (<5% steal AND probe ≥80% of best-seen
+      * bandwidth) and neither min is still improving (or budget/attempt
+      * cap). Returns (rowsLow, secLow, rowsHigh, secHigh). */
     def measurePair(nL: Int, iL: String, sL: String,
                     nH: Int, iH: String, sH: String,
                     budgetNs: Long): (Long, Double, Long, Double) = {
       val wl = new Worker(nL, iL, sL)
       val wh = new Worker(nH, iH, sH)
       try {
-        val maxAttempts = repeats * 5
+        val maxAttempts = repeats * 8
         val tStart = System.nanoTime()
         var bestL = (0L, Double.MaxValue); var bestH = (0L, Double.MaxValue)
         var cleanL = 0; var cleanH = 0
         var attempts = 0
         var improving = true
-        // ≥2 clean (low-steal, post-warmup) samples per leg: a single "clean"
-        // sample can still sit inside a bandwidth-contention window that
-        // /proc/stat steal does not see (observed 2.35 s vs 45.8 s for the
-        // same leg at ~0% steal), so one is not evidence of a quiet window
+        var bestProbe = 0.0
+        // ≥2 clean (low-steal, quiet-bandwidth, post-warmup) samples per
+        // leg: a single clean sample is not evidence of a quiet window
         while (attempts < repeats ||
                (attempts < maxAttempts && System.nanoTime() - tStart < budgetNs &&
                  (cleanL < 2 || cleanH < 2 || improving))) {
+          warmInputs(iL, sL, iH, sH)
+          val probe = bwProbe()
+          bestProbe = math.max(bestProbe, probe)
+          val quietBw = probe >= 0.8 * bestProbe
           val (rL, sLo, fL) = wl.run()
           val (rH, sHi, fH) = wh.run()
           System.err.println(
-            f"[bench] pair $nL/$nH attempt $attempts: low $sLo%.2f s (steal ${fL * 100}%.1f%%), high $sHi%.2f s (steal ${fH * 100}%.1f%%)")
+            f"[bench] pair $nL/$nH attempt $attempts: low $sLo%.2f s (steal ${fL * 100}%.1f%%), high $sHi%.2f s (steal ${fH * 100}%.1f%%), probe $probe%.1f GiB/s${if (quietBw) "" else " [bw-storm]"}")
           if (attempts > 0) { // first attempt is JIT warmup
-            if (fL < 0.05) cleanL += 1
-            if (fH < 0.05) cleanH += 1
+            if (fL < 0.05 && quietBw) cleanL += 1
+            if (fH < 0.05 && quietBw) cleanH += 1
           }
           improving = sLo < bestL._2 * 0.92 || sHi < bestH._2 * 0.92
           if (sLo < bestL._2) bestL = (rL, sLo)
@@ -286,7 +328,7 @@ object Bench {
           attempts += 1
         }
         System.err.println(
-          f"[bench] pair $nL/$nH best: low ${bestL._2}%.2f s, high ${bestH._2}%.2f s ($attempts attempts)")
+          f"[bench] pair $nL/$nH best: low ${bestL._2}%.2f s, high ${bestH._2}%.2f s ($attempts attempts, peak probe $bestProbe%.1f GiB/s)")
         (bestL._1, bestL._2, bestH._1, bestH._2)
       } finally { wl.close(); wh.close() }
     }
@@ -297,13 +339,20 @@ object Bench {
       try measurePair(nL, iL, sL, nH, iH, sH, budgetNs)
       catch { case e: Throwable =>
         System.err.println(s"[bench] measurePair($nL,$nH) failed: $e"); (0L, -1.0, 0L, -1.0) }
-    // strong pair: same 4×-size input at both parallelism levels
+    // strong pair: same 4×-size input at both parallelism levels.
+    // Budgets are env-tunable: in a sustained co-tenant storm the clean-
+    // sample criterion keeps sampling until the budget, so a bigger budget
+    // buys a better chance of catching a quiet window.
+    val strongBudget =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "420").toLong * 1000000000L
+    val weakBudget =
+      sys.env.getOrElse("SPARK_GRAFT_WEAK_BUDGET_S", "300").toLong * 1000000000L
     val (rowsLow, secLow, rowsHigh, secHigh) =
-      tryPair(nLow, imgB, segB, nHigh, imgB, segB, 420e9.toLong)
+      tryPair(nLow, imgB, segB, nHigh, imgB, segB, strongBudget)
     // weak pair: full-size data at cpus/4 vs 4×-size data at cpus; the big
     // run doubles as the headline throughput at full parallelism
     val (rowsWLow, secWLow, rowsWHigh, secWHigh) =
-      if (weakOk) tryPair(cpus / 4, imgP, segP, cpus, imgB, segB, 300e9.toLong)
+      if (weakOk) tryPair(cpus / 4, imgP, segP, cpus, imgB, segB, weakBudget)
       else {
         // no weak twin: still measure full-parallelism throughput (single leg)
         val (r, s) = try {

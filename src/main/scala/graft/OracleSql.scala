@@ -458,6 +458,23 @@ ORDER BY doc_id""",
   len(string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
 FROM documents ORDER BY doc_id""",
 
+    // curation: same normalize regexes as q_doc_normalize; md5 digests agree
+    // between engines; the sampling hash is mod-first so the BIGINT product
+    // never overflows in either engine.
+    "q_doc_curation" ->
+      """WITH n2 AS (
+  SELECT doc_id, lang, source,
+    md5(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS dg,
+    len(string_split(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens
+  FROM documents),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id) AS rn FROM n2)
+SELECT doc_id, lang, source, n_tokens,
+  ((doc_id % 1000003) * 2654435761) % 1048576 AS bucket
+FROM r
+WHERE rn = 1 AND n_tokens >= 10
+  AND ((doc_id % 1000003) * 2654435761) % 1048576 < 524288
+ORDER BY doc_id""",
+
     "q_doc_langid" ->
       """WITH scores AS (
   SELECT doc_id, lang2, CAST(len(list_filter(string_split(text, ' '), t -> (

@@ -240,6 +240,12 @@ object SparkEntry {
     "q_doc_normalize" -> ((s, dir) =>
       TextOps.normalize(Synth.documents(s, dir)).orderBy("doc_id")),
 
+    // end-to-end curation pass: normalize → exact-dedup → quality gate →
+    // deterministic hash sample (reproducible across runs/clusters, unlike
+    // rand()); one shuffle total, keyed on a 16-B digest, text never travels
+    "q_doc_curation" -> ((s, dir) =>
+      TextOps.curate(Synth.documents(s, dir)).orderBy("doc_id")),
+
     // HLL distinct-token sketch per language (custom TypedImperativeAggregate;
     // max-merge ⇒ identical result under any partitioning ⇒ pinnable). The
     // exact count(distinct) rides along so the pin itself documents the

@@ -97,6 +97,42 @@ object TextOps {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dupes"))
       .select(col("keep_doc_id"), col("dupes"))
 
+  /** deterministic sampling bucket in [0, buckets): Knuth multiplicative
+    * hash, mod-first so the product never exceeds ~2.7e15 (BIGINT-safe in
+    * every engine — the same formula runs verbatim in the DuckDB oracle).
+    * Reproducible by construction: re-running the pipeline, or running it on
+    * a different cluster, selects the SAME sample — the property a training
+    * corpus needs that rand()-sampling can't give. Map-side only, no
+    * shuffle, no state. */
+  def sampleBucket(key: Column, buckets: Int = 1 << 20): Column =
+    pmod(pmod(key, lit(1000003L)) * lit(2654435761L), lit(buckets.toLong))
+
+  /** END-TO-END CURATION PIPELINE — the canonical training-data pass:
+    * normalize → exact-dedup (survivor = min doc_id per normalized text) →
+    * quality gate (min token count) → deterministic hash sample.
+    *
+    * Scale shape: normalization and hashing are map-side expressions; the
+    * single shuffle keys on md5(norm_text) — a 32-char digest, chosen over
+    * xxhash64 because DuckDB computes the identical digest, so the whole
+    * pipeline (not just its pieces) is SQL-oracle-able — and the row payload
+    * entering the shuffle is (doc_id, lang, source, n_tokens): the document
+    * text never travels. Sampling filters BEFORE any later join/agg a caller
+    * adds, so downstream stages see only rate·N rows. */
+  def curate(docs: DataFrame, minTokens: Int = 10,
+             sampleNum: Int = 1 << 19, buckets: Int = 1 << 20): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val narrow = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      md5(norm).as("dg"), size(split(norm, " ")).as("n_tokens"))
+    val w = Window.partitionBy("dg").orderBy("doc_id")
+    narrow.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("n_tokens") >= minTokens)
+      .withColumn("bucket", sampleBucket(col("doc_id"), buckets))
+      .filter(col("bucket") < sampleNum)
+      .select("doc_id", "lang", "source", "n_tokens", "bucket")
+  }
+
   /** word-3-gram shingles. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")

@@ -109,6 +109,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= adcRecall, "re-rank must not lose recall vs pure ADC")
   }
 
+  test("curation pipeline: dedup keeps min doc_id, quality gates, sample is deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog again and again", "en", "web"),
+      (2L, "THE QUICK, brown fox jumps over the lazy dog AGAIN and again!!", "en", "books"), // dup of 1 after normalize
+      (3L, "short text", "en", "web"), // fails minTokens=10
+      (4L, "a b c d e f g h i j k l m n o p", "en", "web"),
+      (5L, "a b c d e f g h i j k l m n o p", "en", "web") // exact dup of 4
+    ).toDF("doc_id", "text", "lang", "source")
+    // sampleNum = buckets → no sampling; isolate dedup+quality behavior
+    val kept = TextOps.curate(docs, minTokens = 10, sampleNum = 1 << 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L), s"kept=$kept")
+    // sampling: deterministic and ~uniform (rate 1/2 over 10k ids)
+    val ids = spark.range(10000).select(col("id").as("doc_id"))
+    val b = ids.select(TextOps.sampleBucket(col("doc_id")).as("b"))
+    val frac = b.filter(col("b") < (1 << 19)).count().toDouble / 10000
+    assert(math.abs(frac - 0.5) < 0.02, s"frac=$frac")
+    val again = ids.select(TextOps.sampleBucket(col("doc_id")).as("b"))
+      .as[Long].collect().toSeq
+    assert(again === b.as[Long].collect().toSeq) // bit-identical re-run
+  }
+
   test("IVF ANN: exhaustive probe equals brute force; nprobe=4 recall reported") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val pred = col("vec_id") % 50 === 0
