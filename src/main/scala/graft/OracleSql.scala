@@ -475,6 +475,28 @@ WHERE rn = 1 AND n_tokens >= 10
   AND ((doc_id % 1000003) * 2654435761) % 1048576 < 524288
 ORDER BY doc_id""",
 
+    // mixing: same sampling-hash formula as q_doc_curation; copies =
+    // floor(w) + (bucket < frac(w)·2^20). Weights chosen with exact binary
+    // fractional parts so the threshold is integer-exact in both engines.
+    "q_doc_mix" ->
+      """WITH w AS (
+  SELECT doc_id, source,
+    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+                ELSE 0.0 END AS wt,
+    ((doc_id % 1000003) * 2654435761) % 1048576 AS bucket
+  FROM documents),
+c AS (
+  SELECT doc_id, source,
+    CAST(FLOOR(wt) AS BIGINT) +
+      CASE WHEN bucket < CAST(ROUND((wt - FLOOR(wt)) * 1048576.0::DOUBLE) AS BIGINT)
+           THEN 1 ELSE 0 END AS copies
+  FROM w)
+SELECT c.doc_id, c.source, s.g AS rep
+FROM c JOIN (SELECT unnest(generate_series(0, 9)) AS g) s ON s.g < c.copies
+WHERE c.copies > 0
+ORDER BY doc_id, rep""",
+
     "q_doc_langid" ->
       """WITH scores AS (
   SELECT doc_id, lang2, CAST(len(list_filter(string_split(text, ' '), t -> (

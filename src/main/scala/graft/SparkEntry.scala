@@ -246,6 +246,13 @@ object SparkEntry {
     "q_doc_curation" -> ((s, dir) =>
       TextOps.curate(Synth.documents(s, dir)).orderBy("doc_id")),
 
+    // deterministic source mixing: src0 upsampled 2.5×, src1 kept, src2/3
+    // down to 0.5×/0.25×, the rest dropped — same mixture on every run
+    "q_doc_mix" -> ((s, dir) =>
+      TextOps.mixSources(Synth.documents(s, dir),
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25))
+        .orderBy("doc_id", "rep")),
+
     // HLL distinct-token sketch per language (custom TypedImperativeAggregate;
     // max-merge ⇒ identical result under any partitioning ⇒ pinnable). The
     // exact count(distinct) rides along so the pin itself documents the

@@ -107,6 +107,30 @@ object TextOps {
   def sampleBucket(key: Column, buckets: Int = 1 << 20): Column =
     pmod(pmod(key, lit(1000003L)) * lit(2654435761L), lit(buckets.toLong))
 
+  /** SOURCE MIXING — the training-data mixture primitive: each source gets
+    * a target weight w ≥ 0; every document is emitted floor(w) times, plus
+    * one more copy iff its deterministic sample bucket falls under the
+    * fractional remainder — so a source at w=1.5 is upsampled 1.5×, at
+    * w=0.25 downsampled to a quarter, and the realized mixture converges to
+    * the target weights with zero randomness: the same corpus mixes
+    * identically on every run and cluster (epoch seeds go in `rep`).
+    * Map-side only (a per-row `sequence` explode, no shuffle, no state);
+    * weights whose fractional part is an exact binary fraction (.5, .25,
+    * .75…) make the bucket threshold exact in every engine. */
+  def mixSources(docs: DataFrame, weights: Map[String, Double],
+                 buckets: Int = 1 << 20): DataFrame = {
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("source") === s, lit(w)).otherwise(acc)
+    }
+    val whole = floor(wCol).cast("long")
+    val fracThresh = round((wCol - floor(wCol)) * buckets, 0).cast("long")
+    val copies = whole +
+      when(sampleBucket(col("doc_id"), buckets) < fracThresh, 1L).otherwise(0L)
+    docs.withColumn("copies", copies).filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("rep"))
+  }
+
   /** END-TO-END CURATION PIPELINE — the canonical training-data pass:
     * normalize → exact-dedup (survivor = min doc_id per normalized text) →
     * quality gate (min token count) → deterministic hash sample.

@@ -132,6 +132,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(again === b.as[Long].collect().toSeq) // bit-identical re-run
   }
 
+  test("source mixing: realized rates converge to weights, deterministic, reps distinct") {
+    import spark.implicits._
+    val docs = spark.range(8000).select(
+      col("id").as("doc_id"), lit("x").as("text"),
+      lit("en").as("lang"), concat(lit("s"), col("id") % 4).as("source"))
+    val weights = Map("s0" -> 2.5, "s1" -> 1.0, "s2" -> 0.25, "s3" -> 0.0)
+    val mixed = TextOps.mixSources(docs, weights)
+    val counts = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    // 2000 docs per source; realized/2000 ≈ weight (hash-uniformity slack)
+    assert(math.abs(counts("s0") / 2000.0 - 2.5) < 0.05, s"s0=${counts("s0")}")
+    assert(counts("s1") === 2000L)
+    assert(math.abs(counts("s2") / 2000.0 - 0.25) < 0.05, s"s2=${counts("s2")}")
+    assert(!counts.contains("s3"))
+    // every (doc, rep) unique; rep dense from 0
+    assert(mixed.groupBy("doc_id", "rep").count().filter(col("count") > 1).isEmpty)
+    assert(mixed.filter(col("source") === "s0").groupBy("doc_id").count()
+      .filter(col("count") < 2 || col("count") > 3).isEmpty) // 2.5× → 2 or 3 copies
+    // deterministic: identical output on re-evaluation
+    val h1 = mixed.orderBy("doc_id", "rep").collect().toSeq
+    val h2 = TextOps.mixSources(docs, weights).orderBy("doc_id", "rep").collect().toSeq
+    assert(h1 === h2)
+  }
+
   test("IVF ANN: exhaustive probe equals brute force; nprobe=4 recall reported") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val pred = col("vec_id") % 50 === 0
