@@ -495,14 +495,66 @@ object Hashing {
 /** Product-quantization encode (Jégou et al., PAMI 2011, public): the
   * vector splits into m = books.length subvectors; each maps to the id of
   * its nearest (subspace-L2, ties → smallest id) codeword. Output: m ints.
-  * Codebooks ride in the expression (kB-sized artifact, task closure). */
+  * Codebooks ride in the expression (kB-sized artifact, task closure) and
+  * enter generated code as a reference object — the hot loops stay inside
+  * whole-stage codegen via static entry points (PqOps). */
 case class PqEncode(emb: Expression, books: Array[Array[Array[Float]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def child: Expression = emb
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(v: Any): Any =
+    PqOps.encode(books, v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    defineCodeGen(ctx, ev, v => s"graft.exprs.PqOps.encode($b, $v)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(emb = c)
+}
+
+/** ADC preparation: per QUERY row, the m×k table of dot(q_subspace_j,
+  * codeword_c) plus the query norm appended at the end (m*k + 1 doubles).
+  * Computed once per query; scoring a corpus code is then m lookups. */
+case class PqDotTable(emb: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def child: Expression = emb
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    PqOps.dotTable(books, v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+    defineCodeGen(ctx, ev, v => s"graft.exprs.PqOps.dotTable($b, $v)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(emb = c)
+}
+
+/** ADC score: approximate cosine between the query (via its dot table) and
+  * a PQ-coded corpus vector — m table lookups + the reconstruction norm
+  * (precomputed per codeword), rounded to 1e-9 for reproducible ranking.
+  * This is the per-candidate hot op of the PQ scan, so it is codegen'd. */
+case class PqAdcCos9(table: Expression, codes: Expression,
+                     books: Array[Array[Array[Float]]])
+    extends BinaryExpression {
+  override def left: Expression = table
+  override def right: Expression = codes
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val normSq: Array[Array[Double]] =
+    books.map(_.map(cw => cw.map(x => x.toDouble * x).sum))
+  override protected def nullSafeEval(tv: Any, cv: Any): Any =
+    PqOps.adcCos9(normSq, tv.asInstanceOf[ArrayData], cv.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ns = ctx.addReferenceObj("pqNormSq", normSq, "double[][]")
+    defineCodeGen(ctx, ev, (t, c) => s"graft.exprs.PqOps.adcCos9($ns, $t, $c)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(table = l, codes = r)
+}
+
+/** static entry points for PQ generated code (and interpreted eval). */
+object PqOps {
+  def encode(books: Array[Array[Array[Float]]], a: ArrayData): ArrayData = {
     val m = books.length
     val dsub = books(0)(0).length
     val out = new Array[Any](m)
@@ -525,19 +577,8 @@ case class PqEncode(emb: Expression, books: Array[Array[Array[Float]]])
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(emb = c)
-}
 
-/** ADC preparation: per QUERY row, the m×k table of dot(q_subspace_j,
-  * codeword_c) plus the query norm appended at the end (m*k + 1 doubles).
-  * Computed once per query; scoring a corpus code is then m lookups. */
-case class PqDotTable(emb: Expression, books: Array[Array[Array[Float]]])
-    extends UnaryExpression with CodegenFallback {
-  override def child: Expression = emb
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  def dotTable(books: Array[Array[Array[Float]]], a: ArrayData): ArrayData = {
     val m = books.length
     val k = books(0).length
     val dsub = books(0)(0).length
@@ -560,26 +601,10 @@ case class PqDotTable(emb: Expression, books: Array[Array[Array[Float]]])
     out(m * k) = math.sqrt(qn)
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(emb = c)
-}
 
-/** ADC score: approximate cosine between the query (via its dot table) and
-  * a PQ-coded corpus vector — m table lookups + the reconstruction norm
-  * (precomputed per codeword), rounded to 1e-9 for reproducible ranking. */
-case class PqAdcCos9(table: Expression, codes: Expression,
-                     books: Array[Array[Array[Float]]])
-    extends BinaryExpression with CodegenFallback {
-  override def left: Expression = table
-  override def right: Expression = codes
-  override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
-  @transient private lazy val normSq: Array[Array[Double]] =
-    books.map(_.map(cw => cw.map(x => x.toDouble * x).sum))
-  override protected def nullSafeEval(tv: Any, cv: Any): Any = {
-    val t = tv.asInstanceOf[ArrayData]
-    val c = cv.asInstanceOf[ArrayData]
-    val m = books.length
-    val k = books(0).length
+  def adcCos9(normSq: Array[Array[Double]], t: ArrayData, c: ArrayData): Long = {
+    val m = normSq.length
+    val k = normSq(0).length
     var dot = 0.0; var n2 = 0.0
     var j = 0
     while (j < m) {
@@ -593,8 +618,6 @@ case class PqAdcCos9(table: Expression, codes: Expression,
     val cos = if (denom == 0.0) 0.0 else dot / denom
     math.round(cos * 1e9)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(table = l, codes = r)
 }
 
 /** segment × segment intersection point as array(lat, lon), null if none —
