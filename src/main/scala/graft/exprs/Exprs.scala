@@ -620,28 +620,16 @@ object PqOps {
   }
 }
 
-/** segment × segment intersection point as array(lat, lon), null if none —
-  * the scalar refine of the segment-indexed geometric finder (same
-  * turf-parity kernel as SegmentsIntersect's polyline scan). */
-case class SegSegHit(children: IndexedSeq[Expression])
-    extends Expression with CodegenFallback {
-  require(children.length == 8, "SegSegHit takes 8 coordinate children")
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = true
-  override def eval(input: InternalRow): Any = {
-    val vs = new Array[Double](8)
-    var i = 0
-    while (i < 8) {
-      val v = children(i).eval(input)
-      if (v == null) return null
-      vs(i) = v.asInstanceOf[Double]
-      i += 1
-    }
-    val hit = Geom.segHit(vs(0), vs(1), vs(2), vs(3), vs(4), vs(5), vs(6), vs(7))
+/** ArrayData wrapper over Geom.segHit for StaticInvoke codegen: the scalar
+  * refine of the segment-indexed geometric finder is its hot inner op (one
+  * call per candidate segment pair), so it must stay inside whole-stage
+  * codegen. Misses return null with no allocation (hit rows are rare). */
+object GeomEval {
+  def segHitArray(lat1: Double, lon1: Double, lat2: Double, lon2: Double,
+                  lat3: Double, lon3: Double, lat4: Double, lon4: Double): ArrayData = {
+    val hit = Geom.segHit(lat1, lon1, lat2, lon2, lat3, lon3, lat4, lon4)
     if (hit == null) null else new GenericArrayData(Array[Any](hit(0), hit(1)))
   }
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
-    copy(children = cs)
 }
 
 /** Matches `text` against a whole pattern TABLE at once, returning the
@@ -718,7 +706,12 @@ object fns {
   def patterns_matched(text: Column, regexes: Array[String], negates: Array[Boolean]): Column =
     c(MultiPatternMatch(e(text), regexes, negates))
   def seg_seg_hit(cols: Column*): Column =
-    c(SegSegHit(cols.map(e).toIndexedSeq))
+    c(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[GeomEval.type],
+      ArrayType(DoubleType, containsNull = false),
+      "segHitArray",
+      cols.map(e),
+      propagateNull = true))
   def pq_encode(emb: Column, books: Array[Array[Array[Float]]]): Column =
     c(PqEncode(e(emb), books))
   def pq_dot_table(emb: Column, books: Array[Array[Array[Float]]]): Column =
