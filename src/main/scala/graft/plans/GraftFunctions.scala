@@ -66,6 +66,10 @@ object GraftFunctions {
     entry("graft_rolling_min_hash", "winnowing rolling-hash fingerprint", 2) {
       a => RollingMinHash(a(0), intLit("graft_rolling_min_hash", a(1), 2)) },
     entry("graft_cosine_sim", "cosine similarity of two float vectors", 2) {
-      a => CosineSim(a(0), a(1)) }
+      a => CosineSim(a(0), a(1)) },
+    // aggregate: the registry builder returns the AggregateFunction itself;
+    // the analyzer wraps it in an AggregateExpression like any built-in agg
+    entry("graft_hll_distinct", "HyperLogLog distinct estimate (2^p registers)", 2) {
+      a => HllDistinct(a(0), intLit("graft_hll_distinct", a(1), 2)) }
   )
 }

@@ -42,6 +42,19 @@ class SketchSpec extends AnyFunSuite {
     assert(est >= 0 && empty === 0)
   }
 
+  test("graft_hll_distinct reachable from SQL, equals the fns builder result") {
+    graft.plans.GraftPlans.enable(spark)
+    spark.range(40000)
+      .select(concat(lit("k"), (col("id") % 7777).cast("string")).as("s"))
+      .createOrReplaceTempView("hll_sql_in")
+    val viaSql = spark.sql(
+      "SELECT graft_hll_distinct(s, 12) AS est FROM hll_sql_in").as[Long].head()
+    val viaFns = spark.table("hll_sql_in")
+      .agg(sketches.hll_distinct(col("s"), 12)).as[Long].head()
+    assert(viaSql === viaFns, s"sql=$viaSql fns=$viaFns")
+    assert(math.abs(viaSql - 7777) <= 400, s"est=$viaSql")
+  }
+
   test("HLL grouped: per-group sketches independent, disjoint union ≈ sum") {
     val df = spark.range(30000).select(
       (col("id") % 3).cast("string").as("g"),
