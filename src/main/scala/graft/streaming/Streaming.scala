@@ -84,6 +84,41 @@ object Streaming {
   case class SessOut(user_id: Long, sess_id: Long, n_events: Long,
                      duration_sec: Long, sum_value: Double)
 
+  case class DocIn(doc_id: Long, digest: String)
+  case class DedupOut(doc_id: Long, digest: String, is_first: Boolean)
+
+  /** STREAMING EXACT-DEDUP — the incremental twin of the curation
+    * pipeline's dedup stage (TextOps.curate): keyed on the content digest,
+    * the state per key is ONE long (the surviving doc_id), so state size is
+    * proportional to DISTINCT content seen in the retention window, never
+    * to stream length. Within a micro-batch the smallest doc_id wins (same
+    * tie-break as batch dedup); across batches the earlier batch wins.
+    * `ttl` bounds retention: a digest idle longer than ttl is forgotten
+    * (documented window semantics — an unbounded 100 TB feed cannot keep
+    * exact forever-state; set it to the contractual dedup horizon). */
+  def dedupStream(spark: SparkSession, docs: Dataset[DocIn],
+                  ttl: String = "1 hour"): Dataset[DedupOut] = {
+    import spark.implicits._
+    docs.groupByKey(_.digest)
+      .flatMapGroupsWithState[Long, DedupOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (dg: String, it: Iterator[DocIn], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = it.toSeq.sortBy(_.doc_id)
+            val out = state.getOption match {
+              case Some(_) => batch.map(d => DedupOut(d.doc_id, dg, is_first = false))
+              case None =>
+                val survivor = batch.head.doc_id
+                state.update(survivor)
+                batch.map(d => DedupOut(d.doc_id, dg, is_first = d.doc_id == survivor))
+            }
+            state.setTimeoutDuration(ttl)
+            out.iterator
+          }
+      }
+  }
+
   /** gap-based sessionization with custom state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): emits a session when
     * the gap is exceeded; a PROCESSING-TIME TIMEOUT flushes the open session

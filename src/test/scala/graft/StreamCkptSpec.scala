@@ -145,6 +145,38 @@ class StreamCkptSpec extends AnyFunSuite {
     assert(sess((2L, 1L)).n_events === 1 && sess((2L, 1L)).sum_value === 5.0)
   }
 
+  test("streaming dedup: first doc per digest survives within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.DocIn]
+    val out = Streaming.dedupStream(spark, mem.toDS())
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def rows(): Map[Long, Streaming.DedupOut] =
+      spark.table("dedup_out").as[Streaming.DedupOut]
+        .collect().map(r => r.doc_id -> r).toMap
+    // the timeout-bearing query runs continuous no-data micro-batches, so
+    // processAllAvailable can spin — poll the result table instead (same
+    // caveat as the sessionization test above)
+    def await(cond: => Boolean, what: String, ms: Long = 30000): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!cond && System.currentTimeMillis() - t0 < ms) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what; have ${rows().keySet}")
+    }
+    // batch 1: two docs share digest "x" — smaller doc_id survives
+    mem.addData(Streaming.DocIn(5, "x"), Streaming.DocIn(3, "x"),
+      Streaming.DocIn(7, "y"))
+    await(Set(3L, 5L, 7L).subsetOf(rows().keySet), "batch 1 outputs")
+    assert(rows()(3).is_first && !rows()(5).is_first && rows()(7).is_first)
+    // batch 2: digest "x" arrives again — state says dupe; fresh "z" survives
+    mem.addData(Streaming.DocIn(1, "x"), Streaming.DocIn(9, "z"))
+    await(Set(1L, 9L).subsetOf(rows().keySet), "batch 2 outputs")
+    assert(!rows()(1).is_first, "cross-batch dupe must not survive")
+    assert(rows()(9).is_first)
+    q.stop()
+    // batch semantics parity: survivors = min doc_id per digest, like curate
+    assert(rows().values.filter(_.is_first).map(_.doc_id).toSet === Set(3L, 7L, 9L))
+  }
+
   test("lineage checkpoint: stage skipped on resume, recomputed on input change") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
