@@ -368,8 +368,12 @@ object Bench {
     // Budgets are env-tunable: in a sustained co-tenant storm the clean-
     // sample criterion keeps sampling until the budget, so a bigger budget
     // buys a better chance of catching a quiet window.
+    // 540 s default: both legs' minima must independently reach a quiet
+    // window — a 420 s run was observed to quiet the low leg (6.79 s) but
+    // leave the high leg storm-biased (2.19 s vs its known-quiet 2.05 s),
+    // under-reporting efficiency 0.77 vs the converged 0.83
     val strongBudget =
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "420").toLong * 1000000000L
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "540").toLong * 1000000000L
     val weakBudget =
       sys.env.getOrElse("SPARK_GRAFT_WEAK_BUDGET_S", "300").toLong * 1000000000L
     val (rowsLow, secLow, rowsHigh, secHigh) =
