@@ -21,6 +21,16 @@ class RuleSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations.filterNot(_ == DistanceJoinRewrite)
   }
 
+  /** other suites (FunctionsSpec, SketchSpec) call GraftPlans.enable on the
+    * shared session and legitimately leave the rule on — the naive-plan leg
+    * must strip it explicitly or the sanity check is suite-order flaky. */
+  private def withoutRule[A](body: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev.filterNot(_ == DistanceJoinRewrite)
+    try body
+    finally spark.experimental.extraOptimizations = prev
+  }
+
   /** deterministic scattered points around (lat0, lon0), ~1.1 km span */
   private def pts(n: Int, tag: String, lat0: Double, lon0: Double,
                   s: SparkSession = spark): DataFrame =
@@ -37,12 +47,14 @@ class RuleSpec extends AnyFunSuite {
   test("rewrite preserves the naive join's exact row set") {
     val a = pts(400, "a", 37.0, -122.0)
     val b = pts(150, "b", 37.001, -122.001)
-    val naive = distJoin(a, b, 111.0)
-    val naivePlan = naive.queryExecution.executedPlan.toString
-    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
-      naivePlan.contains("CartesianProduct"),
-      s"sanity: without the rule this must be a nested-loop join\n$naivePlan")
-    val expected = naive.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = withoutRule {
+      val naive = distJoin(a, b, 111.0)
+      val naivePlan = naive.queryExecution.executedPlan.toString
+      assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+        naivePlan.contains("CartesianProduct"),
+        s"sanity: without the rule this must be a nested-loop join\n$naivePlan")
+      naive.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    }
     assert(expected.nonEmpty)
 
     withRule {
