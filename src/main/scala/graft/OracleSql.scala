@@ -475,6 +475,16 @@ WHERE rn = 1 AND n_tokens >= 10
   AND ((doc_id % 1000003) * 2654435761) % 1048576 < 524288
 ORDER BY doc_id""",
 
+    "q_doc_vocab_topn" ->
+      """WITH counts AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+agg AS (SELECT lang, tok, COUNT(*) AS n FROM counts GROUP BY lang, tok),
+ranked AS (
+  SELECT lang, tok, n,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+  FROM agg)
+SELECT lang, rk, tok, n FROM ranked WHERE rk <= 10 ORDER BY lang, rk""",
+
     // mixing: same sampling-hash formula as q_doc_curation; copies =
     // floor(w) + (bucket < frac(w)·2^20). Weights chosen with exact binary
     // fractional parts so the threshold is integer-exact in both engines.

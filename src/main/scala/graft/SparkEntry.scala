@@ -246,6 +246,10 @@ object SparkEntry {
     "q_doc_curation" -> ((s, dir) =>
       TextOps.curate(Synth.documents(s, dir)).orderBy("doc_id")),
 
+    // vocabulary heavy-hitters: top-10 tokens per language, exact counts
+    "q_doc_vocab_topn" -> ((s, dir) =>
+      TextOps.vocabTopN(Synth.documents(s, dir), 10).orderBy("lang", "rk")),
+
     // deterministic source mixing: src0 upsampled 2.5×, src1 kept, src2/3
     // down to 0.5×/0.25×, the rest dropped — same mixture on every run
     "q_doc_mix" -> ((s, dir) =>

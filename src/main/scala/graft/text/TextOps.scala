@@ -107,6 +107,20 @@ object TextOps {
   def sampleBucket(key: Column, buckets: Int = 1 << 20): Column =
     pmod(pmod(key, lit(1000003L)) * lit(2654435761L), lit(buckets.toLong))
 
+  /** vocabulary heavy-hitters: top-N tokens per language by exact count
+    * (ties → lexicographically smaller token, engine-reproducible). Shape:
+    * one partial-aggregated groupBy (token counts) + a per-language top-N
+    * window over the ALREADY-AGGREGATED rows — the window input is
+    * |vocabulary|, not |corpus|, so the rank never sees raw tokens. */
+  def vocabTopN(docs: DataFrame, n: Int): DataFrame = {
+    val counts = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+      .select("lang", "rk", "tok", "n")
+  }
+
   /** SOURCE MIXING — the training-data mixture primitive: each source gets
     * a target weight w ≥ 0; every document is emitted floor(w) times, plus
     * one more copy iff its deterministic sample bucket falls under the
