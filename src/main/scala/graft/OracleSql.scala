@@ -651,10 +651,13 @@ ORDER BY id1, id2""",
     // ---- events ------------------------------------------------------------
     // value is summed as integer micro-units (floor(value*1e6) is the same
     // double op in both engines; BIGINT SUM is order-insensitive, unlike
-    // double SUM under Spark's partial aggregation).
+    // double SUM under Spark's partial aggregation). Every SUM is wrapped in
+    // CAST(... AS BIGINT): DuckDB widens SUM(BIGINT) to HUGEINT (int128),
+    // Spark emits BIGINT, and the driver's hash is type-sensitive.
     "q_events_tumbling" ->
       """SELECT event_type, (epoch_us(ts) // 300000000) * 300 AS window_start_sec,
-  COUNT(*) AS n, SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS sum_value_micro
+  COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS sum_value_micro
 FROM events GROUP BY event_type, epoch_us(ts) // 300000000
 ORDER BY event_type, window_start_sec""",
 
@@ -669,12 +672,12 @@ flagged AS (
   FROM e),
 sess AS (
   SELECT user_id, value, ts_us,
-    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
   FROM flagged)
 SELECT user_id, sess_id, COUNT(*) AS n_events,
   (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec,
-  SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS sum_value_micro
+  CAST(SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS sum_value_micro
 FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
 
     // ---- relational anchors -------------------------------------------------

@@ -83,16 +83,48 @@ object GridCell {
     out
   }
 
+  /** Hard cap on materialized disk size: beyond this a per-row explode is a
+    * plan defect (use a coarser res / manual layout), and silently attempting
+    * the allocation would OOM or Int-overflow into a negative array size. */
+  val MaxDiskCells: Long = 1L << 26
+
+  private def checkedSize(cellsLon: Long, cellsLat: Long): Int = {
+    val n = cellsLon * cellsLat // Long arithmetic: no Int overflow
+    require(n <= MaxDiskCells,
+      s"cell disk of $n cells exceeds cap $MaxDiskCells — use a coarser grid res " +
+        "or a manual layout for neighborhoods this large (e.g. polar data at fine res)")
+    n.toInt
+  }
+
   /** All cells at Chebyshev distance ≤ k (the (2k+1)² disk). */
   def disk(cell: Long, k: Int): Array[Long] = {
     val cx = unpackLonIdx(cell); val cy = unpackLatIdx(cell)
-    val side = 2 * k + 1
-    val out = new Array[Long](side * side)
+    val side = 2L * k + 1
+    val out = new Array[Long](checkedSize(side, side))
     var i = 0
     var x = -k
     while (x <= k) {
       var y = -k
       while (y <= k) { out(i) = pack(cx + x, cy + y); i += 1; y += 1 }
+      x += 1
+    }
+    out
+  }
+
+  /** Rectangular disk: lon half-width kLon, lat half-width kLat. A distance
+    * join's lat extent is bounded by d/R regardless of latitude while the lon
+    * extent grows as 1/cos(lat), so near the poles the covering region is a
+    * short, wide band — materializing it as a square (2·kLon+1)² disk would
+    * waste kLon/kLat× cells.
+    */
+  def diskRect(cell: Long, kLon: Int, kLat: Int): Array[Long] = {
+    val cx = unpackLonIdx(cell); val cy = unpackLatIdx(cell)
+    val out = new Array[Long](checkedSize(2L * kLon + 1, 2L * kLat + 1))
+    var i = 0
+    var x = -kLon
+    while (x <= kLon) {
+      var y = -kLat
+      while (y <= kLat) { out(i) = pack(cx + x, cy + y); i += 1; y += 1 }
       x += 1
     }
     out
@@ -106,9 +138,13 @@ object GridCell {
     * (hav(d/R) = hav(Δlat) + cosφ₁cosφ₂·hav(Δlon) ≥ hav(Δlat), hav monotone
     * on [0,π]). Longitude extent: sin²(Δlon/2) ≤ sin²(d/2R)/(cosφ₁cosφ₂);
     * bounding both cosines below by cos(|lat| + latRad) keeps the bound
-    * conservative (exact algebra, no small-angle approximation). Points
-    * whose `meters`-neighborhood reaches within 1° of a pole fall back to a
-    * full-longitude disk (the neighborhood may span all longitudes there).
+    * conservative (exact algebra, no small-angle approximation; the asin
+    * argument is clamped to 1, so the lon extent saturates at the full
+    * longitude span as cos(phiMax) → 0). Only when the neighborhood actually
+    * CONTAINS a pole (|lat| + latRad ≥ 90°) does it fall back to the
+    * full-longitude span — every sub-polar latitude gets the exact bounded
+    * formula (a fallback at ±89° used to return k = 180·10^res and crash
+    * disk() by Int overflow for, e.g., lat 89.5 at res 5).
     * Neighborhoods crossing the antimeridian are NOT covered — the uniform
     * grid does not wrap (same limitation as the reference's lat/lon bins).
     */
@@ -117,12 +153,20 @@ object GridCell {
     val fullLon = (180.0 * pow10(res)).toInt
     val latRadDeg = meters / (graft.geom.Geom.EarthRadiusM * math.Pi / 180.0)
     val phiMax = math.abs(lat) + latRadDeg
-    if (phiMax >= 89.0) return math.max(1, fullLon)
+    if (phiMax >= 90.0) return math.max(1, fullLon)
     val c = math.cos(math.toRadians(phiMax))
     val sinHalf = math.sin(meters / (2.0 * graft.geom.Geom.EarthRadiusM))
     val lonRadDeg = 2.0 * math.toDegrees(math.asin(math.min(1.0, sinHalf / c)))
     val k = math.max(math.ceil(latRadDeg / cs), math.ceil(lonRadDeg / cs)).toInt
     math.max(1, math.min(k, fullLon))
+  }
+
+  /** Lat-axis cell half-width covering `meters`: |Δlat| ≤ d/R exactly, so
+    * this is latitude-independent (pairs with kFor's lon extent in diskRect). */
+  def kLatFor(meters: Double, res: Int): Int = {
+    val cs = 1.0 / pow10(res)
+    val latRadDeg = meters / (graft.geom.Geom.EarthRadiusM * math.Pi / 180.0)
+    math.max(1, math.ceil(latRadDeg / cs).toInt)
   }
 
   /** Parent cell at a coarser resolution (for adaptive subdivision). */

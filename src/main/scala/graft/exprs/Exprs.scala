@@ -81,6 +81,24 @@ case class CellDisk(cell: Expression, k: Expression)
     copy(cell = l, k = r)
 }
 
+/** Rectangular cell disk (lon half-width, lat half-width) — the covering
+  * shape of a distance neighborhood, whose lon extent grows as 1/cos(lat)
+  * while the lat extent stays constant (DistanceJoinRewrite's explode). */
+case class CellDiskRect(cell: Expression, kLon: Expression, kLat: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = cell
+  override def second: Expression = kLon
+  override def third: Expression = kLat
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any, kx: Any, ky: Any): Any =
+    new GenericArrayData(GridCell.diskRect(
+      c.asInstanceOf[Long], kx.asInstanceOf[Int], ky.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(cell = f, kLon = s, kLat = t)
+}
+
 /** S2 cell id (level 0-30) of a lat/lon — from-scratch S2 (graft.cells.S2). */
 case class S2CellEncode(lat: Expression, lon: Expression, level: Int)
     extends BinaryExpression {

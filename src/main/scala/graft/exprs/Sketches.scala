@@ -2,6 +2,7 @@ package graft.exprs
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -36,6 +37,15 @@ case class HllDistinct(child: Expression, p: Int,
 
   require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
   private val m = 1 << p
+
+  // Reject unhashable child types at analysis time (hashValue only handles
+  // string/long/int); without this a DOUBLE or DECIMAL child passes analysis
+  // and every row throws at execution.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_distinct requires a STRING, BIGINT or INT input, got ${other.sql}")
+  }
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false

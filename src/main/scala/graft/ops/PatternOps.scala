@@ -81,7 +81,10 @@ object PatternOps {
       .groupBy(col("pidx"))
       .agg(count(lit(1)).as("n_matches"))
       .join(broadcast(names), Seq("pidx"))
-      .select(col("canonical"), col("n_matches"))
+      // two pattern rows may share a canonical; the contract (one row per
+      // canonical, as the old RLIKE-join path produced) needs a re-aggregate
+      .groupBy(col("canonical"))
+      .agg(sum(col("n_matches")).as("n_matches"))
   }
 
   /** features + county column (u recovered exactly from the fix6 latitude:

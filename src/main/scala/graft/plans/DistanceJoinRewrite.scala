@@ -9,11 +9,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 import graft.cells.GridCell
-import graft.exprs.{CellDisk, CellEncode, Haversine}
+import graft.exprs.{CellDiskRect, CellEncode, Haversine}
 
-/** Per-row adaptive Chebyshev disk radius for a distance join: the smallest
-  * k whose (2k+1)² cell disk at `res` covers every point within `meters` of
-  * a point at this latitude (GridCell.kFor — lon extent grows with |lat|).
+/** Per-row adaptive lon half-width for a distance join's rectangular cell
+  * disk: the smallest k whose ±k lon cells at `res` cover every point within
+  * `meters` of a point at this latitude (GridCell.kFor — lon extent grows
+  * with |lat|; the lat half-width is the plan-time constant kLatFor).
   */
 case class CellDiskK(lat: Expression, meters: Double, res: Int)
     extends UnaryExpression {
@@ -47,12 +48,17 @@ case class CellDiskK(lat: Expression, meters: Double, res: Int)
   *     four deterministic, and the literal radius in (0, 100 km].
   *
   * Resolution is the finest grid res whose cell covers the latitude radius;
-  * the per-row longitude radius (grows with |lat|) is absorbed by
-  * CellDiskK, so the rewrite is correct at any latitude below ±89° (polar
-  * neighborhoods degrade to a full-longitude disk; antimeridian-crossing
-  * neighborhoods are not matched — the uniform grid does not wrap, same as
-  * the reference's bins, gpsBins.js:60-63). The side with the smaller size
-  * estimate is the one replicated into the disk.
+  * the per-row longitude radius (grows with |lat|) is absorbed by CellDiskK
+  * into a RECTANGULAR disk — lat half-width is a plan-time constant (the
+  * lat extent of a distance d is ≤ d/R at every latitude), only the lon
+  * half-width widens per row — so the rewrite is correct at any latitude
+  * whose neighborhood excludes the poles, with disk size O(kLon·kLat), not
+  * O(kLon²). Neighborhoods CONTAINING a pole (|lat| + d/R ≥ 90°) degrade to
+  * the full-longitude band, which at res 5 exceeds GridCell.MaxDiskCells and
+  * fails with a clear message rather than a 10⁸-cell explode;
+  * antimeridian-crossing neighborhoods are not matched — the uniform grid
+  * does not wrap, same as the reference's bins, gpsBins.js:60-63. The side
+  * with the smaller size estimate is the one replicated into the disk.
   *
   * Registered at session build via `spark.sql.extensions=graft.plans.GraftExtensions`
   * or injected into a live session with `GraftPlans.enable(spark)`.
@@ -135,8 +141,9 @@ object DistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if (explodeLeft) (j.left, latL, lonL, j.right, latR, lonR)
       else (j.right, latR, lonR, j.left, latL, lonL)
 
-    val disk = Explode(CellDisk(
-      CellEncode(expLat, expLon, res), CellDiskK(expLat, meters, res)))
+    val disk = Explode(CellDiskRect(
+      CellEncode(expLat, expLon, res), CellDiskK(expLat, meters, res),
+      Literal(GridCell.kLatFor(meters, res))))
     val cellAttr = AttributeReference("_graft_cell", LongType, nullable = false)()
     val gen = Generate(disk, unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(cellAttr), child = expChild)

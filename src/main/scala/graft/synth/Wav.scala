@@ -71,6 +71,9 @@ object Wav {
           val audioFormat = buf.getShort
           require(audioFormat == 1, s"not integer PCM: fmt tag $audioFormat")
           channels = buf.getShort.toInt
+          // 0 channels would reach `samples.length / ch` as /0 downstream —
+          // ArithmeticException is NOT in callers' decode_ok=false catch list
+          require(channels >= 1 && channels <= 2, s"channels must be 1|2: $channels")
           sampleRate = buf.getInt
           buf.getInt   // byte rate
           buf.getShort // block align

@@ -112,9 +112,45 @@ class RuleSpec extends AnyFunSuite {
           val dy = math.abs(GridCell.unpackLatIdx(c1) - GridCell.unpackLatIdx(c0))
           assert(math.max(dx, dy) <= k,
             s"lat=$lat0 res=$res m=$meters: point ($dlat,$dlon) outside disk k=$k")
+          // the rectangular disk the rule actually explodes must cover too
+          assert(dy <= GridCell.kLatFor(meters, res),
+            s"lat=$lat0 res=$res m=$meters: point ($dlat,$dlon) outside rect kLat")
         }
       }
     }
+  }
+
+  test("polar rows (lat 89.5) rewrite without overflow and stay correct") {
+    // pre-fix: kFor's >=89° fallback returned k = 180·10^res; at the res the
+    // rule picks for a ~15 m radius (res 5) disk() then computed (2k+1)² in
+    // Int arithmetic → negative array size. The neighborhood excludes the
+    // pole, so the exact formula applies and the disk stays tiny.
+    import spark.implicits._
+    val a = Seq(("a0", 89.5, 10.0)).toDF("a_id", "a_lat", "a_lon")
+    val b = Seq(("b0", 89.5, 10.001), // ~9.7 m away at this latitude
+                ("b1", 89.5, 25.0)).toDF("b_id", "b_lat", "b_lon")
+    assert(graft.geom.Geom.haversineM(89.5, 10.0, 89.5, 10.001) <= 15.0)
+    val expected = withoutRule { distJoin(a, b, 15.0).collect().map(_.getString(1)).toSet }
+    assert(expected === Set("b0"))
+    withRule {
+      val got = distJoin(a, b, 15.0)
+      assert(got.queryExecution.executedPlan.toString.contains("_graft_cell"))
+      assert(got.collect().map(_.getString(1)).toSet === expected)
+    }
+  }
+
+  test("disk/diskRect size guards use Long arithmetic and a clear cap") {
+    val c = GridCell.encode(89.5, 10.0, 5)
+    val e1 = intercept[IllegalArgumentException](GridCell.disk(c, 180 * 100000))
+    assert(e1.getMessage.contains("exceeds cap"))
+    val e2 = intercept[IllegalArgumentException](GridCell.diskRect(c, 180 * 100000, 2))
+    assert(e2.getMessage.contains("exceeds cap"))
+    // a pole-free polar neighborhood is small: 15 m at lat 89.5, res 5
+    val kLon = GridCell.kFor(89.5, 15.0, 5)
+    val kLat = GridCell.kLatFor(15.0, 5)
+    assert(kLon >= 1 && kLon < 10000, s"kLon=$kLon")
+    assert(kLat >= 1 && kLat <= 20, s"kLat=$kLat") // 15 m ≈ 14 res-5 (1.11 m) cells
+    assert(GridCell.diskRect(c, kLon, kLat).length === (2 * kLon + 1) * (2 * kLat + 1))
   }
 
   test("session built with GraftExtensions has the rule active") {

