@@ -129,6 +129,43 @@ object SparkEntry {
     "q_geoturf_variant" -> ((s, dir) =>
       Pipeline.geoturfFeatures(s, dir).orderBy("streets", "raw", "lat", "lon")),
 
+    // ---- golden-file replay (real reference output data) -----------------
+    // S7/P8/F2 on the reference's own shipped goldens: the full Alpine County
+    // output (data/intersections/intersections_Alpine_County.json, 162
+    // features) read through the multiline FeatureCollection reader, with
+    // clean() applied to the real street strings and the UI's P8 predicate
+    // (street substring + city equality, util.js:241-287) evaluated per row.
+    // sfDir-independent static data → regression pin.
+    "q_golden_alpine" -> ((s, dir) => {
+      val feats = graft.sources.GeoJson.readFeatureCollection(s,
+        "/root/reference/data/intersections/intersections_Alpine_County.json")
+      feats.select(
+        col("streets"),
+        graft.exprs.fns.clean_street_key(col("streets")).as("cleaned"),
+        col("nodeId").as("node_id"),
+        round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"),
+        concat_ws(",", col("wayIds")).as("way_ids"),
+        col("cityName").as("city"),
+        (col("streets").contains("Trail") &&
+          col("cityName") === "Unincorporated").as("p8_match"))
+        .orderBy("streets", "node_id", "lat", "lon")
+    }),
+
+    // A9 marker counting over the largest golden (San Francisco: 8,116
+    // features, 762 nodeId="Geom"): per-city feature counts, geometric-row
+    // counts, and how many street keys carry a W1 `_d` suffix (cleaned !=
+    // raw) — gates union-type handling + F2 on 8k real names in aggregate.
+    "q_golden_sf_summary" -> ((s, dir) => {
+      val feats = graft.sources.GeoJson.readFeatureCollection(s,
+        "/root/reference/data/intersections/intersections_San_Francisco.json")
+      feats.groupBy(col("cityName").as("city"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nodeId") === "Geom", 1L).otherwise(0L)).as("n_geom"),
+          sum(when(graft.exprs.fns.clean_street_key(col("streets")) =!= col("streets"),
+            1L).otherwise(0L)).as("n_suffixed"))
+        .orderBy("city")
+    }),
+
     // ---- image-table spatial ops (north_rule workload) ------------------
     "q_image_tiles" -> ((s, dir) =>
       SpatialOps.tileAssign(Pipeline.geoImages(s, dir), 15)

@@ -48,4 +48,25 @@ object GeoJson {
       col("properties.wayIds").as("wayIds"),
       col("properties.cityName").as("cityName"))
   }
+
+  /** Pretty-printed FeatureCollection reader — the EXACT on-disk shape of the
+    * reference's 117 golden county outputs (the json files under
+    * `data/intersections`, written geo.js:1302 as one indented JSON
+    * document). multiLine JSON makes
+    * each file one record (fine at their ≤3 MB size; jsonl is the scale
+    * path), then the features array is exploded back to rows. `nodeId` is
+    * the reference's int64-or-"Geom" union (geo.js:299) — inference yields
+    * LONG for counties with no geometric rows and STRING otherwise, so it is
+    * normalized to its string form here (SURVEY §1.2).
+    */
+  def readFeatureCollection(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+      .select(explode(col("features")).as("f"))
+      .select(
+        element_at(col("f.geometry.coordinates"), 2).as("lat"),
+        element_at(col("f.geometry.coordinates"), 1).as("lon"),
+        concat_ws("/", col("f.properties.streets")).as("streets"),
+        col("f.properties.nodeId").cast("string").as("nodeId"),
+        col("f.properties.wayIds").as("wayIds"),
+        col("f.properties.cityName").as("cityName"))
 }
