@@ -152,6 +152,30 @@ SELECT streets, raw, lat, lon, node_id, $cityCase AS city
 FROM withuv, (SELECT (g - 1) * 1000 AS s FROM p) sp
 ORDER BY streets, raw, node_id, lat, lon""",
 
+    // ---- S6/S7: GeoJSON sink -> source round-trip on the feature output ----
+    // identical rowset to q_feature_city minus `raw` (not part of the GeoJSON
+    // property shape): a lossless jsonl write + read leaves the oracle
+    // unchanged, so any precision/escaping loss in the sink or source reds
+    "q_geojson_roundtrip" ->
+      s"""WITH $gridCte,
+feats AS ($topoBody UNION ALL $geomBody),
+withuv AS (
+  SELECT streets, lat, lon, node_id,
+    CAST(ROUND((lat - 37.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS u,
+    CAST(ROUND((lon + 122.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS v
+  FROM feats)
+SELECT streets, lat, lon, node_id, $cityCase AS city
+FROM withuv, (SELECT (g - 1) * 1000 AS s FROM p) sp
+ORDER BY streets, node_id, lat, lon""",
+
+    // ---- S2: lineage materialize/resume — the second materialize of the
+    // same input must SKIP (stage_runs stays 1) and reload bytes that
+    // recompute to the same aggregate the oracle derives from orders
+    "q_lineage_resume" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+  ROUND(SUM(o_totalprice), 4) AS revenue, 1 AS stage_runs
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     // ---- P8/A9/F16: UI street filters (substring + regex + city) ----------
     "q_street_filter" ->
       s"""WITH $gridCte,

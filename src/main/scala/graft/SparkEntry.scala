@@ -129,6 +129,43 @@ object SparkEntry {
     "q_geoturf_variant" -> ((s, dir) =>
       Pipeline.geoturfFeatures(s, dir).orderBy("streets", "raw", "lat", "lon")),
 
+    // ---- S6/S7: GeoJSON sink -> source round-trip ------------------------
+    // the distributed jsonl sink then the source, gated against the SAME
+    // closed-form oracle as the features it serializes: any precision or
+    // escaping loss in either direction breaks the hash match
+    "q_geojson_roundtrip" -> ((s, dir) => {
+      val feats = Pipeline.features(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_geojson_rt")
+        .toString + "/features"
+      graft.sources.GeoJson.writeJsonl(feats, path)
+      graft.sources.GeoJson.readFeatures(s, path)
+        .select(col("streets"), col("lat"), col("lon"),
+          col("nodeId").cast("string").as("node_id"),
+          col("cityName").as("city"))
+        .orderBy("streets", "node_id", "lat", "lon")
+    }),
+
+    // ---- S2: idempotent ingest / resume ----------------------------------
+    // two materialize calls of the same stage on the same input: the first
+    // computes and checkpoints, the second must take the skip path (the
+    // stage closure runs exactly once — pinned by the stage_runs column) and
+    // serve bytes that still match the oracle's recompute from orders
+    "q_lineage_resume" -> ((s, dir) => {
+      val input = s.read.parquet(s"$dir/orders.parquet")
+      val outDir = java.nio.file.Files.createTempDirectory("graft_lineage_q").toString
+      val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+      def stage(df: DataFrame): DataFrame = {
+        runs.incrementAndGet()
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 4).as("revenue"))
+      }
+      graft.ckpt.Lineage.materialize(s, outDir, input, stage)
+      val resumed = graft.ckpt.Lineage.materialize(s, outDir, input, stage)
+      resumed.withColumn("stage_runs", lit(runs.get()))
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- golden-file replay (real reference output data) -----------------
     // S7/P8/F2 on the reference's own shipped goldens: the full Alpine County
     // output (data/intersections/intersections_Alpine_County.json, 162

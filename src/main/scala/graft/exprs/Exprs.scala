@@ -686,6 +686,17 @@ object fns {
   def cells_covering(minLat: Column, minLon: Column, maxLat: Column, maxLon: Column, res: Int): Column =
     c(CellsCovering(e(minLat), e(minLon), e(maxLat), e(maxLon), res))
   def cell_disk(cell: Column, k: Column): Column = c(CellDisk(e(cell), e(k)))
+  def cell_disk_rect(cell: Column, kLon: Column, kLat: Column): Column =
+    c(CellDiskRect(e(cell), e(kLon), e(kLat)))
+  /** F13 gmapUrl (reference offset.js:133-137): the exact padded
+    * "   lat,lon  " demo string the reference logs — surface-completeness
+    * item; double→string uses shortest-round-trip repr like JS template
+    * interpolation on the fix6 inputs the reference feeds it. */
+  def gmap_url(lat: Column, lon: Column): Column =
+    org.apache.spark.sql.functions.concat(
+      org.apache.spark.sql.functions.lit("   "), lat.cast("string"),
+      org.apache.spark.sql.functions.lit(","), lon.cast("string"),
+      org.apache.spark.sql.functions.lit("  "))
   def cell_parent(cell: Column, res: Int, parentRes: Int): Column =
     c(CellParent(e(cell), res, parentRes))
   def s2_cell(lat: Column, lon: Column, level: Int): Column =

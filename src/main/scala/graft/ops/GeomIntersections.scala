@@ -31,9 +31,15 @@ object GeomIntersections {
   /** broadcastLeft: the left side is the named-motorway subset (~1% of ways
     * in the reference world) — broadcast by default; at planet scale pass
     * false to build a shuffled hash join on cell instead (same result, no
-    * driver-sized relation; mirrors SpatialOps.imageWayCellJoin's knob). */
+    * driver-sized relation; mirrors SpatialOps.imageWayCellJoin's knob).
+    *
+    * dedupPairs (W4 divergence knob): the reference's bin iterator may yield
+    * the same way pair once per shared cell and tolerates the duplicate
+    * output rows ("intersections of >2 ways could appear multiple times",
+    * geo.js:270). Default true normalizes with dropDuplicates; pass false
+    * for reference-exact duplicate emission. */
   def apply(spark: SparkSession, wayData: DataFrame, res: Int = 2,
-            broadcastLeft: Boolean = true): DataFrame = {
+            broadcastLeft: Boolean = true, dedupPairs: Boolean = true): DataFrame = {
     val bounded = withBounds(wayData)
     val withCells = bounded
       .select(col("way_id"), col("name"), col("highway"), col("nodes"), col("geometry"),
@@ -54,11 +60,11 @@ object GeomIntersections {
     // predicate or has a larger id; never self-pair. Cross-cell duplicate
     // pairs are dropped (W4 normalization knob; the reference may emit them).
     val leftK = if (broadcastLeft) broadcast(left) else left.hint("SHUFFLE_HASH")
-    val pairs = leftK.join(right,
+    val joined = leftK.join(right,
         left("cell") === right("cell") &&
           col("id1") =!= col("id2") &&
           (col("hw2") =!= "motorway" || col("id2") > col("id1")), "inner")
-      .dropDuplicates("id1", "id2")
+    val pairs = if (dedupPairs) joined.dropDuplicates("id1", "id2") else joined
 
     val refined = pairs
       // J4: exact polyline intersection, first hit (geo.js:201-215)

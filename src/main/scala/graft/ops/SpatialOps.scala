@@ -80,41 +80,82 @@ object SpatialOps {
   }
 
   /** J7 kNN: k nearest ways per image via cell-disk candidate join + exact
-    * refinement + row_number top-k. Candidates come from the (2*ring+1)²
-    * cell disk around the image's cell; correct when the k-th neighbor lies
-    * within ring*cellSize of the image (guaranteed by construction for the
-    * synthetic grid at res 3, ring 1). Distances are rounded to 1e-9 degrees
-    * before ranking so ordering is reproducible across engines; ties break
-    * by way_id.
+    * refinement + row_number top-k, with CELL-RING EXPANSION (the reference's
+    * findClosest semantics, geo.js:1319-1361): an image whose k-th neighbor
+    * lies beyond the current disk keeps expanding (ring ×2 per round) until
+    * its result is PROVABLY exact or maxRing is hit.
+    *
+    * Settledness proof: any point at planar degree distance d from the image
+    * lies in a cell at Chebyshev distance ≤ floor(d/cellSize)+1, so once the
+    * k-th candidate distance is strictly < ring·cellSize no unseen way can
+    * enter the top-k (or tie under the (dist, way_id) order — strict
+    * inequality also excludes equal-distance unseen ties). Dense inputs
+    * settle in round 1 and pay one cheap extra aggregate vs the fixed-ring
+    * plan; only the unsettled residue (usually a tiny fraction) re-joins at
+    * wider rings, so the expansion is driver-looped like X1/X2 with
+    * localCheckpoint per round. Images still unsettled at maxRing return
+    * best-effort top-k over the final disk (the fixed-ring behavior).
+    *
+    * Distances are rounded to 1e-9 degrees before ranking so ordering is
+    * reproducible across engines; ties break by way_id.
     */
   def knnWays(images: DataFrame, wayData: DataFrame,
-              k: Int, res: Int = 3, ring: Int = 1): DataFrame = {
-    val segs = segmentCells(wayData, res, bufferDeg = 0.0)
+              k: Int, res: Int = 3, ring: Int = 1, maxRing: Int = 32): DataFrame = {
+    val cs = 1.0 / math.pow(10, res)
+    val segs = segmentCells(wayData, res, bufferDeg = 0.0).drop("name")
     // candidate scan stays NARROW end-to-end: (image_id, way_id, dist) only;
     // image payload and way names join back after top-k (k·N rows, not the
     // full candidate set)
-    val perSeg = images
+    var pending = images
       .select(col("image_id"), col("lat"), col("lon"))
       .withColumn("cell0", fns.cell_encode(col("lat"), col("lon"), res))
-      .withColumn("cell", explode(fns.cell_disk(col("cell0"), lit(ring))))
-      // SHUFFLE_HASH: the segment index scales with the way table (never
-      // driver-broadcast); the probe side was just exploded ×(2·ring+1)² so
-      // it is the big side by construction
-      .join(segs.drop("name").hint("SHUFFLE_HASH"), Seq("cell"))
-      .select(col("image_id"), col("way_id"),
-        fns.point_seg_dist(col("lat"), col("lon"),
-          col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("seg_dist"))
-    val grouped = perSeg.groupBy(col("image_id"), col("way_id"))
-      .agg(min(col("seg_dist")).as("dist"))
-      .withColumn("dist9", round(col("dist") * lit(1e9), 0).cast("long"))
-    val w = Window.partitionBy("image_id").orderBy(col("dist9"), col("way_id"))
-    val topk = grouped
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    val settledParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var r = math.max(1, ring)
+    var remaining = true
+    while (remaining) {
+      val last = r * 2 > maxRing // widest round: accept best effort
+      val perSeg = pending
+        .withColumn("cell", explode(fns.cell_disk(col("cell0"), lit(r))))
+        // SHUFFLE_HASH: the segment index scales with the way table (never
+        // driver-broadcast); the probe side was just exploded ×(2·r+1)² so
+        // it is the big side by construction
+        .join(segs.hint("SHUFFLE_HASH"), Seq("cell"))
+        .select(col("image_id"), col("way_id"),
+          fns.point_seg_dist(col("lat"), col("lon"),
+            col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("seg_dist"))
+      val grouped = perSeg.groupBy(col("image_id"), col("way_id"))
+        .agg(min(col("seg_dist")).as("dist"))
+        .withColumn("dist9", round(col("dist") * lit(1e9), 0).cast("long"))
+      val w = Window.partitionBy("image_id").orderBy(col("dist9"), col("way_id"))
+      val topk = grouped
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+      val settled =
+        if (last) topk
+        else {
+          // exact iff k candidates found AND the k-th is strictly inside the
+          // guaranteed-covered radius (rounding to 1e-9 is conservative here:
+          // a borderline image re-expands, never settles wrong)
+          val proven = topk.groupBy(col("image_id"))
+            .agg(count(lit(1)).as("nk"), max(col("dist9")).as("d9max"))
+            .filter(col("nk") === k &&
+              col("d9max") < lit(math.round(r * cs * 1e9)))
+            .select(col("image_id"))
+          topk.join(proven, Seq("image_id"), "left_semi")
+        }
+      settledParts += settled.localCheckpoint(true)
+      if (last) remaining = false
+      else {
+        pending = pending.join(settled.select(col("image_id")).distinct(),
+          Seq("image_id"), "left_anti").localCheckpoint(true)
+        if (pending.isEmpty) remaining = false else r *= 2
+      }
+    }
+    val topkAll = settledParts.reduce(_ unionByName _)
     // join-back tables scale with ways/images — no forced broadcast; AQE
     // picks broadcast at small scale and sort-merge/shuffled-hash at large
     val names = wayData.select(col("way_id"), col("name")).distinct()
-    topk.join(names, Seq("way_id")).join(images, Seq("image_id"))
+    topkAll.join(names, Seq("way_id")).join(images, Seq("image_id"))
   }
 
   /** Raster-tile assignment: packed Web-Mercator tile id per image. */

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 
 import graft.exprs._
 
@@ -42,6 +42,11 @@ object GraftFunctions {
       a => CellsCovering(a(0), a(1), a(2), a(3), intLit("graft_cells_covering", a(4), 5)) },
     entry("graft_cell_disk", "cells at Chebyshev distance <= k", 2) {
       a => CellDisk(a(0), a(1)) },
+    entry("graft_cell_disk_rect", "rectangular cell disk (kLon, kLat half-widths)", 3) {
+      a => CellDiskRect(a(0), a(1), a(2)) },
+    entry("graft_gmap_url", "reference gmapUrl(): padded 'lat,lon' string (F13)", 2) {
+      a => Concat(Seq(Literal("   "), Cast(a(0), StringType), Literal(","),
+        Cast(a(1), StringType), Literal("  "))) },
     entry("graft_cell_parent", "parent cell at a coarser res", 3) {
       a => CellParent(a(0), intLit("graft_cell_parent", a(1), 2),
         intLit("graft_cell_parent", a(2), 3)) },

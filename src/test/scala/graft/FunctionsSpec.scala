@@ -43,6 +43,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(2) === 25)) // Chebyshev disk k=2 → 5×5
   }
 
+  test("graft_gmap_url / cell_disk_rect: F13 padded string + rect disk sizes") {
+    GraftPlans.enable(spark)
+    import spark.implicits._
+    Seq((38.810724, -119.793042)).toDF("lat", "lon").createOrReplaceTempView("gpt")
+    val r = spark.sql(
+      """SELECT graft_gmap_url(lat, lon) AS u,
+        |       size(graft_cell_disk_rect(graft_cell_encode(lat, lon, 3), 4, 1)) AS nr
+        |FROM gpt""".stripMargin).collect()(0)
+    // reference offset.js:133-137: `   ${lat},${lon}  ` verbatim
+    assert(r.getString(0) === "   38.810724,-119.793042  ")
+    assert(r.getInt(1) === 9 * 3) // (2·4+1)×(2·1+1)
+    val dfSide = Seq((38.810724, -119.793042)).toDF("lat", "lon")
+      .select(graft.exprs.fns.gmap_url(org.apache.spark.sql.functions.col("lat"),
+        org.apache.spark.sql.functions.col("lon"))).collect()(0).getString(0)
+    assert(dfSide === "   38.810724,-119.793042  ")
+  }
+
   test("static parameters reject non-literal arguments with a clear error") {
     GraftPlans.enable(spark)
     import spark.implicits._

@@ -205,4 +205,49 @@ class OpsSpec extends AnyFunSuite {
     val out = GeomIntersections(spark, wd)
     assert(out.select("nodeId").as[String].collect().toSeq === Seq("2"))
   }
+
+  // ---- J7 kNN ring expansion (reference findClosest, geo.js:1319-1361) ---
+  private def knnWaysDf(ws: Seq[(Long, String, Seq[(Double, Double)])]) =
+    ws.toDF("way_id", "name", "g0")
+      .withColumn("geometry", expr("transform(g0, g -> struct(g._1 as lat, g._2 as lon))"))
+      .drop("g0")
+
+  test("J7: ring expands when the in-disk k-th candidate is not provably nearest") {
+    // image at (0.0005, 0.0005), res 3 (0.001° cells). Way 1 is adjacent
+    // (0.0003°). Way 2 sits in the far corner of ring-1 cell (1,1) at
+    // ~0.0021°; way 3 is in lon-cell 2 — OUTSIDE ring 1 — at 0.0016°, i.e.
+    // CLOSER than way 2. A fixed ring-1 disk returns (1, 2): wrong 2nd
+    // neighbor. Expansion must detect 0.0021 ≥ 1·cellSize and re-probe.
+    val ways = knnWaysDf(Seq(
+      (1L, "A", Seq((0.0, 0.0008), (0.001, 0.0008))),
+      (2L, "C", Seq((0.00198, 0.00199), (0.00199, 0.00199))),
+      (3L, "B", Seq((0.0, 0.0021), (0.001, 0.0021)))))
+    val imgs = Seq(("i0", 0.0005, 0.0005)).toDF("image_id", "lat", "lon")
+    val out = SpatialOps.knnWays(imgs, ways, k = 2, res = 3)
+      .select("rk", "way_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out === Seq((1, 1L), (2, 3L)))
+  }
+
+  test("J7: ring expands until k hits exist on a sparse layout (ring 1 finds < k)") {
+    // only one way near the image; the second is 9 cells away — ring 1 would
+    // return a single row for k = 2
+    val ways = knnWaysDf(Seq(
+      (1L, "Near", Seq((0.0, 0.0008), (0.001, 0.0008))),
+      (2L, "Far", Seq((0.0, 0.009), (0.001, 0.009)))))
+    val imgs = Seq(("i0", 0.0005, 0.0005)).toDF("image_id", "lat", "lon")
+    val out = SpatialOps.knnWays(imgs, ways, k = 2, res = 3)
+      .select("rk", "way_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out === Seq((1, 1L), (2, 2L)))
+  }
+
+  test("J7: empty region past maxRing returns best effort, not an infinite loop") {
+    val ways = knnWaysDf(Seq(
+      (1L, "Only", Seq((0.0, 0.0008), (0.001, 0.0008)))))
+    val imgs = Seq(("i0", 0.0005, 0.0005)).toDF("image_id", "lat", "lon")
+    // k=2 but only one way exists anywhere: loop must terminate at maxRing
+    // and emit the single found row
+    val out = SpatialOps.knnWays(imgs, ways, k = 2, res = 3, maxRing = 8)
+      .select("rk", "way_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out === Seq((1, 1L)))
+  }
 }
