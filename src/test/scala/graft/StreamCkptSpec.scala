@@ -177,6 +177,50 @@ class StreamCkptSpec extends AnyFunSuite {
     assert(rows().values.filter(_.is_first).map(_.doc_id).toSet === Set(3L, 7L, 9L))
   }
 
+  test("streaming dedup kill-and-resume: state survives restart; earliest batch beats smaller doc_id") {
+    // The cross-batch tie-break contract under failure: WITHIN a batch the
+    // smallest doc_id wins (the iterator is sorted, so a retried/recomputed
+    // task emits identical rows); ACROSS batches the earliest batch wins —
+    // including across a query kill + checkpoint restart, because the chosen
+    // survivor lives in the versioned state store, not in task memory.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+    val mem = MemoryStream[Streaming.DocIn]
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Streaming.DedupOut]()
+    def start() = Streaming.dedupStream(spark, mem.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.DedupOut], _: Long) =>
+        ds.collect().foreach(buf.add); ()
+      }
+      .start()
+    def have(): Map[Long, Set[Boolean]] =
+      buf.toArray(Array.empty[Streaming.DedupOut]).toSeq
+        .groupBy(_.doc_id).map { case (k, v) => k -> v.map(_.is_first).toSet }
+    def await(cond: => Boolean, what: String, ms: Long = 30000): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!cond && System.currentTimeMillis() - t0 < ms) Thread.sleep(200)
+      assert(cond, s"timed out waiting for $what; have ${have().keySet}")
+    }
+    val q1 = start()
+    mem.addData(Streaming.DocIn(5, "x"), Streaming.DocIn(3, "x"))
+    await(Set(3L, 5L).subsetOf(have().keySet), "pre-kill batch")
+    assert(have()(3L) === Set(true) && have()(5L) === Set(false))
+    q1.stop() // KILL
+
+    // arrives while the query is down; doc 1 < 3, but batch order, not
+    // doc_id order, decides across batches
+    mem.addData(Streaming.DocIn(1, "x"), Streaming.DocIn(8, "y"))
+    val q2 = start() // RESUME from the same checkpoint
+    await(Set(1L, 8L).subsetOf(have().keySet), "post-resume batch")
+    q2.stop()
+    assert(have()(1L) === Set(false), "earliest-batch survivor must keep winning after restart")
+    assert(have()(8L) === Set(true))
+    // re-delivered batches (foreachBatch is at-least-once) may duplicate
+    // rows but must never FLIP a flag — every doc_id saw exactly one value
+    have().foreach { case (id, flags) => assert(flags.size === 1, s"flag flip on doc $id") }
+  }
+
   test("lineage checkpoint: stage skipped on resume, recomputed on input change") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
