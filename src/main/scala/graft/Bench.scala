@@ -153,6 +153,13 @@ object Bench {
       System.err.println(f"[bench] $name%-24s ${if (ok) f"$sec%8.2f s" else "FAILED"}")
       name -> (if (ok) sec else -1.0)
     }
+    if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
+      // dev iteration mode: per-query walls only, skip the scaling pairs
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_only","value":-1,"unit":"rows/sec","queries":$qs0,"sf":"$sfDir","cpus":$cpus}""")
+      spark.stop()
+      return
+    }
 
     // ---- scaling evidence, two complementary measurements ----
     // STRONG: identical job + identical input at N and 4N pinned CPUs,

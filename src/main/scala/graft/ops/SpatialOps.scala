@@ -109,6 +109,7 @@ object SpatialOps {
     var pending = images
       .select(col("image_id"), col("lat"), col("lon"))
       .withColumn("cell0", fns.cell_encode(col("lat"), col("lon"), res))
+    var nPending = -1L // computed lazily on the first settle check
     val settledParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = math.max(1, ring)
     var remaining = true
@@ -127,28 +128,38 @@ object SpatialOps {
         .agg(min(col("seg_dist")).as("dist"))
         .withColumn("dist9", round(col("dist") * lit(1e9), 0).cast("long"))
       val w = Window.partitionBy("image_id").orderBy(col("dist9"), col("way_id"))
+      // materialize the candidate top-k ONCE per round: the settle check,
+      // the settled slice, and the pending anti-join all reuse it (without
+      // this the whole join+window pipeline re-executes 3× per round)
       val topk = grouped
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
-      val settled =
-        if (last) topk
-        else {
-          // exact iff k candidates found AND the k-th is strictly inside the
-          // guaranteed-covered radius (rounding to 1e-9 is conservative here:
-          // a borderline image re-expands, never settles wrong)
-          val proven = topk.groupBy(col("image_id"))
-            .agg(count(lit(1)).as("nk"), max(col("dist9")).as("d9max"))
-            .filter(col("nk") === k &&
-              col("d9max") < lit(math.round(r * cs * 1e9)))
-            .select(col("image_id"))
-          topk.join(proven, Seq("image_id"), "left_semi")
-        }
-      settledParts += settled.localCheckpoint(true)
-      if (last) remaining = false
+        .localCheckpoint(true)
+      if (last) { settledParts += topk; remaining = false }
       else {
-        pending = pending.join(settled.select(col("image_id")).distinct(),
-          Seq("image_id"), "left_anti").localCheckpoint(true)
-        if (pending.isEmpty) remaining = false else r *= 2
+        // an image is PROVEN exact iff k candidates were found AND the k-th
+        // is strictly inside the guaranteed-covered radius (rounding to 1e-9
+        // is conservative here: a borderline image re-expands, never settles
+        // wrong). Images with zero in-disk candidates never reach topk, so
+        // all-settled is detected by count parity with the probe set — the
+        // dense common case then skips the semi/anti-join machinery and this
+        // loop costs one candidate pass plus two small aggregates.
+        if (nPending < 0) nPending = pending.count()
+        val proven = topk.groupBy(col("image_id"))
+          .agg(count(lit(1)).as("nk"), max(col("dist9")).as("d9max"))
+          .filter(col("nk") === k &&
+            col("d9max") < lit(math.round(r * cs * 1e9)))
+          .select(col("image_id"))
+        val nProven = proven.count()
+        if (nProven == nPending) { settledParts += topk; remaining = false }
+        else {
+          settledParts += topk.join(proven, Seq("image_id"), "left_semi")
+          pending = pending.join(proven, Seq("image_id"), "left_anti")
+            .localCheckpoint(true)
+          nPending = pending.count()
+          System.err.println(s"[knn] ring $r: $nPending images unsettled")
+          if (nPending == 0) remaining = false else r *= 2
+        }
       }
     }
     val topkAll = settledParts.reduce(_ unionByName _)

@@ -260,10 +260,14 @@ object TextOps {
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("lang"), col("source"), col("doc_id"))
       .orderBy(col("df"), col("shingle"))
+    // materialized once (localCheckpoint): both legs of the self-join below
+    // would otherwise re-execute the df join + window; prefix postings are
+    // the SMALL end of the data (≤ full postings × prefix fraction)
     val prefix = inv.join(dfreq, Seq("lang", "source", "shingle"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("nsh") - ceil(col("nsh") * lit(t)) + lit(1))
       .select(col("lang"), col("source"), col("shingle"), col("doc_id"))
+      .localCheckpoint(true)
     val l = prefix.select(col("lang"), col("source"), col("shingle"), col("doc_id").as("id1"))
     val r = prefix.select(col("lang"), col("source"), col("shingle"), col("doc_id").as("id2"))
     l.join(r, Seq("lang", "source", "shingle")).filter(col("id1") < col("id2"))
@@ -282,7 +286,12 @@ object TextOps {
     */
   def ngramJaccardPairs(docs: DataFrame, jaccardMin: Double): DataFrame = {
     require(jaccardMin > 0.0, "prefix-filtered form requires a positive threshold")
-    val d = shingled(docs)
+    // shingling (transform + array_distinct over every token window) is the
+    // dominant per-pass cost and this operator is multi-pass by nature
+    // (inverted index, df table, both verify sides) — materialize the
+    // shingled form ONCE; every downstream pass reads it instead of
+    // re-deriving shingles from text (measured 10 s → ~5 s at sf0.1)
+    val d = shingled(docs).localCheckpoint(true)
     val cand = prefixCandidatesOf(d, jaccardMin)
     val s1 = d.select(col("lang"), col("source"), col("doc_id").as("id1"),
       col("sh").as("sh1"), col("nsh").as("n1"))
