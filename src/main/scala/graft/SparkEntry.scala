@@ -188,6 +188,21 @@ object SparkEntry {
         .orderBy("streets", "node_id", "lat", "lon")
     }),
 
+    // the FULL golden corpus (all 107 shipped county files, 456,428
+    // features): per-county feature/geometric/city counts with the county
+    // recovered from the file name (F12 on real file names). One glob read
+    // with an explicit schema; every shipped reference output is now
+    // ingested and gated.
+    "q_golden_corpus" -> ((s, dir) => {
+      val feats = graft.sources.GeoJson.readFeatureCollections(s,
+        "/root/reference/data/intersections/*.json")
+      feats.groupBy(col("county"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nodeId") === "Geom", 1L).otherwise(0L)).as("n_geom"),
+          countDistinct(col("cityName")).as("n_cities"))
+        .orderBy("county")
+    }),
+
     // A9 marker counting over the largest golden (San Francisco: 8,116
     // features, 762 nodeId="Geom"): per-city feature counts, geometric-row
     // counts, and how many street keys carry a W1 `_d` suffix (cleaned !=

@@ -69,4 +69,39 @@ object GeoJson {
         col("f.properties.nodeId").cast("string").as("nodeId"),
         col("f.properties.wayIds").as("wayIds"),
         col("f.properties.cityName").as("cityName"))
+
+  /** Whole-corpus reader: a GLOB of FeatureCollection files (one per county,
+    * the reference's storage unit — processAll.sh writes one file per run),
+    * with the source county recovered from the file name exactly as the
+    * reference's F12 does for its inputs (geo.js:45-54: capture between the
+    * prefix and `.json`, underscores back to spaces). The explicit schema
+    * skips a second inference pass over every file and fixes `nodeId` at its
+    * string union form regardless of which counties the glob matches. */
+  def readFeatureCollections(spark: SparkSession, globPath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("type", StringType),
+      StructField("features", ArrayType(StructType(Seq(
+        StructField("type", StringType),
+        StructField("geometry", StructType(Seq(
+          StructField("type", StringType),
+          StructField("coordinates", ArrayType(DoubleType))))),
+        StructField("properties", StructType(Seq(
+          StructField("streets", ArrayType(StringType)),
+          StructField("nodeId", StringType),
+          StructField("wayIds", ArrayType(LongType)),
+          StructField("cityName", StringType))))))))))
+    spark.read.option("multiLine", true).schema(schema).json(globPath)
+      .select(input_file_name().as("file"), explode(col("features")).as("f"))
+      .select(
+        regexp_replace(
+          regexp_extract(col("file"), "intersections_(.*)\\.json", 1), "_", " ")
+          .as("county"),
+        element_at(col("f.geometry.coordinates"), 2).as("lat"),
+        element_at(col("f.geometry.coordinates"), 1).as("lon"),
+        concat_ws("/", col("f.properties.streets")).as("streets"),
+        col("f.properties.nodeId").as("nodeId"),
+        col("f.properties.wayIds").as("wayIds"),
+        col("f.properties.cityName").as("cityName"))
+  }
 }
