@@ -701,6 +701,11 @@ object fns {
     c(CellParent(e(cell), res, parentRes))
   def s2_cell(lat: Column, lon: Column, level: Int): Column =
     c(S2CellEncode(e(lat), e(lon), level))
+  /** H3-STYLE hex cell id. DIVERGENCE NOTICE (see graft.cells.H3 scaladoc):
+    * this is an honest clean-room aperture-7 icosahedral index whose 20
+    * faces serve as base cells (canonical H3 has 122 base cells); ids are
+    * functionally equivalent for bucketing/joins/aggregation but are NOT
+    * interchangeable with ids from the official H3 library. */
   def h3_cell(lat: Column, lon: Column, res: Int): Column =
     c(H3CellEncode(e(lat), e(lon), res))
   def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =

@@ -52,7 +52,8 @@ object GraftFunctions {
         intLit("graft_cell_parent", a(2), 3)) },
     entry("graft_s2_cell", "S2 cell id at level (0-30)", 3) {
       a => S2CellEncode(a(0), a(1), intLit("graft_s2_cell", a(2), 3)) },
-    entry("graft_h3_cell", "hex cell id at res (0-15)", 3) {
+    entry("graft_h3_cell",
+      "hex cell id at res (0-15); H3-STYLE clean-room index — ids NOT interchangeable with official H3 (20 base faces vs canonical 122)", 3) {
       a => H3CellEncode(a(0), a(1), intLit("graft_h3_cell", a(2), 3)) },
     entry("graft_tile_id", "packed Web-Mercator tile id at zoom", 3) {
       a => TileId(a(0), a(1), intLit("graft_tile_id", a(2), 3)) },
