@@ -425,6 +425,29 @@ ranked AS (
 SELECT image_id, rk, way_id, name FROM ranked WHERE rk <= 2
 ORDER BY image_id, rk""",
 
+    // ---- J7 ring expansion: kNN over SPARSE streets (every 7th line) --------
+    // brute force over the sparse way set; ring-1 candidates cannot cover the
+    // 0.007° spacing, so a green hash here certifies the expand-until-k loop
+    "q_image_knn_expand" ->
+      s"""WITH $imgCte,
+ways2 AS (
+  SELECT r AS way_id, 'H' || r AS name, lat AS wlat, NULL::DOUBLE AS wlon, 'h' AS kind
+  FROM rr WHERE r % 7 = 0
+  UNION ALL
+  SELECT 1000000 + c, vname, NULL::DOUBLE, lon, 'v' FROM cc WHERE c % 7 = 0),
+q AS (SELECT * FROM imgs WHERE (u * 31 + v) % 13 = 0),
+cand AS (
+  SELECT i.image_id, w.way_id, w.name,
+    CAST(ROUND((CASE WHEN w.kind = 'h' THEN ABS(i.lat - w.wlat) ELSE ABS(i.lon - w.wlon) END)
+         * 1000000000.0::DOUBLE) AS BIGINT) AS dist9
+  FROM q i, ways2 w),
+ranked AS (
+  SELECT image_id, way_id, name,
+    ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY dist9, way_id) AS rk
+  FROM cand)
+SELECT image_id, rk, way_id, name FROM ranked WHERE rk <= 2
+ORDER BY image_id, rk""",
+
     // ---- mirror: image-way cell join within 0.0002° -------------------------
     "q_image_way_join" ->
       s"""WITH $imgCte,

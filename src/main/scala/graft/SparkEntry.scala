@@ -239,6 +239,25 @@ object SparkEntry {
         .orderBy("image_id", "rk")
     }),
 
+    // J7 with the ring EXPANSION doing real work: streets sparsified to
+    // every 7th grid line (spacing 0.007° = 7 cells at res 3), so a fixed
+    // ring-1 disk would return short/wrong results for most probes — the
+    // brute-force oracle over the sparse way set proves expand-until-k
+    // correctness at the driver gate, not just in unit tests. Probe set is
+    // a deterministic 1/13 slice to keep the widest rounds bounded.
+    "q_image_knn_expand" -> ((s, dir) => {
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      val sparse = wayData.filter(
+        (col("way_id") < 1000000L && col("way_id") % 7 === 0) ||
+        (col("way_id") >= 1000000L && col("way_id") < 2000000L &&
+          (col("way_id") - 1000000L) % 7 === 0))
+      val probes = Pipeline.geoImages(s, dir)
+        .filter((col("u") * 31 + col("v")) % 13 === 0)
+      SpatialOps.knnWays(probes, sparse, k = 2)
+        .select(col("image_id"), col("rk"), col("way_id"), col("name"))
+        .orderBy("image_id", "rk")
+    }),
+
     "q_image_way_join" -> ((s, dir) => {
       val (_, _, wayData) = Pipeline.prepared(s, dir)
       val streets = wayData.filter(col("way_id") < 2000000L)
