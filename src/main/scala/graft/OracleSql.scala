@@ -40,6 +40,19 @@ imgs AS (
              ((o_orderkey * 69621 + 7) % 2147483647) % ((p.g - 1) * 1000) AS v0
       FROM orders, p)))"""
 
+  /** image-way distance join (≤0.0002°): shared by the salted and the
+    * adaptive-subdivision skew paths — both must hash-match this rowset. */
+  private val imageWayJoinSql =
+    s"""WITH $imgCte,
+ways2 AS (
+  SELECT r AS way_id, 'H' || r AS name, lat AS wlat, NULL::DOUBLE AS wlon, 'h' AS kind FROM rr
+  UNION ALL
+  SELECT 1000000 + c, vname, NULL::DOUBLE, lon, 'v' FROM cc)
+SELECT w.way_id, w.name, COUNT(*) AS n_images
+FROM imgs i, ways2 w
+WHERE (CASE WHEN w.kind = 'h' THEN ABS(i.lat - w.wlat) ELSE ABS(i.lon - w.wlon) END) <= 0.0002::DOUBLE
+GROUP BY w.way_id, w.name ORDER BY w.way_id"""
+
   /** city bounds in integer microdegrees (mirrors Synth.cityPolys geometry;
     * points never sit on edges, so integer comparison ≡ ray casting). */
   private val cityCase =
@@ -449,16 +462,10 @@ SELECT image_id, rk, way_id, name FROM ranked WHERE rk <= 2
 ORDER BY image_id, rk""",
 
     // ---- mirror: image-way cell join within 0.0002° -------------------------
-    "q_image_way_join" ->
-      s"""WITH $imgCte,
-ways2 AS (
-  SELECT r AS way_id, 'H' || r AS name, lat AS wlat, NULL::DOUBLE AS wlon, 'h' AS kind FROM rr
-  UNION ALL
-  SELECT 1000000 + c, vname, NULL::DOUBLE, lon, 'v' FROM cc)
-SELECT w.way_id, w.name, COUNT(*) AS n_images
-FROM imgs i, ways2 w
-WHERE (CASE WHEN w.kind = 'h' THEN ABS(i.lat - w.wlat) ELSE ABS(i.lon - w.wlon) END) <= 0.0002::DOUBLE
-GROUP BY w.way_id, w.name ORDER BY w.way_id""",
+    "q_image_way_join" -> imageWayJoinSql,
+    // the ADAPTIVE-SUBDIVISION skew path must produce the identical rowset —
+    // same oracle, different physical key space (fine cells in hot regions)
+    "q_image_way_join_adaptive" -> imageWayJoinSql,
 
     // ---- mirror: naive haversine distance join (DistanceJoinRewrite rule) ---
     // the oracle IS the naive theta-join; the engine runs the same predicate

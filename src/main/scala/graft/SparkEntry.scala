@@ -271,6 +271,21 @@ object SparkEntry {
         .orderBy("way_id")
     }),
 
+    // the ADAPTIVE-SUBDIVISION skew path (north_rule: hot cells "salted AND
+    // split via adaptive cell subdivision"): points in hot coarse cells
+    // re-key at fine res, segments index hot regions fine / cold coarse —
+    // result-identical to the plain and salted paths, gated by the SAME
+    // oracle rowset as q_image_way_join
+    "q_image_way_join_adaptive" -> ((s, dir) => {
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      val streets = wayData.filter(col("way_id") < 2000000L)
+      Skew.adaptiveImageWayJoin(Pipeline.geoImages(s, dir), streets,
+        resCoarse = 2, resFine = 3, maxDistDeg = 0.0002, hotThreshold = 2000L)
+        .groupBy(col("way_id"), col("name"))
+        .agg(count(lit(1)).as("n_images"))
+        .orderBy("way_id")
+    }),
+
     "q_image_s2cells" -> ((s, dir) =>
       Pipeline.geoImages(s, dir)
         .select(col("image_id"),

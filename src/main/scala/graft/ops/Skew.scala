@@ -82,6 +82,37 @@ object Skew {
       .otherwise(coarse * 64 + resCoarse)
   }
 
+  /** images×segments join with ADAPTIVE SUBDIVISION on hot cells: points in
+    * hot coarse cells re-key at the fine res, the segment index carries hot
+    * regions fine and cold regions coarse; result columns match
+    * SpatialOps.imageWayCellJoin (equivalence proven in SkewSpec and gated
+    * by the same driver oracle as the plain/salted paths). Unlike salting,
+    * the per-key bound comes from geometry (fine cells hold fewer points),
+    * with NO point-side replication and no salt fan-out of the build side —
+    * the right tool when a hot cell is dense but spatially spread, while
+    * salting remains the answer for degenerate same-coordinate pileups. */
+  def adaptiveImageWayJoin(images: DataFrame, wayData: DataFrame,
+                           resCoarse: Int, resFine: Int, maxDistDeg: Double,
+                           hotThreshold: Long): DataFrame = {
+    require(resFine > resCoarse, "resFine must be finer than resCoarse")
+    val imgCells = images.withColumn("cell",
+      fns.cell_encode(col("lat"), col("lon"), resCoarse))
+    val hot = hotCells(imgCells, hotThreshold)
+    val segs = adaptiveBuildKeys(
+      SpatialOps.segmentCells(wayData, resCoarse, maxDistDeg),
+      resCoarse, resFine, maxDistDeg, hot).drop("cell")
+    val probes = imgCells
+      .withColumn("akey", adaptivePointKey(col("lat"), col("lon"), resCoarse, resFine, hot))
+      .drop("cell")
+    probes.join(segs.hint("SHUFFLE_HASH"), Seq("akey"))
+      .withColumn("seg_dist", fns.point_seg_dist(col("lat"), col("lon"),
+        col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+      .filter(col("seg_dist") <= maxDistDeg)
+      .groupBy(col("image_id"), col("way_id"), col("name"))
+      .agg(min(col("seg_dist")).as("dist_deg"),
+        first(col("lat")).as("lat"), first(col("lon")).as("lon"))
+  }
+
   /** ADAPTIVE-RES build side: segments index hot regions at fine res (cells
     * whose coarse parent is hot) plus everything at coarse res for the cold
     * path. Build rows only — no point-side replication. */

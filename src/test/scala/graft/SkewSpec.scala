@@ -72,4 +72,31 @@ class SkewSpec extends AnyFunSuite {
       .distinct().as[Long].collect().toSet
     assert(fineParents === hotSet)
   }
+
+  test("adaptive-subdivision join equals plain cell join; hot probes re-key fine") {
+    // a DENSE-BUT-SPREAD hot cell (the case subdivision is for, vs salting
+    // for same-coordinate pileups): all 4000 points in one 0.01° res-2 cell
+    // but spanning ~9×9 res-3 cells
+    val imgs = spark.range(4000).select(
+      concat(lit("p"), col("id")).as("image_id"),
+      (lit(37.0) + (col("id") % 90).cast("double") * lit(1e-4) + lit(3e-5)).as("lat"),
+      (lit(-122.0) + (col("id") % 83).cast("double") * lit(1e-4) + lit(3e-5)).as("lon"))
+    val plain = SpatialOps.imageWayCellJoin(imgs, ways(), res = 2, maxDistDeg = 0.0006)
+      .select("image_id", "way_id").as[(String, Long)].collect().toSet
+    val adaptive = Skew.adaptiveImageWayJoin(imgs, ways(), resCoarse = 2,
+      resFine = 3, maxDistDeg = 0.0006, hotThreshold = 500)
+      .select("image_id", "way_id").as[(String, Long)].collect().toSet
+    assert(plain.nonEmpty)
+    assert(adaptive === plain)
+    // probes inside the hot coarse cell actually land on fine (res-tagged 3)
+    // keys, and spread over many of them — the geometric load bound
+    val coarse = imgs.withColumn("cell", graft.exprs.fns.cell_encode(col("lat"), col("lon"), 2))
+    val hot = Skew.hotCells(coarse, 500)
+    assert(hot.nonEmpty)
+    val fineKeys = coarse
+      .withColumn("akey", Skew.adaptivePointKey(col("lat"), col("lon"), 2, 3, hot))
+      .filter(col("akey") % 64 === 3)
+      .select("akey").distinct().as[Long].collect()
+    assert(fineKeys.length > 20, s"hot probes must spread over many fine cells, got ${fineKeys.length}")
+  }
 }
