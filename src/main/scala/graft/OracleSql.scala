@@ -529,6 +529,40 @@ WHERE rn = 1 AND n_tokens >= 10
   AND ((doc_id % 1000003) * 2654435761) % 1048576 < 524288
 ORDER BY doc_id""",
 
+    // BM25 (Okapi, k1=1.2, b=0.75): expression trees mirror the Spark side
+    // op-for-op (same association order), each term contribution rounded to
+    // nano-units before the BIGINT sum so both engines add identical
+    // integers in any order
+    "q_doc_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+qs(q_id, q_text) AS (VALUES (1, 'hash join'), (2, 'spark window agg'),
+                            (3, 'slow query scan'), (4, 'vector batch merge')),
+qt AS (SELECT DISTINCT q_id, tok FROM
+        (SELECT q_id, unnest(string_split(q_text, ' ')) AS tok FROM qs)),
+contrib AS (
+  SELECT q.q_id, t.doc_id,
+    CAST(ROUND(
+      LN(1.0::DOUBLE + (st.n - CAST(d.df AS DOUBLE) + 0.5::DOUBLE)
+                       / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+      * (CAST(t.tf AS DOUBLE)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * CAST(l.dl AS DOUBLE) / st.avgdl)))
+      * 1000000000.0::DOUBLE) AS BIGINT) AS term9
+  FROM qt q JOIN tf t USING (tok) JOIN dl l USING (doc_id)
+       JOIN dfreq d USING (tok), st),
+scored AS (SELECT q_id, doc_id, CAST(SUM(term9) AS BIGINT) AS score9
+           FROM contrib GROUP BY q_id, doc_id),
+ranked AS (SELECT q_id, doc_id, score9,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score9 DESC, doc_id) AS rk
+           FROM scored)
+SELECT q_id, rk, doc_id, score9 FROM ranked WHERE rk <= 10
+ORDER BY q_id, rk""",
+
     "q_doc_vocab_topn" ->
       """WITH counts AS (
   SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

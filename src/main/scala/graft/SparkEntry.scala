@@ -380,6 +380,18 @@ object SparkEntry {
         Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25))
         .orderBy("doc_id", "rep")),
 
+    // BM25 ranked retrieval over the corpus: 4 fixed queries, top-10 docs
+    // each; per-term contributions are integer nano-units so the score sum
+    // is partitioning-invariant and the DuckDB oracle computes the same
+    // integers end to end
+    "q_doc_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "hash join"), (2L, "spark window agg"),
+        (3L, "slow query scan"), (4L, "vector batch merge"))
+        .toDF("q_id", "q_text")
+      TextOps.bm25TopK(Synth.documents(s, dir), qs, 10).orderBy("q_id", "rk")
+    }),
+
     // HLL distinct-token sketch per language (custom TypedImperativeAggregate;
     // max-merge ⇒ identical result under any partitioning ⇒ pinnable). The
     // exact count(distinct) rides along so the pin itself documents the

@@ -89,6 +89,8 @@ object GridCell {
   val MaxDiskCells: Long = 1L << 26
 
   private def checkedSize(cellsLon: Long, cellsLat: Long): Int = {
+    require(cellsLon > 0 && cellsLat > 0,
+      s"cell disk half-widths must be >= 0 (got sides $cellsLon x $cellsLat)")
     val n = cellsLon * cellsLat // Long arithmetic: no Int overflow
     require(n <= MaxDiskCells,
       s"cell disk of $n cells exceeds cap $MaxDiskCells — use a coarser grid res " +

@@ -307,6 +307,50 @@ object TextOps {
       .select("lang", "source", "id1", "id2", "jaccard")
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones Okapi BM25, the public
+    * formula; k1 = 1.2, b = 0.75): top-k documents per query over a
+    * whitespace-token inverted index.
+    *
+    * Scale shape: the query table is tiny and BROADCAST; postings join the
+    * queries on token, so each query touches the postings of ITS terms
+    * only — never a corpus scan per query. Corpus statistics (N, Σdl) are
+    * two scalars collected once (bounded driver artifact, like the IVF
+    * centroids). Each term contribution is rounded to integer nano-units
+    * BEFORE the per-(query, doc) sum, making the score exactly
+    * order-insensitive under any partitioning — the same integers the SQL
+    * oracle computes.
+    *
+    * queries: (q_id long, q_text string). Output: (q_id, rk, doc_id, score9).
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).collect()(0)
+    val n = st.getLong(0).toDouble
+    val avgdl = st.getLong(1).toDouble / st.getLong(0).toDouble
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qt = queries.select(col("q_id"),
+      explode(array_distinct(split(col("q_text"), " "))).as("tok")).distinct()
+    val contrib = broadcast(qt)
+      .join(tf, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .join(dfreq, Seq("tok"))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(n) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("ratio", col("tf").cast("double") /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
+      .withColumn("term9",
+        round(col("idf") * col("ratio") * lit(1e9), 0).cast("long"))
+    val scored = contrib.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("term9")).as("score9"))
+    val w = Window.partitionBy("q_id").orderBy(col("score9").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("doc_id"), col("score9"))
+  }
+
   /** winnowing-style rolling-hash fingerprint per document. */
   def fingerprints(docs: DataFrame, window: Int = 16): DataFrame =
     docs.select(col("doc_id"), fns.rolling_min_hash(col("text"), window).as("fingerprint"))

@@ -52,6 +52,27 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got === truth)
   }
 
+  test("BM25: two-term docs outrank one-term docs; scores descend; idf favors rare terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),          // both query terms
+      (2L, "alpha gamma delta epsilon"),       // one (common) term
+      (3L, "beta gamma delta epsilon"),        // one (rarer) term — beta in 2 docs, alpha in 3
+      (4L, "gamma delta epsilon zeta"),        // no query terms
+      (5L, "alpha alpha alpha gamma")          // high tf of the common term
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha beta")).toDF("q_id", "q_text")
+    val out = TextOps.bm25TopK(docs, qs, 10)
+      .orderBy("rk").as[(Long, Int, Long, Long)].collect()
+    assert(out.head._3 === 1L, "doc with both terms must rank first")
+    assert(out.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "scores must be non-increasing in rank")
+    assert(!out.map(_._3).contains(4L), "doc with no query terms must not appear")
+    // idf: beta (df=2) contributes more than alpha (df=3) at equal tf/dl
+    val d3 = out.find(_._3 == 3L).get._4
+    val d2 = out.find(_._3 == 2L).get._4
+    assert(d3 > d2, "rarer term must outscore the more common one")
+  }
+
   test("MinHash LSH finds all high-jaccard pairs (recall vs brute force)") {
     // near-duplicate corpus: base docs + mutated copies
     val base = (0 until 30).map(i =>
