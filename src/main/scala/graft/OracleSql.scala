@@ -529,6 +529,32 @@ WHERE rn = 1 AND n_tokens >= 10
   AND ((doc_id % 1000003) * 2654435761) % 1048576 < 524288
 ORDER BY doc_id""",
 
+    // decontamination: corpus docs sharing any 3-gram with the benchmark
+    // slice (doc_id % 97 = 0); n_hits counts (corpus shingle, bench doc)
+    // pairs, n_shingles/n_bench_docs the distinct sides
+    "q_doc_decontaminate" ->
+      """WITH sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+      THEN [array_to_string(string_split(text,' '), ' ')]
+      ELSE list_transform(range(0, len(string_split(text,' ')) - 2),
+           i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')) END) AS s
+  FROM documents),
+bench AS (SELECT DISTINCT shingle, bench_id FROM
+  (SELECT doc_id AS bench_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0)),
+dsh AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT d.doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT d.shingle) AS n_shingles,
+         COUNT(DISTINCT b.bench_id) AS n_bench_docs
+  FROM dsh d JOIN bench b USING (shingle) GROUP BY d.doc_id)
+SELECT c.doc_id,
+  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  CAST(COALESCE(h.n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(h.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+  COALESCE(h.n_shingles, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) c
+LEFT JOIN hits h USING (doc_id) ORDER BY c.doc_id""",
+
     // BM25 (Okapi, k1=1.2, b=0.75): expression trees mirror the Spark side
     // op-for-op (same association order), each term contribution rounded to
     // nano-units before the BIGINT sum so both engines add identical

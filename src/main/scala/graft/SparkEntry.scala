@@ -380,6 +380,17 @@ object SparkEntry {
         Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25))
         .orderBy("doc_id", "rep")),
 
+    // benchmark decontamination: the deterministic doc_id % 97 slice plays
+    // the eval set, the rest the training corpus; every corpus doc sharing
+    // a 3-gram with any benchmark doc is flagged
+    "q_doc_decontaminate" -> ((s, dir) => {
+      val all = Synth.documents(s, dir)
+      TextOps.decontaminate(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    }),
+
     // BM25 ranked retrieval over the corpus: 4 fixed queries, top-10 docs
     // each; per-term contributions are integer nano-units so the score sum
     // is partitioning-invariant and the DuckDB oracle computes the same

@@ -351,6 +351,36 @@ object TextOps {
       .select(col("q_id"), col("rk"), col("doc_id"), col("score9"))
   }
 
+  /** Benchmark DECONTAMINATION — the cross-corpus twin of dedup, a standard
+    * training-data curation stage: flag every training document that
+    * contains any n-gram of the evaluation/benchmark set, so eval data
+    * cannot leak into training.
+    *
+    * Scale shape: the benchmark's distinct shingles BROADCAST (eval suites
+    * are KBs-to-MBs against a 100 TB corpus); the corpus side explodes its
+    * shingles map-side and only the HIT rows (rare) reach the per-doc
+    * aggregate — document text never shuffles. Output: one row per corpus
+    * doc with hit counts and the contaminated flag.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val bsh = benchmark.select(col("doc_id").as("bench_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("shingle"))
+      .distinct()
+    val dsh = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), n))).as("shingle"))
+    val hits = dsh.join(broadcast(bsh), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("shingle")).as("n_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        (coalesce(col("n_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** winnowing-style rolling-hash fingerprint per document. */
   def fingerprints(docs: DataFrame, window: Int = 16): DataFrame =
     docs.select(col("doc_id"), fns.rolling_min_hash(col("text"), window).as("fingerprint"))
