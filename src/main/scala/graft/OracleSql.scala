@@ -529,6 +529,34 @@ WHERE rn = 1 AND n_tokens >= 10
   AND ((doc_id % 1000003) * 2654435761) % 1048576 < 524288
 ORDER BY doc_id""",
 
+    // repetition signals: exact integer counts + fractions rounded at 1e-6
+    "q_doc_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+pt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+              CAST(MAX(c) AS BIGINT) AS top_tok_n, COUNT(*) AS n_distinct_toks
+       FROM pt GROUP BY doc_id),
+sh AS (SELECT doc_id,
+    CASE WHEN len(ss) < 3 THEN [array_to_string(ss, ' ')]
+         ELSE list_transform(range(0, len(ss) - 2),
+              i -> array_to_string(list_slice(ss, i + 1, i + 3), ' ')) END AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents)),
+t3 AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n3_total,
+              CAST(len(list_distinct(s)) AS BIGINT) AS n3_distinct FROM sh)
+SELECT a.doc_id, n_tokens, top_tok_n, n_distinct_toks, n3_total, n3_distinct,
+  ROUND(CAST(top_tok_n AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_tok_frac,
+  ROUND(1.0::DOUBLE - CAST(n3_distinct AS DOUBLE) / CAST(n3_total AS DOUBLE), 6) AS rep3_frac
+FROM ta a JOIN t3 USING (doc_id) ORDER BY a.doc_id""",
+
+    // deterministic split: curate's Knuth-hash bucket formula verbatim
+    "q_doc_split" ->
+      """SELECT doc_id, lang, source,
+  ((doc_id % 1000003) * 2654435761) % 100 AS bucket,
+  CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 10 THEN 'test'
+       WHEN ((doc_id % 1000003) * 2654435761) % 100 < 20 THEN 'val'
+       ELSE 'train' END AS split
+FROM documents ORDER BY doc_id""",
+
     // decontamination: corpus docs sharing any 3-gram with the benchmark
     // slice (doc_id % 97 = 0); n_hits counts (corpus shingle, bench doc)
     // pairs, n_shingles/n_bench_docs the distinct sides

@@ -380,6 +380,16 @@ object SparkEntry {
         Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25))
         .orderBy("doc_id", "rep")),
 
+    // Gopher-style repetition signals: top-token and duplicate-3-gram
+    // fractions per document (boilerplate/spam markers)
+    "q_doc_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(Synth.documents(s, dir)).orderBy("doc_id")),
+
+    // deterministic train/val/test split: pure map-side Knuth-hash buckets,
+    // byte-identical assignment on every run/engine/cluster size
+    "q_doc_split" -> ((s, dir) =>
+      TextOps.assignSplit(Synth.documents(s, dir)).orderBy("doc_id")),
+
     // benchmark decontamination: the deterministic doc_id % 97 slice plays
     // the eval set, the rest the training corpus; every corpus doc sharing
     // a 3-gram with any benchmark doc is flagged

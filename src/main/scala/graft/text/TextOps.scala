@@ -351,6 +351,46 @@ object TextOps {
       .select(col("q_id"), col("rk"), col("doc_id"), col("score9"))
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 appendix A1,
+    * public heuristics): per-document top-token fraction and duplicate
+    * word-3-gram fraction — high values mark boilerplate/spam for the
+    * quality gate, complementary to qualityScore's length/punct signals.
+    * Counts are exact integers and the fractions round at 1e-6, so the SQL
+    * oracle emits identical values; shape is two partial-aggregated
+    * groupBys whose state is (doc, token)-bounded.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val perTok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val tokAgg = perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_tok_n"),
+        count(lit(1)).as("n_distinct_toks"))
+    val triAgg = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n3_total"), countDistinct(col("s3")).as("n3_distinct"))
+    tokAgg.join(triAgg, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("top_tok_n"), col("n_distinct_toks"),
+        col("n3_total"), col("n3_distinct"),
+        round(col("top_tok_n").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_tok_frac"),
+        round(lit(1.0) - col("n3_distinct").cast("double") / col("n3_total").cast("double"), 6)
+          .as("rep3_frac"))
+  }
+
+  /** Deterministic train/val/test assignment on the same Knuth-hash bucket
+    * as curate's sampler: reproducible across runs, engines, and cluster
+    * sizes, and PURE MAP-SIDE — no shuffle, no per-group bookkeeping;
+    * stratification across lang/source follows from hash uniformity (the
+    * thing rand()-splits cannot give a training pipeline).
+    */
+  def assignSplit(docs: DataFrame, testPct: Int = 10, valPct: Int = 10): DataFrame = {
+    require(testPct + valPct < 100)
+    val b = sampleBucket(col("doc_id"), 100)
+    docs.select(col("doc_id"), col("lang"), col("source"), b.as("bucket"),
+      when(b < testPct, "test").when(b < testPct + valPct, "val")
+        .otherwise("train").as("split"))
+  }
+
   /** Benchmark DECONTAMINATION — the cross-corpus twin of dedup, a standard
     * training-data curation stage: flag every training document that
     * contains any n-gram of the evaluation/benchmark set, so eval data
