@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global scale-hygiene gate over the ENTIRE registered query surface: no
+  * query may physically plan a CartesianProduct or BroadcastNestedLoopJoin —
+  * the two join shapes that cannot survive a 100× scale-up — except the two
+  * documented brute-force baselines, where an all-pairs scan against a tiny
+  * BROADCAST side is the point:
+  *   - q_emb_topk: exact ANN ground truth (corpus × broadcast query set);
+  *   - q_emb_pq_topk: the ADC scan (8-byte codes × broadcast per-query
+  *     lookup tables) — all-pairs over codes IS the PQ algorithm, and the
+  *     big side contributes 8 bytes/row.
+  * Any new operator that accidentally plans a cartesian (e.g. a join whose
+  * equi-key got lost in a refactor) fails here before it ships.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val allPairsByDesign = Set("q_emb_topk", "q_emb_pq_topk")
+
+  test("no registered query plans a cartesian or nested-loop join (whitelist: brute-force baselines)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => allPairsByDesign(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+        if (bad.isEmpty) None else Some(s"$name -> ${bad.mkString(",")}")
+      }
+    assert(offenders.isEmpty, s"scale-hostile join shapes:\n${offenders.mkString("\n")}")
+  }
+
+  test("the whitelisted baselines DO broadcast their small side (not the corpus)") {
+    for (n <- allPairsByDesign) {
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"), s"$n: expected the documented all-pairs scan")
+      assert(plan.contains("BroadcastExchange"), s"$n: the query side must be the broadcast side")
+    }
+  }
+}
