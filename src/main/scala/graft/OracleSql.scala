@@ -790,6 +790,24 @@ FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.9::DOUBLE
 ORDER BY id1, id2""",
 
+    // image phash near-dups: brute-force hamming over base ∪ planted twins
+    // (phash formula mirrored from Synth.images; twin = xor 5, hamming 2)
+    "q_image_phash_dups" ->
+      """WITH base AS (
+  SELECT 'img' || o_orderkey AS image_id,
+    ((o_orderkey * 48271 + 11) % 2147483647) * 2147483648
+      + ((o_orderkey * 69621 + 7) % 2147483647) AS phash
+  FROM orders),
+all_imgs AS (
+  SELECT image_id, phash FROM base
+  UNION ALL
+  SELECT image_id || '_d', xor(phash, 5) FROM base WHERE phash % 64 = 0)
+SELECT a.image_id AS id1, b.image_id AS id2,
+  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM all_imgs a JOIN all_imgs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+ORDER BY id1, id2""",
+
     // ---- events ------------------------------------------------------------
     // value is summed as integer micro-units (floor(value*1e6) is the same
     // double op in both engines; BIGINT SUM is order-insensitive, unlike

@@ -470,6 +470,21 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // image near-dup by perceptual hash: planted twins (phash % 64 == 0
+    // duplicated with bits 0 and 2 flipped → hamming 2) must all surface
+    // through the 4×16-bit band blocking; the oracle brute-forces hamming
+    // over the same base ∪ planted set
+    "q_image_phash_dups" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      val base = Synth.images(s, dir, g, withBytes = false)
+        .select(col("image_id"), col("phash"))
+      val planted = base.filter(col("phash") % 64 === 0)
+        .select(concat(col("image_id"), lit("_d")).as("image_id"),
+          col("phash").bitwiseXOR(lit(5L)).as("phash"))
+      ImageOps.phashNearDups(base.unionByName(planted), maxHam = 3)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- images: multimodal columns --------------------------------------
     // per-(w,h) EXACT integer channel sums: mean_c * w * h recovers the
     // decoded byte sum, so the 64-row aggregate pins every pixel of every

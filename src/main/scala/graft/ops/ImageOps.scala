@@ -19,6 +19,31 @@ object ImageOps {
       image_id: String, fmt: String, w: Int, h: Int,
       mean_r: Double, mean_g: Double, mean_b: Double, decode_ok: Boolean)
 
+  /** Perceptual-hash near-duplicate image pairs — the image twin of SimHash
+    * text dedup: band-blocked Hamming join over the 64-bit `phash` column.
+    * 4×16-bit bands: a pair within Hamming distance ≤ 3 must share at least
+    * one intact band (pigeonhole), so candidate generation is a
+    * (band, bucket) equi-join on narrow (id, phash) rows — never all-pairs,
+    * and image bytes never enter the join at all — with the exact
+    * bit_count(xor) verify on candidates only. */
+  def phashNearDups(images: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && maxHam < 4, "4-band blocking is complete only for hamming < 4")
+    val banded = images.select(col("image_id"), col("phash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(phash, b * 16) & 65535 AS bucket))"))
+          .as("bb"))
+      .select(col("image_id"), col("phash"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("image_id").as("id1"), col("phash").as("p1"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("image_id").as("id2"), col("phash").as("p2"))
+    l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("p1").bitwiseXOR(col("p2"))))
+      .filter(col("hamming") <= maxHam)
+      .select("id1", "id2", "hamming")
+  }
+
   /** decode + per-channel mean feature extraction. Partition-batched typed
     * island: binary payloads never pass through (de)serialization more than
     * once and the hot loop is plain JVM byte math. */
