@@ -23,7 +23,9 @@ object OracleLiterals {
     // golden-file replays: static reference data (sfDir-independent), pinned
     // because the driver's DuckDB sees only the sf parquet tables, not the
     // reference's GeoJSON files
-    "q_golden_alpine", "q_golden_sf_summary", "q_golden_corpus")
+    "q_golden_alpine", "q_golden_sf_summary", "q_golden_corpus",
+    // thumbnail pixel checksum: BMP decode+resize is not SQL-expressible
+    "q_image_thumbs")
 
   private def load(name: String): Option[String] = {
     val in = getClass.getResourceAsStream(s"/pins/$name.sql")

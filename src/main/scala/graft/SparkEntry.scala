@@ -502,6 +502,27 @@ object SparkEntry {
         .orderBy("w", "h")
     }),
 
+    // thumbnails (nearest-neighbor resize of the decoded BMPs, re-encoded):
+    // every thumbnail is re-decoded and its exact pixel content pinned via
+    // an order-insensitive checksum (count + total byte sum + xor of
+    // per-image xxhash64(id, pix_sum)) — one pinned row gates all resizes
+    "q_image_thumbs" -> ((s, dir) => {
+      import s.implicits._
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val thumbs = ImageOps.thumbnails(s, Synth.images(s, dir, g0), 4, 4)
+      val pix = thumbs.select(col("image_id"), col("thumb"))
+        .as[(String, Array[Byte])]
+        .map { case (id, b) =>
+          val (rgb, w, h) = graft.synth.Bmp.decode(b)
+          var sum = 0L; var i = 0
+          while (i < rgb.length) { sum += rgb(i) & 0xff; i += 1 }
+          (id, w, h, sum)
+        }.toDF("image_id", "tw", "th", "pix_sum")
+      pix.agg(count(lit(1)).as("n"), max(col("tw")).as("tw"), max(col("th")).as("th"),
+        sum(col("pix_sum")).as("total_pix"),
+        expr("bit_xor(xxhash64(image_id, pix_sum))").as("fp"))
+    }),
+
     // ---- audio: multimodal columns (REAL wav decode, JDK-parser-oracled) --
     // integer aggregate per sample-rate group: sums of per-clip exact integer
     // features pin every decoded PCM sample against the committed oracle

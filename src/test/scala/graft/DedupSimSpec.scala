@@ -240,6 +240,25 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("thumbnails: nearest-neighbor resize matches hand-computed pixels; non-bmp passes through") {
+    val ph = 0x0123456789abcdefL
+    val src = Bmp.forPhash(ph, 8, 8)
+    val df = Seq(("i0", "bmp", src), ("i1", "png", Array[Byte](1, 2, 3)))
+      .toDF("image_id", "fmt", "bytes")
+    val out = ImageOps.thumbnails(spark, df, 4, 4).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("thumb")).toMap
+    val (rgb8, w8, h8) = Bmp.decode(src)
+    assert(w8 === 8 && h8 === 8)
+    val (rgb4, w4, h4) = Bmp.decode(out("i0"))
+    assert(w4 === 4 && h4 === 4)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+      val sy = y * 8 / 4; val sx = x * 8 / 4
+      assert(rgb4((y * 4 + x) * 3 + c) === rgb8((sy * 8 + sx) * 3 + c),
+        s"pixel ($x,$y) channel $c")
+    }
+    assert(out("i1").toSeq === Seq[Byte](1, 2, 3), "stub fmt must pass through unchanged")
+  }
+
   test("frame sampling slices byte-exact decodable frames without decoding") {
     val w = 16; val h = 9; val n = 24
     def frame(vid: Long, f: Int): Array[Byte] =
