@@ -183,10 +183,12 @@ ORDER BY streets, node_id, lat, lon""",
 
     // ---- S2: lineage materialize/resume — the second materialize of the
     // same input must SKIP (stage_runs stays 1) and reload bytes that
-    // recompute to the same aggregate the oracle derives from orders
+    // recompute to the same aggregate the oracle derives from orders.
+    // Revenue in integer cents: BIGINT SUM is order-insensitive.
     "q_lineage_resume" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
-  ROUND(SUM(o_totalprice), 4) AS revenue, 1 AS stage_runs
+  CAST(SUM(CAST(ROUND(o_totalprice * 100.0::DOUBLE) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  1 AS stage_runs
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // ---- P8/A9/F16: UI street filters (substring + regex + city) ----------

@@ -13,6 +13,22 @@ import graft.sim.SimOps
   */
 object SparkEntry {
 
+  /** Per-query scratch directory, WIPED at each invocation: queries that
+    * materialize intermediate files (GeoJSON round-trip, lineage resume)
+    * must not accumulate one dump per run on a shared box — each keeps
+    * exactly one copy on disk. */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_q_scratch", name)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** Flagship query on sf0.001: full intersections pipeline (J1+J2-J5+J6,
     * W1, A4-A7, X1) with city assignment. */
   def entry(spark: SparkSession): DataFrame =
@@ -135,8 +151,7 @@ object SparkEntry {
     // escaping loss in either direction breaks the hash match
     "q_geojson_roundtrip" -> ((s, dir) => {
       val feats = Pipeline.features(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_geojson_rt")
-        .toString + "/features"
+      val path = scratchDir("geojson_rt") + "/features"
       graft.sources.GeoJson.writeJsonl(feats, path)
       graft.sources.GeoJson.readFeatures(s, path)
         .select(col("streets"), col("lat"), col("lon"),
@@ -152,13 +167,17 @@ object SparkEntry {
     // serve bytes that still match the oracle's recompute from orders
     "q_lineage_resume" -> ((s, dir) => {
       val input = s.read.parquet(s"$dir/orders.parquet")
-      val outDir = java.nio.file.Files.createTempDirectory("graft_lineage_q").toString
+      val outDir = scratchDir("lineage_resume")
       val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+      // revenue summed as integer CENTS: a double SUM over ~5k rows per
+      // group is partial-aggregation-order-dependent and could round the
+      // 4th decimal differently from DuckDB's sequential sum (same hazard
+      // class the events oracles avoid with integer micro-units)
       def stage(df: DataFrame): DataFrame = {
         runs.incrementAndGet()
         df.groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n_orders"),
-            round(sum(col("o_totalprice")), 4).as("revenue"))
+            sum(round(col("o_totalprice") * 100.0, 0).cast("long")).as("revenue_cents"))
       }
       graft.ckpt.Lineage.materialize(s, outDir, input, stage)
       val resumed = graft.ckpt.Lineage.materialize(s, outDir, input, stage)

@@ -90,7 +90,7 @@ object GridCell {
 
   private def checkedSize(cellsLon: Long, cellsLat: Long): Int = {
     require(cellsLon > 0 && cellsLat > 0,
-      s"cell disk half-widths must be >= 0 (got sides $cellsLon x $cellsLat)")
+      s"cell disk half-widths must be >= 0 (got side lengths 2k+1 = $cellsLon x $cellsLat)")
     val n = cellsLon * cellsLat // Long arithmetic: no Int overflow
     require(n <= MaxDiskCells,
       s"cell disk of $n cells exceeds cap $MaxDiskCells — use a coarser grid res " +

@@ -678,6 +678,20 @@ case class MultiPatternMatch(text: Expression, regexes: Array[String],
   override protected def withNewChildInternal(c: Expression): Expression = copy(text = c)
 }
 
+/** F13 gmapUrl (reference offset.js:133-137): the exact padded
+  * "   lat,lon  " string JS template interpolation produces. JS prints
+  * integral doubles WITHOUT the trailing ".0" Java's cast appends
+  * (`${-120.0}` is "-120"), so the cast is followed by a ".0$" strip;
+  * non-integral fix6 coordinates are untouched. ONE construction shared by
+  * the Column (fns.gmap_url) and SQL (graft_gmap_url) surfaces. */
+object GmapUrl {
+  def expr(lat: Expression, lon: Expression): Expression = {
+    def js(x: Expression): Expression =
+      RegExpReplace(Cast(x, StringType), Literal("\\.0$"), Literal(""))
+    Concat(Seq(Literal("   "), js(lat), Literal(","), js(lon), Literal("  ")))
+  }
+}
+
 object fns {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -688,15 +702,9 @@ object fns {
   def cell_disk(cell: Column, k: Column): Column = c(CellDisk(e(cell), e(k)))
   def cell_disk_rect(cell: Column, kLon: Column, kLat: Column): Column =
     c(CellDiskRect(e(cell), e(kLon), e(kLat)))
-  /** F13 gmapUrl (reference offset.js:133-137): the exact padded
-    * "   lat,lon  " demo string the reference logs — surface-completeness
-    * item; double→string uses shortest-round-trip repr like JS template
-    * interpolation on the fix6 inputs the reference feeds it. */
-  def gmap_url(lat: Column, lon: Column): Column =
-    org.apache.spark.sql.functions.concat(
-      org.apache.spark.sql.functions.lit("   "), lat.cast("string"),
-      org.apache.spark.sql.functions.lit(","), lon.cast("string"),
-      org.apache.spark.sql.functions.lit("  "))
+  /** F13 gmapUrl — see GmapUrl (one shared expression tree for the Column
+    * and SQL surfaces). */
+  def gmap_url(lat: Column, lon: Column): Column = c(GmapUrl.expr(e(lat), e(lon)))
   def cell_parent(cell: Column, res: Int, parentRes: Int): Column =
     c(CellParent(e(cell), res, parentRes))
   def s2_cell(lat: Column, lon: Column, level: Int): Column =

@@ -45,8 +45,7 @@ object GraftFunctions {
     entry("graft_cell_disk_rect", "rectangular cell disk (kLon, kLat half-widths)", 3) {
       a => CellDiskRect(a(0), a(1), a(2)) },
     entry("graft_gmap_url", "reference gmapUrl(): padded 'lat,lon' string (F13)", 2) {
-      a => Concat(Seq(Literal("   "), Cast(a(0), StringType), Literal(","),
-        Cast(a(1), StringType), Literal("  "))) },
+      a => GmapUrl.expr(a(0), a(1)) },
     entry("graft_cell_parent", "parent cell at a coarser res", 3) {
       a => CellParent(a(0), intLit("graft_cell_parent", a(1), 2),
         intLit("graft_cell_parent", a(2), 3)) },

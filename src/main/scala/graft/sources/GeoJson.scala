@@ -49,10 +49,12 @@ object GeoJson {
       col("properties.cityName").as("cityName"))
   }
 
-  /** Pretty-printed FeatureCollection reader — the EXACT on-disk shape of the
-    * reference's 117 golden county outputs (the json files under
-    * `data/intersections`, written geo.js:1302 as one indented JSON
-    * document). multiLine JSON makes
+  /** Pretty-printed FeatureCollection reader — the EXACT on-disk shape of
+    * the reference's golden county outputs (the json files under
+    * `data/intersections`: the repo describes 117 counties, 107 files are
+    * actually shipped — the 10 largest are elided per .MISSING_LARGE_BLOBS —
+    * and all 107 are ingested and gated here). Written by geo.js:1302 as one
+    * indented JSON document; multiLine JSON makes
     * each file one record (fine at their ≤3 MB size; jsonl is the scale
     * path), then the features array is exploded back to rows. `nodeId` is
     * the reference's int64-or-"Geom" union (geo.js:299) — inference yields

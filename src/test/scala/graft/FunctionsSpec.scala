@@ -53,6 +53,9 @@ class FunctionsSpec extends AnyFunSuite {
         |FROM gpt""".stripMargin).collect()(0)
     // reference offset.js:133-137: `   ${lat},${lon}  ` verbatim
     assert(r.getString(0) === "   38.810724,-119.793042  ")
+    // JS prints integral doubles without '.0' — `${-120.0}` is '-120'
+    val integral = spark.sql("SELECT graft_gmap_url(38.5D, -120.0D)").collect()(0).getString(0)
+    assert(integral === "   38.5,-120  ")
     assert(r.getInt(1) === 9 * 3) // (2·4+1)×(2·1+1)
     val dfSide = Seq((38.810724, -119.793042)).toDF("lat", "lon")
       .select(graft.exprs.fns.gmap_url(org.apache.spark.sql.functions.col("lat"),
