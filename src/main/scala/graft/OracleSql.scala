@@ -165,6 +165,32 @@ SELECT streets, raw, lat, lon, node_id, $cityCase AS city
 FROM withuv, (SELECT (g - 1) * 1000 AS s FROM p) sp
 ORDER BY streets, raw, node_id, lat, lon""",
 
+    // per-way shared-node counts (north_star parity item): the way→node
+    // relation rebuilt closed-form for all six synthetic way families
+    // (H rows, V columns, motorway, two links, circle); SUMs cast BIGINT
+    "q_way_shared_nodes" ->
+      s"""WITH $gridCte,
+nw AS (
+  SELECT r.i AS way_id, r.i * 1000000 + c.i AS node_id
+  FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
+  UNION ALL
+  SELECT 1000000 + c.i, r.i * 1000000 + c.i
+  FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
+  UNION ALL
+  SELECT 2000000, 900000000 + k.i FROM ser k, p WHERE k.i < p.g
+  UNION ALL SELECT 5000000, 900000001
+  UNION ALL SELECT 5000000, 910000001
+  UNION ALL SELECT 5000001, 910000001
+  UNION ALL SELECT 5000001, 910000002
+  UNION ALL SELECT 6000000, 1000001
+  UNION ALL SELECT 6000000, 1000002),
+deg AS (SELECT node_id, COUNT(*) AS n_ways FROM nw GROUP BY node_id)
+SELECT w.way_id, COUNT(*) AS n_nodes,
+  CAST(SUM(CASE WHEN d.n_ways > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_nodes,
+  CAST(SUM(d.n_ways - 1) AS BIGINT) AS sharing_degree
+FROM nw w JOIN deg d USING (node_id)
+GROUP BY w.way_id ORDER BY w.way_id""",
+
     // ---- S6/S7: GeoJSON sink -> source round-trip on the feature output ----
     // identical rowset to q_feature_city minus `raw` (not part of the GeoJSON
     // property shape): a lossless jsonl write + read leaves the oracle

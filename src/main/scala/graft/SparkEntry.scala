@@ -145,6 +145,25 @@ object SparkEntry {
     "q_geoturf_variant" -> ((s, dir) =>
       Pipeline.geoturfFeatures(s, dir).orderBy("streets", "raw", "lat", "lon")),
 
+    // north_star parity item stated verbatim: "reproducing the reference's
+    // ... per-way shared-node counts exactly as join output rows" — for
+    // every way: node count, how many of its nodes are shared with another
+    // way, and the total sharing degree Σ(ways_at_node − 1). One explode +
+    // two partial-aggregated groupBys; the oracle rebuilds the way→node
+    // relation closed-form for all six way families.
+    "q_way_shared_nodes" -> ((s, dir) => {
+      val (_, raw, _) = Pipeline.prepared(s, dir)
+      val nw = raw.select(col("id").as("way_id"), explode(col("nodes")).as("node_id"))
+        .distinct()
+      val deg = nw.groupBy(col("node_id")).agg(count(lit(1)).as("n_ways"))
+      nw.join(deg, Seq("node_id"))
+        .groupBy(col("way_id"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("n_ways") > 1, 1L).otherwise(0L)).as("shared_nodes"),
+          sum(col("n_ways") - 1).as("sharing_degree"))
+        .orderBy("way_id")
+    }),
+
     // ---- S6/S7: GeoJSON sink -> source round-trip ------------------------
     // the distributed jsonl sink then the source, gated against the SAME
     // closed-form oracle as the features it serializes: any precision or
