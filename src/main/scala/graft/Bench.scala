@@ -345,8 +345,19 @@ object Bench {
         def ratio() =
           if (bestL._2 == Double.MaxValue || bestH._2 == Double.MaxValue) 0.0
           else bestL._2 / bestH._2
+        // Time spent WAITING for a storm to pass (probe-gated sleeps) does
+        // not consume the measurement budget — waiting is exactly what the
+        // budget should buy during a storm, and a sustained storm otherwise
+        // eats the whole budget in discarded attempts (observed: a 540 s
+        // budget expired storm-contaminated at ratio 1.57 where the quiet
+        // ratio is 3.4). A 2× hard wall still bounds total pair time.
+        var waitedNs = 0L
+        def budgetLeft(): Boolean = {
+          val elapsed = System.nanoTime() - tStart
+          elapsed - math.min(waitedNs, budgetNs) < budgetNs && elapsed < 2 * budgetNs
+        }
         while (attempts < repeats ||
-               (attempts < maxAttempts && System.nanoTime() - tStart < budgetNs &&
+               (attempts < maxAttempts && budgetLeft() &&
                  (cleanL < 2 || cleanH < 2 || improving || ratio() < ratioTarget))) {
           // A storm-time attempt costs 50-300 s of leg wall time and its
           // sample is discarded by min-filtering anyway — so during a storm,
@@ -357,9 +368,9 @@ object Bench {
           var waited = 0L
           var probe = bwProbe()
           bestProbe = math.max(bestProbe, probe)
-          while (probe < 0.8 * bestProbe && waited < 120000L &&
-                 System.nanoTime() - tStart < budgetNs) {
+          while (probe < 0.8 * bestProbe && waited < 120000L && budgetLeft()) {
             Thread.sleep(10000); waited += 10000
+            waitedNs += 10000L * 1000000L
             probe = bwProbe()
             bestProbe = math.max(bestProbe, probe)
           }

@@ -24,8 +24,9 @@ object OracleLiterals {
     // because the driver's DuckDB sees only the sf parquet tables, not the
     // reference's GeoJSON files
     "q_golden_alpine", "q_golden_sf_summary", "q_golden_corpus",
-    // thumbnail pixel checksum: BMP decode+resize is not SQL-expressible
-    "q_image_thumbs")
+    // thumbnail pixel / downsampled PCM checksums: codec paths DuckDB
+    // cannot re-express
+    "q_image_thumbs", "q_audio_downsample")
 
   private def load(name: String): Option[String] = {
     val in = getClass.getResourceAsStream(s"/pins/$name.sql")
