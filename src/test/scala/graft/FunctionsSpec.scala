@@ -56,6 +56,26 @@ class FunctionsSpec extends AnyFunSuite {
     // JS prints integral doubles without '.0' — `${-120.0}` is '-120'
     val integral = spark.sql("SELECT graft_gmap_url(38.5D, -120.0D)").collect()(0).getString(0)
     assert(integral === "   38.5,-120  ")
+    // property sweep: random fix6 coords (incl. forced integral ones) match
+    // JS template semantics computed independently
+    def jsRepr(x: Double): String =
+      if (x == math.floor(x)) x.toLong.toString else x.toString
+    val rnd = new scala.util.Random(7)
+    val coords = (0 until 200).map { i =>
+      def fix6(v: Double) = math.round(v * 1e6) / 1e6
+      val la = if (i % 9 == 0) (rnd.nextInt(181) - 90).toDouble
+               else fix6(-90 + rnd.nextDouble() * 180)
+      val lo = if (i % 7 == 0) (rnd.nextInt(361) - 180).toDouble
+               else fix6(-180 + rnd.nextDouble() * 360)
+      (la, lo)
+    }
+    import spark.implicits._
+    val got = coords.toDF("la", "lo")
+      .select(graft.exprs.fns.gmap_url(org.apache.spark.sql.functions.col("la"),
+        org.apache.spark.sql.functions.col("lo"))).as[String].collect()
+    coords.zip(got).foreach { case ((la, lo), g) =>
+      assert(g === s"   ${jsRepr(la)},${jsRepr(lo)}  ", s"($la,$lo)")
+    }
     assert(r.getInt(1) === 9 * 3) // (2·4+1)×(2·1+1)
     val dfSide = Seq((38.810724, -119.793042)).toDF("lat", "lon")
       .select(graft.exprs.fns.gmap_url(org.apache.spark.sql.functions.col("lat"),

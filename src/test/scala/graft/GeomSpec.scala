@@ -199,6 +199,39 @@ class GeomSpec extends AnyFunSuite {
 }
 
 class CellsSpec extends AnyFunSuite {
+  test("diskRect covers every point within the radius (random lat/meters/res sweep)") {
+    val rnd = new scala.util.Random(42)
+    var checked = 0
+    for (_ <- 0 until 300) {
+      val res = rnd.nextInt(6)
+      val meters = math.pow(10, 1 + rnd.nextDouble() * 3) // 10 m .. 10 km
+      val lat0 = -89.0 + rnd.nextDouble() * 178.0
+      val lon0 = -170.0 + rnd.nextDouble() * 340.0
+      val latRadDeg = meters / (Geom.EarthRadiusM * math.Pi / 180.0)
+      val kLon = GridCell.kFor(lat0, meters, res)
+      val kLat = GridCell.kLatFor(meters, res)
+      if (math.abs(lat0) + latRadDeg < 89.9 &&
+          (2L * kLon + 1) * (2L * kLat + 1) <= GridCell.MaxDiskCells) {
+        val disk = GridCell.diskRect(GridCell.encode(lat0, lon0, res), kLon, kLat).toSet
+        for (_ <- 0 until 20) {
+          val ang = rnd.nextDouble() * 2 * math.Pi
+          val d = rnd.nextDouble() * meters
+          val dlat = d * math.cos(ang) / 111194.9
+          val dlon = d * math.sin(ang) /
+            (111194.9 * math.max(0.02, math.cos(math.toRadians(math.abs(lat0) + latRadDeg))))
+          val (la, lo) = (lat0 + dlat, lon0 + dlon)
+          if (math.abs(la) <= 90.0 && math.abs(lo) <= 180.0 &&
+              Geom.haversineM(lat0, lon0, la, lo) <= meters) {
+            checked += 1
+            assert(disk.contains(GridCell.encode(la, lo, res)),
+              s"lat=$lat0 lon=$lon0 m=$meters res=$res point ($la,$lo) outside rect disk ($kLon,$kLat)")
+          }
+        }
+      }
+    }
+    assert(checked > 2000, s"sweep must exercise real points, got $checked")
+  }
+
   test("encode/unpack round trip, negative coords") {
     val c = GridCell.encode(37.123456, -122.987654, 2)
     assert(GridCell.unpackLonIdx(c) === math.floor(-122.987654 * 100).toLong)
