@@ -614,7 +614,11 @@ LEFT JOIN hits h USING (doc_id) ORDER BY c.doc_id""",
     // BM25 (Okapi, k1=1.2, b=0.75): expression trees mirror the Spark side
     // op-for-op (same association order), each term contribution rounded to
     // nano-units before the BIGINT sum so both engines add identical
-    // integers in any order
+    // integers in any order. LN is the one transcendental in the formula:
+    // JVM Math.log and DuckDB's libm log agree on these inputs (verified at
+    // both SFs); a 1-ulp divergence would need the true value within 1e-16
+    // of a 0.5e-9 rounding boundary to flip a term — if it ever does, the
+    // idf can be pre-rounded per TOKEN to micro-units on both sides.
     "q_doc_bm25" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),

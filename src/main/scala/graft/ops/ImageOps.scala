@@ -25,7 +25,15 @@ object ImageOps {
     * one intact band (pigeonhole), so candidate generation is a
     * (band, bucket) equi-join on narrow (id, phash) rows — never all-pairs,
     * and image bytes never enter the join at all — with the exact
-    * bit_count(xor) verify on candidates only. */
+    * bit_count(xor) verify on candidates only.
+    *
+    * Scale rung: the bucket space is 2^16 per band, so at corpus sizes far
+    * beyond that, per-bucket collision lists grow linearly and the
+    * within-bucket pairing dominates; the standard next step is secondary
+    * blocking inside hot buckets (split on a prefix of the OTHER bands'
+    * bits — any ≤3-flip pair still collides in one refined bucket because
+    * the intact band plus intact other-band prefix pigeonhole again), the
+    * same remedy Skew.scala applies to hot spatial cells. */
   def phashNearDups(images: DataFrame, maxHam: Int = 3): DataFrame = {
     require(maxHam >= 0 && maxHam < 4, "4-band blocking is complete only for hamming < 4")
     val banded = images.select(col("image_id"), col("phash"),
