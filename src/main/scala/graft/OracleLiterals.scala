@@ -19,7 +19,7 @@ object OracleLiterals {
   val pinned: Seq[String] = Seq(
     "q_image_s2cells", "q_image_h3cells", "q_emb_lsh_topk", "q_emb_pq_topk",
     "q_doc_simhash", "q_doc_fingerprints", "q_doc_token_hll",
-    "q_image_features", "q_audio_features",
+    "q_image_features", "q_image_psnr", "q_audio_features",
     // golden-file replays: static reference data (sfDir-independent), pinned
     // because the driver's DuckDB sees only the sf parquet tables, not the
     // reference's GeoJSON files

@@ -16,18 +16,32 @@ object SparkEntry {
   /** Per-query scratch directory, WIPED at each invocation: queries that
     * materialize intermediate files (GeoJSON round-trip, lineage resume)
     * must not accumulate one dump per run on a shared box — each keeps
-    * exactly one copy on disk. */
+    * exactly one copy on disk. Namespaced per PROCESS so concurrent runs
+    * (bench + tests on a shared box) never wipe each other's in-flight
+    * files; the walk stream is closed via try/finally (it holds a file
+    * handle until closed). */
   private def scratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_q_scratch", name)
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q_scratch_${ProcessHandle.current().pid()}", name)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
+
+  /** Golden-replay root (the reference's shipped outputs). Resolvable via
+    * -Dgraft.golden.dir / GRAFT_GOLDEN_DIR so the registered query surface
+    * does not hard-fail on machines without this sandbox's exact layout. */
+  private def goldenDir: String =
+    sys.props.get("graft.golden.dir")
+      .orElse(sys.env.get("GRAFT_GOLDEN_DIR"))
+      .getOrElse("/root/reference/data/intersections")
 
   /** Flagship query on sf0.001: full intersections pipeline (J1+J2-J5+J6,
     * W1, A4-A7, X1) with city assignment. */
@@ -213,7 +227,7 @@ object SparkEntry {
     // sfDir-independent static data → regression pin.
     "q_golden_alpine" -> ((s, dir) => {
       val feats = graft.sources.GeoJson.readFeatureCollection(s,
-        "/root/reference/data/intersections/intersections_Alpine_County.json")
+        s"$goldenDir/intersections_Alpine_County.json")
       feats.select(
         col("streets"),
         graft.exprs.fns.clean_street_key(col("streets")).as("cleaned"),
@@ -233,7 +247,7 @@ object SparkEntry {
     // ingested and gated.
     "q_golden_corpus" -> ((s, dir) => {
       val feats = graft.sources.GeoJson.readFeatureCollections(s,
-        "/root/reference/data/intersections/*.json")
+        s"$goldenDir/*.json")
       feats.groupBy(col("county"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("nodeId") === "Geom", 1L).otherwise(0L)).as("n_geom"),
@@ -247,7 +261,7 @@ object SparkEntry {
     // raw) — gates union-type handling + F2 on 8k real names in aggregate.
     "q_golden_sf_summary" -> ((s, dir) => {
       val feats = graft.sources.GeoJson.readFeatureCollection(s,
-        "/root/reference/data/intersections/intersections_San_Francisco.json")
+        s"$goldenDir/intersections_San_Francisco.json")
       feats.groupBy(col("cityName").as("city"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("nodeId") === "Geom", 1L).otherwise(0L)).as("n_geom"),
@@ -524,20 +538,38 @@ object SparkEntry {
     }),
 
     // ---- images: multimodal columns --------------------------------------
-    // per-(w,h) EXACT integer channel sums: mean_c * w * h recovers the
-    // decoded byte sum, so the 64-row aggregate pins every pixel of every
-    // decoded image against the committed literal oracle (DuckDB cannot
-    // decode BMP; the per-image surface keeps its javax.imageio ScalaTest
-    // oracle in OpsSpec).
+    // per-(fmt,w,h) EXACT integer channel sums: mean_c * w * h recovers the
+    // decoded byte sum, so the aggregate pins every pixel of every decoded
+    // image — per CODEC (bmp hand-rolled, png/jpeg via javax.imageio) —
+    // against the committed literal oracle (DuckDB cannot decode any of the
+    // three; the per-image surface keeps its javax.imageio ScalaTest oracle
+    // in DedupSimSpec).
     "q_image_features" -> ((s, dir) => {
       val wh = col("w").cast("double") * col("h").cast("double")
       def chanSum(c: String) = sum(round(col(c) * wh).cast("long")).as(s"sum_${c.last}")
       ImageOps.decodeFeatures(s, Synth.images(s, dir, Pipeline.prepared(s, dir)._1))
-        .groupBy(col("w"), col("h"))
+        .groupBy(col("fmt"), col("w"), col("h"))
         .agg(count(lit(1)).as("n"), chanSum("mean_r"), chanSum("mean_g"),
           chanSum("mean_b"),
           sum(when(col("decode_ok"), lit(1L)).otherwise(lit(0L))).as("n_ok"))
-        .orderBy("w", "h")
+        .orderBy("fmt", "w", "h")
+    }),
+
+    // decoded-pixel fidelity vs the synthesis-time source pattern, the
+    // input_hint contract verbatim: lossless rows (bmp/png) must be
+    // bit-exact (PSNR pegged at the 999.00 dB cap), lossy rows (jpeg,
+    // q=0.95 smooth gradients) must clear 40 dB; caption equality rides the
+    // same row. min/avg PSNR in integer centi-dB pin exactly.
+    "q_image_psnr" -> ((s, dir) => {
+      val psnr = ImageOps.psnrVsSource(s,
+        Synth.images(s, dir, Pipeline.prepared(s, dir)._1))
+      psnr.groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n"),
+          min(col("psnr_cdb")).as("min_cdb"),
+          (sum(col("psnr_cdb")) / count(lit(1))).cast("long").as("avg_cdb"),
+          sum(when(col("psnr_cdb") >= 4000L, 1L).otherwise(0L)).as("n_ge_40db"),
+          sum(when(col("caption_ok"), 1L).otherwise(0L)).as("n_caption_ok"))
+        .orderBy("fmt")
     }),
 
     // thumbnails (nearest-neighbor resize of the decoded BMPs, re-encoded):

@@ -2,16 +2,18 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Dataset, Row}
 import org.apache.spark.sql.functions._
-import graft.synth.Bmp
+import graft.synth.{Bmp, Codec}
 
 /** Multimodal (binary) column operators: decode / feature-extract /
   * thumbnail over the opaque `bytes` column, batched per partition
   * (Scala analog of mapInPandas: one decoder instance per partition,
   * rows streamed through it — no per-row setup cost).
   *
-  * BMP decode is real (graft.synth.Bmp, deterministic). Other formats are
-  * STUBBED with a clearly-marked deterministic fake (this container ships no
-  * image codecs beyond javax.imageio, which tests use as the oracle for BMP).
+  * Decode is REAL for all three corpus formats: BMP via the hand-rolled
+  * graft.synth.Bmp, PNG and JPEG via the JDK's javax.imageio
+  * (graft.synth.Codec — no external dependency). Only genuinely unknown
+  * formats take the clearly-marked deterministic stub path
+  * (decode_ok=false / passthrough).
   */
 object ImageOps {
 
@@ -61,9 +63,8 @@ object ImageOps {
       .as[(String, String, Int, Int, Array[Byte], Long)]
       .mapPartitions { it =>
         it.map { case (id, fmt, w, h, bytes, phash) =>
-          fmt match {
-            case "bmp" =>
-              val (rgb, dw, dh) = Bmp.decode(bytes)
+          Codec.decodeAny(fmt, bytes) match {
+            case Some((rgb, dw, dh)) =>
               var r = 0L; var g = 0L; var b = 0L
               var i = 0
               while (i < rgb.length) {
@@ -72,7 +73,7 @@ object ImageOps {
               }
               val n = (dw * dh).toDouble
               ImageFeatures(id, fmt, dw, dh, r / n, g / n, b / n, decode_ok = true)
-            case _ =>
+            case None =>
               // STUB: no codec for this format in-container; deterministic
               // fake derived from phash so the pipeline shape stays real.
               val fake = (phash & 0xff).toDouble
@@ -82,34 +83,61 @@ object ImageOps {
       }.toDF()
   }
 
-  /** thumbnail (nearest-neighbor resize) of the decoded image, re-encoded as
-    * BMP. Real for BMP input; STUB (passthrough) otherwise. */
+  /** thumbnail (nearest-neighbor resize) of the decoded image. Decodes all
+    * three real codecs (bmp/png/jpeg); thumbs re-encode as BMP regardless of
+    * source fmt — the thumbnail store wants ONE deterministic lossless layout
+    * for downstream exact checks, not a re-compression. Unknown fmts pass
+    * through (stub, decode_ok=false). */
   def thumbnails(spark: SparkSession, images: DataFrame, tw: Int, th: Int): DataFrame = {
     import spark.implicits._
     images.select("image_id", "fmt", "bytes")
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, fmt, bytes) =>
-          if (fmt == "bmp") {
-            val (rgb, w, h) = Bmp.decode(bytes)
-            val out = new Array[Byte](tw * th * 3)
-            var y = 0
-            while (y < th) {
-              val sy = y * h / th
-              var x = 0
-              while (x < tw) {
-                val sx = x * w / tw
-                val si = (sy * w + sx) * 3
-                val di = (y * tw + x) * 3
-                out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
-                x += 1
+          Codec.decodeAny(fmt, bytes) match {
+            case Some((rgb, w, h)) =>
+              val out = new Array[Byte](tw * th * 3)
+              var y = 0
+              while (y < th) {
+                val sy = y * h / th
+                var x = 0
+                while (x < tw) {
+                  val sx = x * w / tw
+                  val si = (sy * w + sx) * 3
+                  val di = (y * tw + x) * 3
+                  out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            (id, fmt, Bmp.encode(out, tw, th))
-          } else (id, fmt, bytes) // STUB: unknown codec, pass through
+              (id, fmt, Bmp.encode(out, tw, th), true)
+            case None => (id, fmt, bytes, false) // STUB: unknown codec, pass through
+          }
         }
-      }.toDF("image_id", "fmt", "thumb")
+      }.toDF("image_id", "fmt", "thumb", "decode_ok")
+  }
+
+  /** Per-row decoded-pixel verification vs the synthesis-time source pattern
+    * (the input_hint contract: "decoded-pixel allclose — PSNR≥40dB for lossy
+    * formats — plus caption equality"). Lossless rows must match bit-exactly
+    * (PSNR ∞, stored as the cap); lossy rows must clear 40 dB. PSNR is
+    * reported in integer centi-dB so the aggregate pins exactly. */
+  def psnrVsSource(spark: SparkSession, images: DataFrame, capCdb: Long = 99900L): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "w", "h", "bytes", "phash", "caption")
+      .as[(String, String, Int, Int, Array[Byte], Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, fmt, w, h, bytes, phash, caption) =>
+          val cdb = Codec.decodeAny(fmt, bytes) match {
+            case Some((rgb, _, _)) =>
+              val p = Codec.psnrRgb(Codec.sourcePixels(fmt, phash, w, h), rgb)
+              if (p.isInfinite) capCdb else math.min(capCdb, math.round(p * 100.0))
+            case None => -1L
+          }
+          // caption equality is part of the same per-row invariant
+          (id, fmt, cdb, caption == s"caption ${id.stripPrefix("img")}")
+        }
+      }.toDF("image_id", "fmt", "psnr_cdb", "caption_ok")
   }
 
   /** frame sampling over an opaque "video" payload: frames are fixed-size

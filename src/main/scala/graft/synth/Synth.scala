@@ -139,7 +139,9 @@ object Synth {
   }
 
   /** image table in exact input_hint shape:
-    * (image_id, bytes, w, h, fmt, caption, phash). */
+    * (image_id, bytes, w, h, fmt, caption, phash). Format mix: k%5==1 → png,
+    * k%5==3 → jpeg (lossy: smooth-gradient pixels, quality 0.95, PSNR≥40dB),
+    * else bmp — all three carry REAL encoded payloads (Bmp / javax.imageio). */
   def images(spark: SparkSession, sfDir: String, g: Int, withBytes: Boolean = true): DataFrame = {
     val s = (g - 1) * 1000L
     val o = orders(spark, sfDir).select(col("o_orderkey").as("k"))
@@ -151,12 +153,14 @@ object Synth {
       concat(lit("img"), col("k")).as("image_id"),
       (lit(8) + (col("h1") % 8)).cast("int").as("w"),
       (lit(8) + (col("h2") % 8)).cast("int").as("h"),
-      lit("bmp").as("fmt"),
+      when(col("k") % 5 === 1, "png").when(col("k") % 5 === 3, "jpeg")
+        .otherwise("bmp").as("fmt"),
       concat(lit("caption "), col("k")).as("caption"),
       (col("h1") * 2147483648L + col("h2")).as("phash"))
     if (withBytes) {
-      val bmp = udf((phash: Long, w: Int, h: Int) => Bmp.forPhash(phash, w, h))
-      df.withColumn("bytes", bmp(col("phash"), col("w"), col("h")))
+      val enc = udf((fmt: String, phash: Long, w: Int, h: Int) =>
+        Codec.encodeFor(fmt, phash, w, h))
+      df.withColumn("bytes", enc(col("fmt"), col("phash"), col("w"), col("h")))
         .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
     } else df
   }

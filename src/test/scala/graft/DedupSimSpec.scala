@@ -240,23 +240,32 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
-  test("thumbnails: nearest-neighbor resize matches hand-computed pixels; non-bmp passes through") {
+  test("thumbnails: nearest-neighbor resize matches hand-computed pixels; unknown fmt passes through") {
     val ph = 0x0123456789abcdefL
     val src = Bmp.forPhash(ph, 8, 8)
-    val df = Seq(("i0", "bmp", src), ("i1", "png", Array[Byte](1, 2, 3)))
+    val pngSrc = graft.synth.Codec.encodePng(Bmp.pixels(ph, 8, 8), 8, 8)
+    val df = Seq(
+      ("i0", "bmp", src),
+      ("i1", "png", pngSrc),                      // real codec path (imageio)
+      ("i2", "webp", Array[Byte](1, 2, 3)))       // stub path
       .toDF("image_id", "fmt", "bytes")
-    val out = ImageOps.thumbnails(spark, df, 4, 4).collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("thumb")).toMap
+    val rows = ImageOps.thumbnails(spark, df, 4, 4).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Array[Byte]]("thumb"), r.getAs[Boolean]("decode_ok")))).toMap
     val (rgb8, w8, h8) = Bmp.decode(src)
     assert(w8 === 8 && h8 === 8)
-    val (rgb4, w4, h4) = Bmp.decode(out("i0"))
-    assert(w4 === 4 && h4 === 4)
-    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
-      val sy = y * 8 / 4; val sx = x * 8 / 4
-      assert(rgb4((y * 4 + x) * 3 + c) === rgb8((sy * 8 + sx) * 3 + c),
-        s"pixel ($x,$y) channel $c")
+    for (id <- Seq("i0", "i1")) { // png carries the SAME pixels, lossless
+      assert(rows(id)._2 === true)
+      val (rgb4, w4, h4) = Bmp.decode(rows(id)._1)
+      assert(w4 === 4 && h4 === 4)
+      for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+        val sy = y * 8 / 4; val sx = x * 8 / 4
+        assert(rgb4((y * 4 + x) * 3 + c) === rgb8((sy * 8 + sx) * 3 + c),
+          s"$id pixel ($x,$y) channel $c")
+      }
     }
-    assert(out("i1").toSeq === Seq[Byte](1, 2, 3), "stub fmt must pass through unchanged")
+    assert(rows("i2")._1.toSeq === Seq[Byte](1, 2, 3), "stub fmt must pass through unchanged")
+    assert(rows("i2")._2 === false)
   }
 
   test("frame sampling slices byte-exact decodable frames without decoding") {
@@ -316,28 +325,64 @@ class DedupSimSpec extends AnyFunSuite {
       .as[(String, String, Long, Int, Int, Array[Byte])].collect()
       .map(r => r._1 -> r).toMap
     assert(out.length === 50)
+    val fmts = images.select("image_id", "fmt").as[(String, String)].collect().toMap
     out.foreach { case r @ (id, cap, ph, w, h, bytes) =>
       val o = orig(id)
+      val fmt = fmts(id)
       assert(cap === o._2, "caption equality")
-      // decoded-pixel equality (PSNR = inf ≥ 40 dB)
-      assert(Bmp.decode(bytes)._1.toSeq === Bmp.decode(o._6)._1.toSeq)
-      assert(Bmp.pixels(ph, w, h).toSeq === Bmp.decode(bytes)._1.toSeq)
+      // bytes survive the shuffle unchanged, whatever the codec
+      assert(bytes.toSeq === o._6.toSeq, s"$id ($fmt) payload bytes")
+      // decoded-pixel allclose vs the synthesis-time source pattern:
+      // bit-exact for lossless bmp/png (PSNR = inf), >= 40 dB for jpeg
+      val (rgb, dw, dh) = graft.synth.Codec.decodeAny(fmt, bytes).get
+      assert(dw === w && dh === h)
+      val src = graft.synth.Codec.sourcePixels(fmt, ph, w, h)
+      if (fmt == "jpeg")
+        assert(graft.synth.Codec.psnrRgb(src, rgb) >= 40.0, s"$id jpeg PSNR")
+      else
+        assert(rgb.toSeq === src.toSeq, s"$id ($fmt) lossless pixels")
     }
   }
 
-  test("decodeFeatures: means match hand-computed pixels; non-bmp is stubbed") {
+  test("decodeFeatures: means match hand-computed pixels for all 3 codecs; unknown fmt is stubbed") {
+    import graft.synth.Codec
     val rgb = Bmp.pixels(42L, 8, 8)
+    val smooth = Codec.smoothPixels(42L, 8, 8)
     val df = Seq(
       ("a", "bmp", 8, 8, Bmp.encode(rgb, 8, 8), 42L),
-      ("b", "png", 8, 8, Array[Byte](1, 2, 3), 99L))
+      ("p", "png", 8, 8, Codec.encodePng(rgb, 8, 8), 42L),
+      ("j", "jpeg", 8, 8, Codec.encodeJpeg(smooth, 8, 8), 42L),
+      ("b", "webp", 8, 8, Array[Byte](1, 2, 3), 99L))
       .toDF("image_id", "fmt", "w", "h", "bytes", "phash")
     val feats = ImageOps.decodeFeatures(spark, df)
       .select("image_id", "mean_r", "decode_ok")
       .as[(String, Double, Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
-    val expR = rgb.grouped(3).map(p => (p(0) & 0xff).toDouble).sum / 64
-    assert(math.abs(feats("a")._1 - expR) < 1e-9)
+    def meanR(px: Array[Byte]) = px.grouped(3).map(p => (p(0) & 0xff).toDouble).sum / 64
+    assert(math.abs(feats("a")._1 - meanR(rgb)) < 1e-9)
     assert(feats("a")._2 === true)
+    // png is lossless: mean must equal the source pixels' mean exactly
+    assert(math.abs(feats("p")._1 - meanR(rgb)) < 1e-9)
+    assert(feats("p")._2 === true)
+    // jpeg q=0.95 on a smooth gradient: mean within a few levels of source
+    assert(math.abs(feats("j")._1 - meanR(smooth)) < 4.0)
+    assert(feats("j")._2 === true)
     assert(feats("b")._2 === false)
+  }
+
+  test("Codec: png round-trips bit-exact; jpeg smooth-gradient PSNR clears 40 dB at all synth sizes") {
+    import graft.synth.Codec
+    for (w <- 8 to 15; h <- Seq(8, 11, 15)) {
+      val ph = w * 1000L + h * 7L + 0x9e3779b9L
+      val rgb = Bmp.pixels(ph, w, h)
+      val (back, dw, dh) = Codec.decode(Codec.encodePng(rgb, w, h))
+      assert(dw === w && dh === h)
+      assert(back.toSeq === rgb.toSeq, s"png roundtrip $w x $h")
+      val smooth = Codec.smoothPixels(ph, w, h)
+      val (jback, jw, jh) = Codec.decode(Codec.encodeJpeg(smooth, w, h))
+      assert(jw === w && jh === h)
+      val p = Codec.psnrRgb(smooth, jback)
+      assert(p >= 40.0, f"jpeg PSNR $p%.1f dB at $w x $h (contract: >= 40)")
+    }
   }
 }
