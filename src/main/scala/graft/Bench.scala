@@ -123,6 +123,33 @@ object Bench {
     val benchDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
       s"/tmp/graft_bench_${new java.io.File(sfDir).getName}")
 
+    // Single-thread sequential-read memory-bandwidth probe (GiB/s). CPU
+    // steal from /proc/stat misses co-tenant MEMORY-BANDWIDTH contention
+    // entirely (observed: the same leg at ~5% steal ran 2.4 s in a quiet
+    // window and 46 s in a storm) — the probe is the independent witness:
+    // it collapses with the storm, so attempts whose probe rate is well
+    // below the best-seen rate are not counted as clean-window evidence.
+    // Defined up here because BOTH measured phases gate on it: the
+    // per-query walls (storm-gated min-of-N this round — r03's single-shot
+    // walls were 5-10× outliers under storms, unattributable) and the
+    // scaling pairs.
+    val probeArr = new Array[Long](16 << 20) // 128 MiB
+    @volatile var probeSink = 0L
+    def bwProbe(): Double = {
+      var sum = 0L
+      val t0 = System.nanoTime()
+      var pass = 0
+      while (pass < 2) {
+        var i = 0
+        while (i < probeArr.length) { sum += probeArr(i); i += 1 }
+        pass += 1
+      }
+      probeSink = sum
+      2.0 * 0.125 / ((System.nanoTime() - t0) / 1e9) // 2 × 128 MiB in GiB/s
+    }
+    (0 until 3).foreach(_ => bwProbe()) // JIT + page-fault warmup
+    var bestProbe = 0.0
+
     // ---- per-query timings at the requested parallelism ----
     var spark = session(cpus)
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SCALING_ONLY")
@@ -145,13 +172,41 @@ object Bench {
       System.err.println(
         f"[bench] prep (prepared + features + county layout): ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // Per-query walls, STORM-GATED (same methodology as the scaling pairs,
+    // r03 verdict item): min-of-N samples per query, each attempt preceded
+    // by the bandwidth-probe witness — during a detected storm the loop
+    // waits on the cheap probe (bounded by a SHARED wait budget) instead of
+    // burning a contaminated sample. If the N samples still disagree by
+    // >1.5× (storm passed through mid-query), up to 2 extra samples are
+    // taken. Contention is one-sided, so min-filtering is unbiased.
+    val qRepeats = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "2").toInt
+    var qWaitLeftMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_STORM_WAIT_S", "300").toLong * 1000L
     val results = (if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s ${if (ok) f"$sec%8.2f s" else "FAILED"}")
-      name -> (if (ok) sec else -1.0)
+      var best = Double.MaxValue
+      var worst = 0.0
+      var ok = true
+      var attempt = 0
+      while (ok && (attempt < qRepeats ||
+             (attempt < qRepeats + 2 && worst > best * 1.5))) {
+        var probe = bwProbe()
+        bestProbe = math.max(bestProbe, probe)
+        while (probe < 0.8 * bestProbe && qWaitLeftMs > 0) {
+          Thread.sleep(5000); qWaitLeftMs -= 5000
+          probe = bwProbe()
+          bestProbe = math.max(bestProbe, probe)
+        }
+        val t0 = System.nanoTime()
+        ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) {
+          System.err.println(f"[bench] $name%-24s sample $attempt: $sec%8.2f s (probe $probe%.1f GiB/s)")
+          best = math.min(best, sec); worst = math.max(worst, sec)
+        }
+        attempt += 1
+      }
+      System.err.println(f"[bench] $name%-24s ${if (ok) f"$best%8.2f s" else "FAILED"}")
+      name -> (if (ok) best else -1.0)
     }
     if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES_ONLY")) {
       // dev iteration mode: per-query walls only, skip the scaling pairs
@@ -275,27 +330,8 @@ object Bench {
       }
     }
 
-    // Single-thread sequential-read memory-bandwidth probe (GiB/s). CPU
-    // steal from /proc/stat misses co-tenant MEMORY-BANDWIDTH contention
-    // entirely (observed: the same leg at ~5% steal ran 2.4 s in a quiet
-    // window and 46 s in a storm) — the probe is the independent witness:
-    // it collapses with the storm, so attempts whose probe rate is well
-    // below the best-seen rate are not counted as clean-window evidence.
-    val probeArr = new Array[Long](16 << 20) // 128 MiB
-    @volatile var probeSink = 0L
-    def bwProbe(): Double = {
-      var sum = 0L
-      val t0 = System.nanoTime()
-      var pass = 0
-      while (pass < 2) {
-        var i = 0
-        while (i < probeArr.length) { sum += probeArr(i); i += 1 }
-        pass += 1
-      }
-      probeSink = sum
-      2.0 * 0.125 / ((System.nanoTime() - t0) / 1e9) // 2 × 128 MiB in GiB/s
-    }
-    (0 until 3).foreach(_ => bwProbe()) // JIT + page-fault warmup
+    // (the bandwidth probe and its warmup are defined at the top of main —
+    // shared with the storm-gated per-query loop)
 
     // Page-cache warm: sequentially read every input file of both legs
     // before each attempt. Co-tenants evict the cache between attempts; a
@@ -330,7 +366,8 @@ object Bench {
         var cleanL = 0; var cleanH = 0
         var attempts = 0
         var improving = true
-        var bestProbe = 0.0
+        // bestProbe is the SHARED outer witness state: the peak bandwidth
+        // seen anywhere this run (query loop included) keeps the gate tight
         // Contention noise is ONE-SIDED (a co-tenant can only slow a leg
         // down, never speed it up), so min-filtering is unbiased and extra
         // attempts can only sharpen the estimate. Early exit therefore

@@ -17,8 +17,11 @@ package graft
 object OracleLiterals {
 
   val pinned: Seq[String] = Seq(
-    "q_image_s2cells", "q_image_h3cells", "q_emb_lsh_topk", "q_emb_pq_topk",
-    "q_doc_simhash", "q_doc_fingerprints", "q_doc_token_hll",
+    "q_image_s2cells", "q_image_hex7cells", "q_emb_lsh_topk", "q_emb_pq_topk",
+    // q_doc_simhash / q_doc_fingerprints were pins through round 3; both
+    // are now TRUE SQL oracles in OracleSql (FNV-1a + banding / rolling
+    // hash + splitmix recomputed in DuckDB HUGEINT arithmetic)
+    "q_doc_token_hll",
     "q_image_features", "q_image_psnr", "q_audio_features",
     // golden-file replays: static reference data (sfDir-independent), pinned
     // because the driver's DuckDB sees only the sf parquet tables, not the

@@ -130,6 +130,35 @@ GROUP BY w.way_id, w.name ORDER BY w.way_id"""
          (1000000 + c.c) || ',2000000'
   FROM cc c, p WHERE c.c <= p.g - 2"""
 
+  /** shared by the batch aggregate and its Structured Streaming replay twin
+    * (q_events_tumbling / q_stream_tumbling): one oracle, two engines. */
+  private val eventsTumblingSql =
+    """SELECT event_type, (epoch_us(ts) // 300000000) * 300 AS window_start_sec,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS sum_value_micro
+FROM events GROUP BY event_type, epoch_us(ts) // 300000000
+ORDER BY event_type, window_start_sec"""
+
+  /** shared by batch sessionize and the flatMapGroupsWithState stream twin. */
+  private val eventsSessionsSql =
+    """WITH e AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+  FROM events),
+flagged AS (
+  SELECT user_id, value, ts_us,
+    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+sess AS (
+  SELECT user_id, value, ts_us,
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+  FROM flagged)
+SELECT user_id, sess_id, COUNT(*) AS n_events,
+  (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec,
+  CAST(SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS sum_value_micro
+FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
+
   val all: Map[String, String] = Map(
 
     // ---- closed form: full topological pipeline on the synthetic grid ----
@@ -701,6 +730,126 @@ FROM ranked WHERE rk = 1 ORDER BY doc_id""",
       """SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS dupes
 FROM documents GROUP BY text ORDER BY keep_doc_id""",
 
+    // SimHash near-dup pairs, FULLY recomputed in SQL (promoted from a
+    // regression pin): FNV-1a 64 per token via a recursive CTE over the
+    // (tiny) vocabulary's ASCII bytes in unsigned [0,2^64) HUGEINT
+    // arithmetic, per-bit majority vote with token multiplicity, 4×16-bit
+    // band blocking, then hamming = bit_count(xor) over the signed ids —
+    // the exact banded-candidate semantics of TextOps.simHashPairs.
+    "q_doc_simhash" ->
+      """WITH RECURSIVE
+vocab AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
+fnv(tok, i, h) AS (
+  SELECT tok, 0, 14695981039346656037::HUGEINT FROM vocab
+  UNION ALL
+  SELECT tok, i + 1,
+    (xor(h, ord(substr(tok, i + 1, 1))::HUGEINT) * 1099511628211::HUGEINT)
+      % 18446744073709551616::HUGEINT
+  FROM fnv WHERE i < length(tok)
+),
+tokhash AS (SELECT tok, h AS hu FROM fnv WHERE i = length(tok)),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+bits AS (
+  SELECT t.doc_id, b.b,
+         SUM(CASE WHEN (th.hu >> b.b) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM toks t
+  JOIN tokhash th ON t.tok = th.tok
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY t.doc_id, b.b
+),
+sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS su
+  FROM bits GROUP BY doc_id
+),
+sims AS (
+  SELECT doc_id, su,
+         CASE WHEN su >= 9223372036854775808::HUGEINT
+              THEN (su - 18446744073709551616::HUGEINT)::BIGINT
+              ELSE su::BIGINT END AS s
+  FROM sim
+),
+banded AS (
+  SELECT doc_id, s, b.band, ((su >> (16 * b.band)) % 65536)::BIGINT AS bucket
+  FROM sims CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.s AS s1, r.s AS s2
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id1, id2, bit_count(xor(s1, s2))::INTEGER AS hamming
+FROM pairs
+WHERE bit_count(xor(s1, s2)) <= 12
+ORDER BY id1, id2""",
+
+    // winnowing rolling-hash fingerprint, FULLY recomputed in SQL (promoted
+    // from a regression pin): base-1000000007 rolling polynomial hash over
+    // each document's ASCII bytes (window 16) with 64-bit wraparound in
+    // unsigned HUGEINT, splitmix-style finalizer per window position (the
+    // >=2^63 constants multiplied via 32-bit split to stay inside INT128),
+    // minimum tracked per doc — the exact RollingMinHash arithmetic. Docs
+    // shorter than the window (none at the driver SFs) would drop out and
+    // fail the row-count compare loudly rather than silently pass.
+    "q_doc_fingerprints" ->
+      """WITH RECURSIVE
+pw(i, p) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL
+  SELECT i + 1, (p * 1000000007::HUGEINT) % 18446744073709551616::HUGEINT
+  FROM pw WHERE i < 15
+),
+roll(doc_id, i, h, best) AS (
+  SELECT doc_id, 0, 0::HUGEINT, NULL::HUGEINT FROM documents WHERE length(text) >= 16
+  UNION ALL
+  SELECT doc_id, i, h,
+         CASE WHEN i < 16 THEN NULL
+              WHEN best IS NULL THEN m
+              ELSE least(best, m) END
+  FROM (
+    SELECT doc_id, i, h, best,
+           (SELECT (xor(z3, z3 >> 31)) % 9223372036854775808::HUGEINT
+            FROM (SELECT ((x3 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+                          + (((x3 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+                            * 4294967296::HUGEINT)
+                         % 18446744073709551616::HUGEINT AS z3
+                  FROM (SELECT xor(z2, z2 >> 27) AS x3
+                        FROM (SELECT ((x2 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+                                      + (((x2 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+                                        * 4294967296::HUGEINT)
+                                     % 18446744073709551616::HUGEINT AS z2
+                              FROM (SELECT xor(z1, z1 >> 30) AS x2
+                                    FROM (SELECT (h + 11400714819323198485::HUGEINT)
+                                                 % 18446744073709551616::HUGEINT AS z1)))))) AS m
+    FROM (
+      SELECT r.doc_id, r.i + 1 AS i,
+             CASE WHEN r.i < 16 THEN
+               (r.h * 1000000007::HUGEINT
+                + ord(substr(d.text, r.i + 1, 1))::HUGEINT)
+               % 18446744073709551616::HUGEINT
+             ELSE
+               (((r.h + 18446744073709551616::HUGEINT
+                  - (ord(substr(d.text, r.i - 15, 1))::HUGEINT
+                     * (SELECT p FROM pw WHERE i = 15))
+                    % 18446744073709551616::HUGEINT)
+                 % 18446744073709551616::HUGEINT) * 1000000007::HUGEINT
+                + ord(substr(d.text, r.i + 1, 1))::HUGEINT)
+               % 18446744073709551616::HUGEINT
+             END AS h,
+             r.best
+      FROM roll r JOIN documents d USING (doc_id)
+      WHERE r.i < length(d.text)
+    )
+  )
+)
+SELECT r.doc_id,
+       CASE WHEN r.best >= 9223372036854775808::HUGEINT
+            THEN (r.best - 18446744073709551616::HUGEINT)::BIGINT
+            ELSE r.best::BIGINT END AS fingerprint
+FROM roll r JOIN documents d USING (doc_id)
+WHERE r.i = length(d.text)
+ORDER BY r.doc_id""",
+
     "q_doc_jaccard_pairs" ->
       """WITH sh AS (
   SELECT lang, source, doc_id,
@@ -846,31 +995,18 @@ ORDER BY id1, id2""",
     // double SUM under Spark's partial aggregation). Every SUM is wrapped in
     // CAST(... AS BIGINT): DuckDB widens SUM(BIGINT) to HUGEINT (int128),
     // Spark emits BIGINT, and the driver's hash is type-sensitive.
-    "q_events_tumbling" ->
-      """SELECT event_type, (epoch_us(ts) // 300000000) * 300 AS window_start_sec,
-  COUNT(*) AS n,
-  CAST(SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS sum_value_micro
-FROM events GROUP BY event_type, epoch_us(ts) // 300000000
-ORDER BY event_type, window_start_sec""",
+    "q_events_tumbling" -> eventsTumblingSql,
 
-    "q_events_sessions" ->
-      """WITH e AS (
-  SELECT user_id, value, epoch_us(ts) AS ts_us,
-    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
-  FROM events),
-flagged AS (
-  SELECT user_id, value, ts_us,
-    CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess
-  FROM e),
-sess AS (
-  SELECT user_id, value, ts_us,
-    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
-  FROM flagged)
-SELECT user_id, sess_id, COUNT(*) AS n_events,
-  (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec,
-  CAST(SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS sum_value_micro
-FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+    // the STREAMING twin replays the same events through Structured
+    // Streaming (MemoryStream → tumblingCounts) and must land on the exact
+    // same oracle rows as the batch aggregate — one oracle, two engines
+    "q_stream_tumbling" -> eventsTumblingSql,
+
+    "q_events_sessions" -> eventsSessionsSql,
+
+    // streaming flatMapGroupsWithState sessionization vs the same
+    // window-function closed form the batch twin is gated on
+    "q_stream_sessions" -> eventsSessionsSql,
 
     // ---- relational anchors -------------------------------------------------
     "q1_agg" ->

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ops._
+import graft.streaming.Streaming
 import graft.synth.Synth
 import graft.text.TextOps
 import graft.sim.SimOps
@@ -345,12 +346,12 @@ object SparkEntry {
         .groupBy("s2").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("s2")).limit(20)),
 
-    "q_image_h3cells" -> ((s, dir) =>
+    "q_image_hex7cells" -> ((s, dir) =>
       Pipeline.geoImages(s, dir)
         .select(col("image_id"),
-          graft.exprs.fns.h3_cell(col("lat"), col("lon"), 9).as("h3"))
-        .groupBy("h3").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("h3")).limit(20)),
+          graft.exprs.fns.hex7_cell(col("lat"), col("lon"), 9).as("hex7"))
+        .groupBy("hex7").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("hex7")).limit(20)),
 
     // Catalyst extension (graft.plans.DistanceJoinRewrite): the query is the
     // NAIVE distance theta-join — Spark alone would nested-loop it — and the
@@ -639,6 +640,79 @@ object SparkEntry {
         .select(col("user_id"), col("sess_id"), col("n_events"), col("duration_sec"),
           col("sum_value_micro"))
         .orderBy("user_id", "sess_id")),
+
+    // ---- Structured Streaming twins, DRIVER-GATED: the same events replay
+    // through the streaming engine (MemoryStream, one batch) and must land
+    // on the exact rows of the batch oracle. Values stream as integer
+    // micros (each < 2^53, so double accumulation is exact and
+    // partitioning-invariant). The collect is the REPLAY HARNESS, not the
+    // operator: at scale the stream arrives from a real source; the gate
+    // proves engine-equivalence of the streaming plan itself.
+    "q_stream_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Synth.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+          floor(col("value") * 1e6).cast("double").as("value"))
+        .as[(java.sql.Timestamp, String, Double)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val q = Streaming.tumblingCounts(mem.toDF().toDF("ts", "event_type", "value"), 300)
+        .writeStream.format("memory").queryName("graft_q_stream_tumbling")
+        .outputMode("complete").start()
+      try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+      s.table("graft_q_stream_tumbling")
+        .select(col("event_type"), col("window_start_sec"), col("n"),
+          col("sum_value").cast("long").as("sum_value_micro"))
+        .orderBy("event_type", "window_start_sec")
+    }),
+
+    // gap-sessionization stream twin: one sentinel event per user past the
+    // gap closes every real session inside the single replay batch, so the
+    // Append-mode flatMapGroupsWithState emits deterministically (no
+    // reliance on processing-time timeouts firing); the sentinel's own
+    // opened session is never emitted and never reaches the output.
+    "q_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev = Synth.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)").as("ts_us"),
+          floor(col("value") * 1e6).cast("double").as("value"))
+        .as[Streaming.Ev].collect()
+      val maxUs = ev.map(_.ts_us).max
+      val sentinels = ev.map(_.user_id).distinct
+        .map(u => Streaming.Ev(u, maxUs + 1800L * 1000000L + 1L, 0.0))
+      // expected session count, computed driver-side from the SAME events:
+      // sentinels close every real session in batch 0, so the memory table
+      // converges to exactly this many rows. processAllAvailable is NOT
+      // usable here: ProcessingTimeTimeout state makes the no-trigger query
+      // spin empty micro-batches forever (same trap StreamCkptSpec
+      // documents) — poll the result table instead.
+      val expected: Long = ev.groupBy(_.user_id).valuesIterator.map { es =>
+        val ts = es.map(_.ts_us).sorted
+        1L + ts.sliding(2).count(w => w.length == 2 && w(1) - w(0) > 1800L * 1000000L)
+      }.sum
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Streaming.Ev]
+      val q = Streaming.sessionize(s, mem.toDS(), 1800L)
+        .writeStream.format("memory").queryName("graft_q_stream_sessions")
+        .outputMode("append").start()
+      try {
+        mem.addData((ev ++ sentinels).toIndexedSeq)
+        val deadline = System.currentTimeMillis() + 180000L
+        while (s.table("graft_q_stream_sessions").count() < expected &&
+               System.currentTimeMillis() < deadline)
+          Thread.sleep(500)
+      } finally q.stop()
+      require(s.table("graft_q_stream_sessions").count() == expected,
+        s"q_stream_sessions: stream did not converge to $expected sessions")
+      s.table("graft_q_stream_sessions")
+        .select(col("user_id"), col("sess_id"), col("n_events"), col("duration_sec"),
+          col("sum_value").cast("long").as("sum_value_micro"))
+        .orderBy("user_id", "sess_id")
+    }),
 
     // ---- relational anchors (scan/filter/agg/join/window) ----------------
     "q1_agg" -> ((s, dir) =>

@@ -113,21 +113,40 @@ object GridCell {
     out
   }
 
+  /** Longitude index wrapped into [-180·10^res, 180·10^res): cells west of
+    * the antimeridian alias onto the east side and vice versa, so disks
+    * crossing ±180° land on the cells the other side's encode() produced. */
+  @inline def wrapLonIdx(lonI: Long, res: Int): Long = {
+    val f = (180.0 * pow10(res)).toLong
+    Math.floorMod(lonI + f, 2L * f) - f
+  }
+
   /** Rectangular disk: lon half-width kLon, lat half-width kLat. A distance
     * join's lat extent is bounded by d/R regardless of latitude while the lon
     * extent grows as 1/cos(lat), so near the poles the covering region is a
     * short, wide band — materializing it as a square (2·kLon+1)² disk would
     * waste kLon/kLat× cells.
+    *
+    * WRAP-AWARE in longitude (hence the res parameter): lon indices are
+    * taken modulo the full 360·10^res span, so a neighborhood straddling
+    * the antimeridian emits the far side's cells instead of nonexistent
+    * out-of-range ids (the reference's bins share that former limitation,
+    * gpsBins.js:94-116). The lon span is capped at one full wrap so the
+    * saturated polar case emits every lon index exactly once — never
+    * duplicate cells (which would duplicate join pairs).
     */
-  def diskRect(cell: Long, kLon: Int, kLat: Int): Array[Long] = {
+  def diskRect(cell: Long, kLon: Int, kLat: Int, res: Int): Array[Long] = {
     val cx = unpackLonIdx(cell); val cy = unpackLatIdx(cell)
-    val out = new Array[Long](checkedSize(2L * kLon + 1, 2L * kLat + 1))
+    val fullSpan = 2L * (180.0 * pow10(res)).toLong
+    val span = math.min(2L * kLon + 1, fullSpan)
+    val out = new Array[Long](checkedSize(span, 2L * kLat + 1))
     var i = 0
-    var x = -kLon
-    while (x <= kLon) {
+    var xi = 0L
+    while (xi < span) {
+      val x = wrapLonIdx(cx - kLon + xi, res)
       var y = -kLat
-      while (y <= kLat) { out(i) = pack(cx + x, cy + y); i += 1; y += 1 }
-      x += 1
+      while (y <= kLat) { out(i) = pack(x, cy + y); i += 1; y += 1 }
+      xi += 1
     }
     out
   }
@@ -147,8 +166,9 @@ object GridCell {
     * full-longitude span — every sub-polar latitude gets the exact bounded
     * formula (a fallback at ±89° used to return k = 180·10^res and crash
     * disk() by Int overflow for, e.g., lat 89.5 at res 5).
-    * Neighborhoods crossing the antimeridian are NOT covered — the uniform
-    * grid does not wrap (same limitation as the reference's lat/lon bins).
+    * Neighborhoods crossing the antimeridian ARE covered when the disk is
+    * materialized via the wrap-aware diskRect (square disk()/ring() do not
+    * wrap — same limitation as the reference's lat/lon bins).
     */
   def kFor(lat: Double, meters: Double, res: Int): Int = {
     val cs = 1.0 / pow10(res) // cell size in degrees

@@ -83,9 +83,14 @@ case class CellDisk(cell: Expression, k: Expression)
 
 /** Rectangular cell disk (lon half-width, lat half-width) — the covering
   * shape of a distance neighborhood, whose lon extent grows as 1/cos(lat)
-  * while the lat extent stays constant (DistanceJoinRewrite's explode). */
-case class CellDiskRect(cell: Expression, kLon: Expression, kLat: Expression)
+  * while the lat extent stays constant (DistanceJoinRewrite's explode).
+  * `res` is the grid resolution the cell was encoded at (static param):
+  * it sizes the longitude wrap, so disks straddling ±180° cover the far
+  * side's cells (GridCell.diskRect). */
+case class CellDiskRect(cell: Expression, kLon: Expression, kLat: Expression,
+                        res: Int)
     extends TernaryExpression with CodegenFallback {
+  require(res >= 0 && res <= 5, s"grid res out of range [0,5]: $res")
   override def first: Expression = cell
   override def second: Expression = kLon
   override def third: Expression = kLat
@@ -93,7 +98,7 @@ case class CellDiskRect(cell: Expression, kLon: Expression, kLat: Expression)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(c: Any, kx: Any, ky: Any): Any =
     new GenericArrayData(GridCell.diskRect(
-      c.asInstanceOf[Long], kx.asInstanceOf[Int], ky.asInstanceOf[Int]))
+      c.asInstanceOf[Long], kx.asInstanceOf[Int], ky.asInstanceOf[Int], res))
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(cell = f, kLon = s, kLat = t)
@@ -116,19 +121,19 @@ case class S2CellEncode(lat: Expression, lon: Expression, level: Int)
 }
 
 /** H3-style cell id (aperture-7 icosahedral hex, res 0-15) — clean-room
-  * graft.cells.H3; see its scaladoc for the documented divergence from
+  * graft.cells.Hex7; see its scaladoc for the documented divergence from
   * canonical H3 base-cell numbering. */
-case class H3CellEncode(lat: Expression, lon: Expression, res: Int)
+case class Hex7CellEncode(lat: Expression, lon: Expression, res: Int)
     extends BinaryExpression {
-  require(res >= 0 && res <= graft.cells.H3.MaxRes)
+  require(res >= 0 && res <= graft.cells.Hex7.MaxRes)
   override def left: Expression = lat
   override def right: Expression = lon
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(latV: Any, lonV: Any): Any =
-    graft.cells.H3.latLngToCell(latV.asInstanceOf[Double], lonV.asInstanceOf[Double], res)
+    graft.cells.Hex7.latLngToCell(latV.asInstanceOf[Double], lonV.asInstanceOf[Double], res)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (la, lo) => s"graft.cells.H3.latLngToCell($la, $lo, $res)")
+    defineCodeGen(ctx, ev, (la, lo) => s"graft.cells.Hex7.latLngToCell($la, $lo, $res)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(lat = l, lon = r)
 }
@@ -679,15 +684,55 @@ case class MultiPatternMatch(text: Expression, regexes: Array[String],
 }
 
 /** F13 gmapUrl (reference offset.js:133-137): the exact padded
-  * "   lat,lon  " string JS template interpolation produces. JS prints
-  * integral doubles WITHOUT the trailing ".0" Java's cast appends
-  * (`${-120.0}` is "-120"), so the cast is followed by a ".0$" strip;
-  * non-integral fix6 coordinates are untouched. ONE construction shared by
-  * the Column (fns.gmap_url) and SQL (graft_gmap_url) surfaces. */
+  * "   lat,lon  " string JS template interpolation produces, via a faithful
+  * ECMAScript Number::toString (radix 10) for finite doubles. Java's
+  * Double.toString is NOT usable here: it switches to scientific notation
+  * for 0 < |x| < 1e-3 ("1.0E-4" where JS prints "0.0001") and renders
+  * negative zero as "-0.0" (JS template gives "0"), so near-equator /
+  * prime-meridian fix6 coordinates would diverge. jsRepr computes the
+  * ECMA algorithm: shortest round-trip digits, plain decimal while the
+  * point position is in (-6, 21], exponential outside, -0 → "0". ONE
+  * construction shared by the Column (fns.gmap_url) and SQL
+  * (graft_gmap_url) surfaces; StaticInvoke keeps it codegen'd. */
 object GmapUrl {
+  def jsRepr(x: Double): UTF8String = UTF8String.fromString(jsReprString(x))
+
+  def jsReprString(x: Double): String = {
+    if (x == 0.0) return "0" // covers -0.0: JS `${-0}` is "0"
+    if (x.isNaN) return "NaN"
+    if (x.isInfinite) return if (x > 0) "Infinity" else "-Infinity"
+    val ax = math.abs(x)
+    // shortest decimal that round-trips (ECMA 6.1.6.1.20 step 5): fewest
+    // significant digits whose nearest decimal recovers the exact double
+    var bd: java.math.BigDecimal = null
+    var sig = 1
+    while (bd == null && sig <= 17) {
+      val cand = new java.math.BigDecimal(ax).round(new java.math.MathContext(sig))
+      if (cand.doubleValue() == ax) bd = cand
+      sig += 1
+    }
+    if (bd == null) bd = new java.math.BigDecimal(ax)
+    val st = bd.stripTrailingZeros()
+    val digits = st.unscaledValue().toString
+    val k = digits.length
+    val n = k - st.scale() // decimal-point position: value = 0.digits * 10^n
+    val s =
+      if (n >= k && n <= 21) digits + "0" * (n - k)
+      else if (n > 0 && n < k) digits.substring(0, n) + "." + digits.substring(n)
+      else if (n > -6 && n <= 0) "0." + ("0" * (-n)) + digits
+      else {
+        val e = n - 1
+        val mant = if (k == 1) digits else digits.substring(0, 1) + "." + digits.substring(1)
+        mant + (if (e >= 0) "e+" else "e-") + math.abs(e)
+      }
+    if (x < 0) "-" + s else s
+  }
+
   def expr(lat: Expression, lon: Expression): Expression = {
     def js(x: Expression): Expression =
-      RegExpReplace(Cast(x, StringType), Literal("\\.0$"), Literal(""))
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[GmapUrl.type], StringType, "jsRepr",
+        Seq(Cast(x, DoubleType)), propagateNull = true)
     Concat(Seq(Literal("   "), js(lat), Literal(","), js(lon), Literal("  ")))
   }
 }
@@ -700,8 +745,8 @@ object fns {
   def cells_covering(minLat: Column, minLon: Column, maxLat: Column, maxLon: Column, res: Int): Column =
     c(CellsCovering(e(minLat), e(minLon), e(maxLat), e(maxLon), res))
   def cell_disk(cell: Column, k: Column): Column = c(CellDisk(e(cell), e(k)))
-  def cell_disk_rect(cell: Column, kLon: Column, kLat: Column): Column =
-    c(CellDiskRect(e(cell), e(kLon), e(kLat)))
+  def cell_disk_rect(cell: Column, kLon: Column, kLat: Column, res: Int): Column =
+    c(CellDiskRect(e(cell), e(kLon), e(kLat), res))
   /** F13 gmapUrl — see GmapUrl (one shared expression tree for the Column
     * and SQL surfaces). */
   def gmap_url(lat: Column, lon: Column): Column = c(GmapUrl.expr(e(lat), e(lon)))
@@ -709,13 +754,13 @@ object fns {
     c(CellParent(e(cell), res, parentRes))
   def s2_cell(lat: Column, lon: Column, level: Int): Column =
     c(S2CellEncode(e(lat), e(lon), level))
-  /** H3-STYLE hex cell id. DIVERGENCE NOTICE (see graft.cells.H3 scaladoc):
+  /** H3-STYLE hex cell id. DIVERGENCE NOTICE (see graft.cells.Hex7 scaladoc):
     * this is an honest clean-room aperture-7 icosahedral index whose 20
     * faces serve as base cells (canonical H3 has 122 base cells); ids are
     * functionally equivalent for bucketing/joins/aggregation but are NOT
     * interchangeable with ids from the official H3 library. */
-  def h3_cell(lat: Column, lon: Column, res: Int): Column =
-    c(H3CellEncode(e(lat), e(lon), res))
+  def hex7_cell(lat: Column, lon: Column, res: Int): Column =
+    c(Hex7CellEncode(e(lat), e(lon), res))
   def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     c(Haversine(e(lat1), e(lon1), e(lat2), e(lon2)))
   def tile_id(lat: Column, lon: Column, zoom: Int): Column = c(TileId(e(lat), e(lon), zoom))

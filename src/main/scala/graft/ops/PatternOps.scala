@@ -51,13 +51,19 @@ object PatternOps {
       Seq((s"H$k", s"H$k(/|$$)|H $k(/|$$)", false),
           (s"V$k", s"V$k(/|$$)|V $k(/|$$)", false))
     }
-    gen ++ Seq(
+    val all = gen ++ Seq(
       ("Main St", "Main St|Mian St|Main Street", false),
       ("Twin", "Twin|Twyn|Twinn", false),
       ("I 80", "I 80|I80|US 50", false),
       ("JUNCTION", "JUNCTION", false),
       ("NOT I 80", "I 80|I80|US 50", true),
       ("NOT Main St", "Main St|Mian St|Main Street", true))
+    // fuzzyStreetCounts re-aggregates by canonical to tolerate duplicate
+    // canonicals in ad-hoc tables; the GENERATED table must not rely on
+    // that — enforce uniqueness at construction (dual of the re-aggregate)
+    require(all.map(_._1).distinct.length == all.length,
+      "fullPatterns: canonical names must be unique")
+    all
   }
 
   /** pattern-table match counts: one row per (canonical, match count);

@@ -56,9 +56,10 @@ case class CellDiskK(lat: Expression, meters: Double, res: Int)
   * O(kLon²). Neighborhoods CONTAINING a pole (|lat| + d/R ≥ 90°) degrade to
   * the full-longitude band, which at res 5 exceeds GridCell.MaxDiskCells and
   * fails with a clear message rather than a 10⁸-cell explode;
-  * antimeridian-crossing neighborhoods are not matched — the uniform grid
-  * does not wrap, same as the reference's bins, gpsBins.js:60-63. The side
-  * with the smaller size estimate is the one replicated into the disk.
+  * antimeridian-crossing neighborhoods ARE matched — diskRect wraps lon
+  * indices modulo the full span (the reference's bins, gpsBins.js:60-63,
+  * do not wrap; this rule is strictly more complete). The side with the
+  * smaller size estimate is the one replicated into the disk.
   *
   * Registered at session build via `spark.sql.extensions=graft.plans.GraftExtensions`
   * or injected into a live session with `GraftPlans.enable(spark)`.
@@ -143,7 +144,7 @@ object DistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     val disk = Explode(CellDiskRect(
       CellEncode(expLat, expLon, res), CellDiskK(expLat, meters, res),
-      Literal(GridCell.kLatFor(meters, res))))
+      Literal(GridCell.kLatFor(meters, res)), res))
     val cellAttr = AttributeReference("_graft_cell", LongType, nullable = false)()
     val gen = Generate(disk, unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(cellAttr), child = expChild)

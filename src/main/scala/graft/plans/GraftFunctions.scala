@@ -42,8 +42,9 @@ object GraftFunctions {
       a => CellsCovering(a(0), a(1), a(2), a(3), intLit("graft_cells_covering", a(4), 5)) },
     entry("graft_cell_disk", "cells at Chebyshev distance <= k", 2) {
       a => CellDisk(a(0), a(1)) },
-    entry("graft_cell_disk_rect", "rectangular cell disk (kLon, kLat half-widths)", 3) {
-      a => CellDiskRect(a(0), a(1), a(2)) },
+    entry("graft_cell_disk_rect",
+      "rectangular cell disk (kLon, kLat half-widths) at grid res; wraps across the antimeridian", 4) {
+      a => CellDiskRect(a(0), a(1), a(2), intLit("graft_cell_disk_rect", a(3), 4)) },
     entry("graft_gmap_url", "reference gmapUrl(): padded 'lat,lon' string (F13)", 2) {
       a => GmapUrl.expr(a(0), a(1)) },
     entry("graft_cell_parent", "parent cell at a coarser res", 3) {
@@ -51,9 +52,9 @@ object GraftFunctions {
         intLit("graft_cell_parent", a(2), 3)) },
     entry("graft_s2_cell", "S2 cell id at level (0-30)", 3) {
       a => S2CellEncode(a(0), a(1), intLit("graft_s2_cell", a(2), 3)) },
-    entry("graft_h3_cell",
+    entry("graft_hex7_cell",
       "hex cell id at res (0-15); H3-STYLE clean-room index — ids NOT interchangeable with official H3 (20 base faces vs canonical 122)", 3) {
-      a => H3CellEncode(a(0), a(1), intLit("graft_h3_cell", a(2), 3)) },
+      a => Hex7CellEncode(a(0), a(1), intLit("graft_hex7_cell", a(2), 3)) },
     entry("graft_tile_id", "packed Web-Mercator tile id at zoom", 3) {
       a => TileId(a(0), a(1), intLit("graft_tile_id", a(2), 3)) },
     entry("graft_haversine_m", "great-circle meters between two points", 4) {

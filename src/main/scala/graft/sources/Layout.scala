@@ -86,9 +86,20 @@ object Layout {
     * a compaction, once per partition epoch, not per query). */
   def writeSpatiallyClustered(df: DataFrame, latCol: String, lonCol: String,
                               res: Int, numFiles: Int, path: String): Unit = {
+    // StaticInvoke (not a closure UDF) keeps the write pipeline inside
+    // whole-stage codegen — the one-time compaction job is still a full
+    // scan of the table, so the per-row cost matters at 100 TB
+    val hilbert = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[Layout.type],
+        org.apache.spark.sql.types.LongType,
+        "hilbertOfCell",
+        Seq(org.apache.spark.sql.graft.ColumnBridge.expression(col("cell")),
+          org.apache.spark.sql.catalyst.expressions.Literal(res)),
+        propagateNull = true))
     val withIdx = df
       .withColumn("cell", graft.exprs.fns.cell_encode(col(latCol), col(lonCol), res))
-      .withColumn("hilbert", udf((c: Long) => hilbertOfCell(c, res)).apply(col("cell")))
+      .withColumn("hilbert", hilbert)
     withIdx
       .repartitionByRange(numFiles, col("hilbert"))
       .sortWithinPartitions(col("hilbert"))

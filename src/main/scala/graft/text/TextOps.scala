@@ -326,6 +326,8 @@ object TextOps {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).collect()(0)
+    require(st.getLong(0) > 0L,
+      "bm25TopK: empty document corpus — corpus stats (n, avgdl) are undefined")
     val n = st.getLong(0).toDouble
     val avgdl = st.getLong(1).toDouble / st.getLong(0).toDouble
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))

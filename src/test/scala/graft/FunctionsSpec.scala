@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.cells.{GridCell, H3, S2}
+import graft.cells.{GridCell, Hex7, S2}
 import graft.plans.GraftPlans
 
 /** graft_* SQL function surface: same Catalyst expressions as
@@ -15,14 +15,14 @@ class FunctionsSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT graft_cell_encode(37.51D, -122.17D, 2)  AS cell,
         |       graft_s2_cell(37.51D, -122.17D, 12)     AS s2,
-        |       graft_h3_cell(37.51D, -122.17D, 9)      AS h3,
+        |       graft_hex7_cell(37.51D, -122.17D, 9)      AS hex7,
         |       graft_haversine_m(37.0D, -122.0D, 37.1D, -122.0D) AS hm,
         |       graft_clean_street_key('Main St_3')     AS ck,
         |       graft_cell_parent(graft_cell_encode(37.51D, -122.17D, 3), 3, 1) AS par
         |""".stripMargin).head()
     assert(r.getLong(0) === GridCell.encode(37.51, -122.17, 2))
     assert(r.getLong(1) === S2.fromLatLonAtLevel(37.51, -122.17, 12))
-    assert(r.getLong(2) === H3.latLngToCell(37.51, -122.17, 9))
+    assert(r.getLong(2) === Hex7.latLngToCell(37.51, -122.17, 9))
     assert(math.abs(r.getDouble(3) - graft.geom.Geom.haversineM(37.0, -122.0, 37.1, -122.0)) < 1e-9)
     assert(r.getString(4) === "Main St")
     assert(r.getLong(5) === GridCell.parent(GridCell.encode(37.51, -122.17, 3), 3, 1))
@@ -49,23 +49,45 @@ class FunctionsSpec extends AnyFunSuite {
     Seq((38.810724, -119.793042)).toDF("lat", "lon").createOrReplaceTempView("gpt")
     val r = spark.sql(
       """SELECT graft_gmap_url(lat, lon) AS u,
-        |       size(graft_cell_disk_rect(graft_cell_encode(lat, lon, 3), 4, 1)) AS nr
+        |       size(graft_cell_disk_rect(graft_cell_encode(lat, lon, 3), 4, 1, 3)) AS nr
         |FROM gpt""".stripMargin).collect()(0)
     // reference offset.js:133-137: `   ${lat},${lon}  ` verbatim
     assert(r.getString(0) === "   38.810724,-119.793042  ")
     // JS prints integral doubles without '.0' — `${-120.0}` is '-120'
     val integral = spark.sql("SELECT graft_gmap_url(38.5D, -120.0D)").collect()(0).getString(0)
     assert(integral === "   38.5,-120  ")
-    // property sweep: random fix6 coords (incl. forced integral ones) match
-    // JS template semantics computed independently
-    def jsRepr(x: Double): String =
-      if (x == math.floor(x)) x.toLong.toString else x.toString
+    // property sweep: random fix6 coords (incl. forced integral, sub-1e-3
+    // near-equator/meridian, and -0.0 ones) match JS template semantics
+    // computed by an INDEPENDENT oracle: shortest-round-trip digits found
+    // via printf %.*e (vs the impl's BigDecimal MathContext rounding), then
+    // ECMA plain-decimal assembly from the exponent string
+    def jsRepr(x: Double): String = {
+      if (x == 0.0) return "0" // JS `${-0}` is "0"
+      val ax = math.abs(x)
+      var p = 0
+      var s = String.format("%.0e", Double.box(ax))
+      while (s.toDouble != ax && p < 17) { p += 1; s = String.format(s"%.${p}e", Double.box(ax)) }
+      val Array(mant, expS) = s.split("e")
+      val digits = mant.replace(".", "").reverse.dropWhile(_ == '0').reverse
+      val n = expS.toInt + 1 // decimal-point position: value = 0.digits * 10^n
+      val k = digits.length
+      val body =
+        if (n >= k) digits + "0" * (n - k)
+        else if (n > 0) digits.substring(0, n) + "." + digits.substring(n)
+        else "0." + ("0" * (-n)) + digits
+      if (x < 0) "-" + body else body
+    }
+    assert(jsRepr(0.0001) === "0.0001") // Java Double.toString blind spot: "1.0E-4"
+    assert(jsRepr(-0.0) === "0")        // and "-0.0"
     val rnd = new scala.util.Random(7)
-    val coords = (0 until 200).map { i =>
+    val coords = (0 until 300).map { i =>
       def fix6(v: Double) = math.round(v * 1e6) / 1e6
       val la = if (i % 9 == 0) (rnd.nextInt(181) - 90).toDouble
+               else if (i % 9 == 4) fix6((rnd.nextDouble() * 2 - 1) * 1e-3) // sub-1e-3 band
+               else if (i % 9 == 7) -0.0
                else fix6(-90 + rnd.nextDouble() * 180)
       val lo = if (i % 7 == 0) (rnd.nextInt(361) - 180).toDouble
+               else if (i % 7 == 3) fix6((rnd.nextDouble() * 2 - 1) * 1e-4)
                else fix6(-180 + rnd.nextDouble() * 360)
       (la, lo)
     }

@@ -199,37 +199,50 @@ class GeomSpec extends AnyFunSuite {
 }
 
 class CellsSpec extends AnyFunSuite {
-  test("diskRect covers every point within the radius (random lat/meters/res sweep)") {
+  test("diskRect covers every point within the radius (random lat/meters/res sweep, incl. antimeridian)") {
     val rnd = new scala.util.Random(42)
     var checked = 0
-    for (_ <- 0 until 300) {
+    var wrapped = 0
+    for (trial <- 0 until 400) {
       val res = rnd.nextInt(6)
       val meters = math.pow(10, 1 + rnd.nextDouble() * 3) // 10 m .. 10 km
       val lat0 = -89.0 + rnd.nextDouble() * 178.0
-      val lon0 = -170.0 + rnd.nextDouble() * 340.0
+      // every 4th trial hugs the antimeridian so the disk must wrap
+      val lon0 = if (trial % 4 == 0) {
+        val eps = rnd.nextDouble() * 1e-3 // within ~100 m of ±180°
+        if (rnd.nextBoolean()) 180.0 - eps else -180.0 + eps
+      } else -170.0 + rnd.nextDouble() * 340.0
       val latRadDeg = meters / (Geom.EarthRadiusM * math.Pi / 180.0)
       val kLon = GridCell.kFor(lat0, meters, res)
       val kLat = GridCell.kLatFor(meters, res)
       if (math.abs(lat0) + latRadDeg < 89.9 &&
           (2L * kLon + 1) * (2L * kLat + 1) <= GridCell.MaxDiskCells) {
-        val disk = GridCell.diskRect(GridCell.encode(lat0, lon0, res), kLon, kLat).toSet
+        val diskArr = GridCell.diskRect(GridCell.encode(lat0, lon0, res), kLon, kLat, res)
+        val disk = diskArr.toSet
+        assert(disk.size == diskArr.length, "disk must not contain duplicate cells")
         for (_ <- 0 until 20) {
           val ang = rnd.nextDouble() * 2 * math.Pi
           val d = rnd.nextDouble() * meters
           val dlat = d * math.cos(ang) / 111194.9
           val dlon = d * math.sin(ang) /
             (111194.9 * math.max(0.02, math.cos(math.toRadians(math.abs(lat0) + latRadDeg))))
-          val (la, lo) = (lat0 + dlat, lon0 + dlon)
-          if (math.abs(la) <= 90.0 && math.abs(lo) <= 180.0 &&
-              Geom.haversineM(lat0, lon0, la, lo) <= meters) {
+          // wrap the probe point into [-180, 180) — the other side of the
+          // antimeridian when lon0 ± dlon crosses it
+          val laRaw = lat0 + dlat
+          val loRaw = lon0 + dlon
+          val lo = loRaw - 360.0 * math.floor((loRaw + 180.0) / 360.0)
+          if (math.abs(laRaw) <= 90.0 &&
+              Geom.haversineM(lat0, lon0, laRaw, lo) <= meters) {
             checked += 1
-            assert(disk.contains(GridCell.encode(la, lo, res)),
-              s"lat=$lat0 lon=$lon0 m=$meters res=$res point ($la,$lo) outside rect disk ($kLon,$kLat)")
+            if (math.signum(lo) != math.signum(lon0) && math.abs(lon0) > 179.0) wrapped += 1
+            assert(disk.contains(GridCell.encode(laRaw, lo, res)),
+              s"lat=$lat0 lon=$lon0 m=$meters res=$res point ($laRaw,$lo) outside rect disk ($kLon,$kLat)")
           }
         }
       }
     }
     assert(checked > 2000, s"sweep must exercise real points, got $checked")
+    assert(wrapped > 100, s"sweep must exercise antimeridian-crossing points, got $wrapped")
   }
 
   test("encode/unpack round trip, negative coords") {

@@ -1,9 +1,9 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.cells.H3
+import graft.cells.Hex7
 
-class H3Spec extends AnyFunSuite {
+class Hex7Spec extends AnyFunSuite {
 
   private def randPts(n: Int, seed: Int): Seq[(Double, Double)] = {
     val rnd = new scala.util.Random(seed)
@@ -17,31 +17,31 @@ class H3Spec extends AnyFunSuite {
 
   test("bit layout: res/face/digit fields round trip, unused digits are 7") {
     for (res <- Seq(0, 1, 7, 11, 15); (lat, lon) <- randPts(50, 7)) {
-      val c = H3.latLngToCell(lat, lon, res)
-      assert(H3.resOf(c) === res)
-      assert(H3.faceIdOf(c) >= 0 && H3.faceIdOf(c) < 20)
-      for (r <- 1 to res) assert(H3.digitOf(c, r) >= 0 && H3.digitOf(c, r) <= 6)
-      for (r <- res + 1 to H3.MaxRes) assert(H3.digitOf(c, r) === 7)
+      val c = Hex7.latLngToCell(lat, lon, res)
+      assert(Hex7.resOf(c) === res)
+      assert(Hex7.faceIdOf(c) >= 0 && Hex7.faceIdOf(c) < 20)
+      for (r <- 1 to res) assert(Hex7.digitOf(c, r) >= 0 && Hex7.digitOf(c, r) <= 6)
+      for (r <- res + 1 to Hex7.MaxRes) assert(Hex7.digitOf(c, r) === 7)
     }
   }
 
   test("parent is digit truncation and is transitive") {
     for ((lat, lon) <- randPts(200, 13)) {
-      val c11 = H3.latLngToCell(lat, lon, 11)
-      val p9 = H3.parent(c11, 9)
-      assert(H3.resOf(p9) === 9)
-      for (r <- 1 to 9) assert(H3.digitOf(p9, r) === H3.digitOf(c11, r))
-      assert(H3.parent(c11, 7) === H3.parent(p9, 7)) // truncation is transitive
-      assert(H3.parent(p9, 9) === p9)                // idempotent
+      val c11 = Hex7.latLngToCell(lat, lon, 11)
+      val p9 = Hex7.parent(c11, 9)
+      assert(Hex7.resOf(p9) === 9)
+      for (r <- 1 to 9) assert(Hex7.digitOf(p9, r) === Hex7.digitOf(c11, r))
+      assert(Hex7.parent(c11, 7) === Hex7.parent(p9, 7)) // truncation is transitive
+      assert(Hex7.parent(p9, 9) === p9)                // idempotent
     }
   }
 
   test("center-child center coincides with parent center (lattice exactness)") {
     for ((lat, lon) <- randPts(200, 17); res <- Seq(5, 8, 11)) {
-      val c = H3.latLngToCell(lat, lon, res)
-      val child0 = H3.children(c)(0)
-      val (la1, lo1) = H3.cellToLatLng(c)
-      val (la2, lo2) = H3.cellToLatLng(child0)
+      val c = Hex7.latLngToCell(lat, lon, res)
+      val child0 = Hex7.children(c)(0)
+      val (la1, lo1) = Hex7.cellToLatLng(c)
+      val (la2, lo2) = Hex7.cellToLatLng(child0)
       assert(math.abs(la1 - la2) < 1e-9 && math.abs(lo1 - lo2) < 1e-9,
         s"child0 center drifted at res $res: ($la1,$lo1) vs ($la2,$lo2)")
     }
@@ -49,12 +49,12 @@ class H3Spec extends AnyFunSuite {
 
   test("children: 7 distinct cells, all with this parent, centers inside-ish") {
     for ((lat, lon) <- randPts(100, 23)) {
-      val c = H3.latLngToCell(lat, lon, 8)
-      val kids = H3.children(c)
+      val c = Hex7.latLngToCell(lat, lon, 8)
+      val kids = Hex7.children(c)
       assert(kids.distinct.length === 7)
       kids.foreach { k =>
-        assert(H3.parent(k, 8) === c)
-        assert(H3.resOf(k) === 9)
+        assert(Hex7.parent(k, 8) === c)
+        assert(Hex7.resOf(k) === 9)
       }
     }
   }
@@ -67,18 +67,18 @@ class H3Spec extends AnyFunSuite {
       val pts = randPts(2000, 100 + res)
       var ok = 0
       pts.foreach { case (lat, lon) =>
-        val c = H3.latLngToCell(lat, lon, res)
-        val (cla, clo) = H3.cellToLatLng(c)
-        if (H3.latLngToCell(cla, clo, res) == c) ok += 1
+        val c = Hex7.latLngToCell(lat, lon, res)
+        val (cla, clo) = Hex7.cellToLatLng(c)
+        if (Hex7.latLngToCell(cla, clo, res) == c) ok += 1
       }
       assert(ok >= (pts.size * 0.99).toInt, s"res $res: only $ok/${pts.size} round-tripped")
     }
     // synth-world region: exact
     for (res <- 7 to 11; du <- 0 until 20; dv <- 0 until 20) {
       val lat = 37.0 + du * 0.025; val lon = -122.0 + dv * 0.025
-      val c = H3.latLngToCell(lat, lon, res)
-      val (cla, clo) = H3.cellToLatLng(c)
-      assert(H3.latLngToCell(cla, clo, res) === c, s"res $res at ($lat,$lon)")
+      val c = Hex7.latLngToCell(lat, lon, res)
+      val (cla, clo) = Hex7.cellToLatLng(c)
+      assert(Hex7.latLngToCell(cla, clo, res) === c, s"res $res at ($lat,$lon)")
     }
   }
 
@@ -88,8 +88,8 @@ class H3Spec extends AnyFunSuite {
     // distortion bound well inside a face)
     for ((lat, lon) <- randPts(500, 41)) {
       val res = 9
-      val c = H3.latLngToCell(lat, lon, res)
-      val (cla, clo) = H3.cellToLatLng(c)
+      val c = Hex7.latLngToCell(lat, lon, res)
+      val (cla, clo) = Hex7.cellToLatLng(c)
       val distRad = {
         val dLat = math.toRadians(cla - lat)
         val dLon = math.toRadians(clo - lon) * math.cos(math.toRadians(lat))
@@ -103,7 +103,7 @@ class H3Spec extends AnyFunSuite {
   test("resolution refines cell population (synth region)") {
     val pts = for (du <- 0 until 40; dv <- 0 until 40)
       yield (37.0 + du * 0.01, -122.0 + dv * 0.01)
-    val counts = (5 to 11).map(res => pts.map(p => H3.latLngToCell(p._1, p._2, res)).distinct.size)
+    val counts = (5 to 11).map(res => pts.map(p => Hex7.latLngToCell(p._1, p._2, res)).distinct.size)
     assert(counts === counts.sorted, s"cell counts must grow with res: $counts")
     assert(counts.last > counts.head * 10)
   }
@@ -114,8 +114,8 @@ class H3Spec extends AnyFunSuite {
     // large region + fine resolutions so boundary cells don't dominate
     val pts = for (du <- 0 until 300; dv <- 0 until 300)
       yield (37.0 + du * 0.002, -122.0 + dv * 0.002)
-    val c9 = pts.map(p => H3.latLngToCell(p._1, p._2, 9)).distinct.size
-    val c10 = pts.map(p => H3.latLngToCell(p._1, p._2, 10)).distinct.size
+    val c9 = pts.map(p => Hex7.latLngToCell(p._1, p._2, 9)).distinct.size
+    val c10 = pts.map(p => Hex7.latLngToCell(p._1, p._2, 10)).distinct.size
     val ratio = c10.toDouble / c9
     assert(ratio > 5.5 && ratio < 8.5, s"aperture ratio off: $ratio ($c9 -> $c10)")
   }

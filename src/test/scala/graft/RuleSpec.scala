@@ -143,14 +143,14 @@ class RuleSpec extends AnyFunSuite {
     val c = GridCell.encode(89.5, 10.0, 5)
     val e1 = intercept[IllegalArgumentException](GridCell.disk(c, 180 * 100000))
     assert(e1.getMessage.contains("exceeds cap"))
-    val e2 = intercept[IllegalArgumentException](GridCell.diskRect(c, 180 * 100000, 2))
+    val e2 = intercept[IllegalArgumentException](GridCell.diskRect(c, 180 * 100000, 2, 5))
     assert(e2.getMessage.contains("exceeds cap"))
     // a pole-free polar neighborhood is small: 15 m at lat 89.5, res 5
     val kLon = GridCell.kFor(89.5, 15.0, 5)
     val kLat = GridCell.kLatFor(15.0, 5)
     assert(kLon >= 1 && kLon < 10000, s"kLon=$kLon")
     assert(kLat >= 1 && kLat <= 20, s"kLat=$kLat") // 15 m ≈ 14 res-5 (1.11 m) cells
-    assert(GridCell.diskRect(c, kLon, kLat).length === (2 * kLon + 1) * (2 * kLat + 1))
+    assert(GridCell.diskRect(c, kLon, kLat, 5).length === (2 * kLon + 1) * (2 * kLat + 1))
   }
 
   test("session built with GraftExtensions has the rule active") {
