@@ -730,6 +730,164 @@ FROM ranked WHERE rk = 1 ORDER BY doc_id""",
       """SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS dupes
 FROM documents GROUP BY text ORDER BY keep_doc_id""",
 
+    // independent DECODE oracle: per sampled lossless image, DuckDB
+    // rebuilds the splitmix source pixels from o_orderkey (h1/h2 LCGs →
+    // phash → per-(x,y) splitmix64 in HUGEINT mod-2^64, ≥2^63 multipliers
+    // via 32-bit split) and sums the channels; Spark must decode the real
+    // BMP/PNG bytes to the same exact integers.
+    "q_image_decode_sample" ->
+      """WITH img AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+         (o_orderkey * 69621 + 7) % 2147483647 AS h2
+  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 5 <> 3),
+dims AS (
+  SELECT k, CASE WHEN k % 5 = 1 THEN 'png' ELSE 'bmp' END AS fmt,
+         8 + h1 % 8 AS w, 8 + h2 % 8 AS h,
+         (h1 * 2147483648 + h2)::HUGEINT AS ph
+  FROM img),
+xs AS (SELECT i AS x FROM generate_series(0, 15) t(i)),
+ys AS (SELECT i AS y FROM generate_series(0, 15) t(i)),
+px AS (
+  SELECT k, fmt, w, h,
+    (ph + x * 11400714819323198485::HUGEINT
+        + y * 13787848793156543929::HUGEINT)
+      % 18446744073709551616::HUGEINT AS z0
+  FROM dims, xs, ys WHERE x < w AND y < h),
+m1 AS (
+  SELECT k, fmt, w, h,
+    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1
+  FROM (SELECT k, fmt, w, h, xor(z0, z0 >> 30) AS x1 FROM px)),
+m2 AS (
+  SELECT k, fmt, w, h,
+    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
+  FROM (SELECT k, fmt, w, h, xor(z1, z1 >> 27) AS x2 FROM m1)),
+fin AS (SELECT k, fmt, w, h, xor(z2, z2 >> 31) AS z FROM m2)
+SELECT k, fmt, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+  CAST(SUM(z % 256) AS BIGINT) AS sum_r,
+  CAST(SUM((z // 256) % 256) AS BIGINT) AS sum_g,
+  CAST(SUM((z // 65536) % 256) AS BIGINT) AS sum_b
+FROM fin GROUP BY k, fmt, w, h ORDER BY k""",
+
+    // fixed-window token chunking: list_slice mirrors Spark's slice (both
+    // 1-based, both clamp); fixed 0..63 series + filter stands in for the
+    // lateral generate_series DuckDB 1.0 lacks
+    "q_doc_chunks" ->
+      """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+ids AS (SELECT i FROM generate_series(0, 63) s(i))
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+  array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text,
+  CAST(LEAST(32, n - i * 24) AS INTEGER) AS n_tokens
+FROM t, ids
+WHERE i <= GREATEST(0, (n - 8 - 1) // 24)
+ORDER BY doc_id, chunk_id""",
+
+    // PII/link redaction: same three RE2-safe regexes in the same order;
+    // DuckDB needs the 'g' flag (default replaces first match only)
+    "q_doc_redact" ->
+      """WITH pii AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' http://ex.com/p/' || doc_id::VARCHAR ||
+              '?q=12345678 a' || doc_id::VARCHAR ||
+              '@mail.example.org tel 98765432109'
+         ELSE text END AS text
+  FROM documents),
+red AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '<EMAIL>', 'g'),
+      '[0-9]{7,}', '<NUM>', 'g') AS redacted
+  FROM pii)
+SELECT doc_id, redacted,
+  CAST(len(string_split_regex(redacted, '<URL>|<EMAIL>|<NUM>')) - 1 AS INTEGER)
+    AS n_redactions
+FROM red ORDER BY doc_id""",
+
+    // first-principles video-frame oracle: sampled frame indices (every
+    // 2nd of 6 + k%7 frames), per-frame splitmix pixel sums recomputed
+    // from o_orderkey — same HUGEINT machinery as q_image_decode_sample
+    // with phash = k*131071 + frame_idx
+    "q_video_frames" ->
+      """WITH vid AS (
+  SELECT o_orderkey AS k, 8 + o_orderkey % 5 AS w, 9 + o_orderkey % 3 AS h,
+         6 + o_orderkey % 7 AS n_frames
+  FROM orders WHERE o_orderkey % 199 = 0),
+fr AS (SELECT i AS f FROM generate_series(0, 12) t(i)),
+frames AS (
+  SELECT k, w, h, f,
+         (k * 131071 + f)::HUGEINT AS ph -- always in [0, 2^63): no wrap needed
+  FROM vid, fr WHERE f < n_frames AND f % 2 = 0),
+xs AS (SELECT i AS x FROM generate_series(0, 12) t(i)),
+ys AS (SELECT i AS y FROM generate_series(0, 11) t(i)),
+px AS (
+  SELECT k, f, w, h,
+    (ph + x * 11400714819323198485::HUGEINT
+        + y * 13787848793156543929::HUGEINT)
+      % 18446744073709551616::HUGEINT AS z0
+  FROM frames, xs, ys WHERE x < w AND y < h),
+m1 AS (
+  SELECT k, f, w, h,
+    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1
+  FROM (SELECT k, f, w, h, xor(z0, z0 >> 30) AS x1 FROM px)),
+m2 AS (
+  SELECT k, f, w, h,
+    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
+  FROM (SELECT k, f, w, h, xor(z1, z1 >> 27) AS x2 FROM m1)),
+fin AS (SELECT k, f, w, h, xor(z2, z2 >> 31) AS z FROM m2)
+SELECT k, CAST(f AS INTEGER) AS frame_idx,
+  CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  CAST(SUM(z % 256) AS BIGINT) AS sum_r,
+  CAST(SUM((z // 256) % 256) AS BIGINT) AS sum_g,
+  CAST(SUM((z // 65536) % 256) AS BIGINT) AS sum_b
+FROM fin GROUP BY k, f, w, h ORDER BY k, frame_idx""",
+
+    // independent audio DECODE oracle: DuckDB replays the synthesis LCG
+    // from o_orderkey (multiplier < 2^63 fits INT128 without splitting)
+    // and aggregates the signed-16-bit samples; Spark must RIFF-parse the
+    // real WAV payload to identical exact integers.
+    "q_audio_decode_sample" ->
+      """WITH RECURSIVE
+clip AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 3 = 0 THEN 16000 ELSE 8000 END AS sample_rate,
+         400 + (o_orderkey * 2654435761) % 800 AS n_samples,
+         (o_orderkey * 7919 + 17)::HUGEINT AS seed
+  FROM orders WHERE o_orderkey % 97 = 0),
+lcg(k, i, s) AS (
+  SELECT k, 0, seed % 18446744073709551616::HUGEINT FROM clip
+  UNION ALL
+  SELECT l.k, l.i + 1,
+         (l.s * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+           % 18446744073709551616::HUGEINT
+  FROM lcg l JOIN clip c ON l.k = c.k WHERE l.i < c.n_samples),
+smp AS (
+  SELECT k,
+         CASE WHEN (s >> 48) >= 32768::HUGEINT
+              THEN ((s >> 48) - 65536::HUGEINT)::BIGINT
+              ELSE (s >> 48)::BIGINT END AS v
+  FROM lcg WHERE i > 0)
+SELECT c.k, CAST(c.sample_rate AS INTEGER) AS sample_rate,
+  1 AS channels,
+  CAST(c.n_samples AS INTEGER) AS n_samples,
+  CAST(SUM(s.v) AS BIGINT) AS sample_sum,
+  CAST(SUM(s.v * s.v) AS BIGINT) AS sample_sumsq
+FROM clip c JOIN smp s ON c.k = s.k
+GROUP BY c.k, c.sample_rate, c.n_samples ORDER BY c.k""",
+
     // SimHash near-dup pairs, FULLY recomputed in SQL (promoted from a
     // regression pin): FNV-1a 64 per token via a recursive CTE over the
     // (tiny) vocabulary's ASCII bytes in unsigned [0,2^64) HUGEINT

@@ -401,6 +401,27 @@ object SparkEntry {
     "q_doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(Synth.documents(s, dir)).orderBy("doc_id")),
 
+    // fixed-window token chunking (training-context prep): 32-token windows,
+    // 8-token overlap, short tail emitted — map-side explode, no shuffle
+    "q_doc_chunks" -> ((s, dir) =>
+      TextOps.chunk(Synth.documents(s, dir), chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
+
+    // PII/link scrubbing: deterministic URL/email/long-number appendix is
+    // added to every 3rd doc INSIDE the query (mirrored verbatim in the
+    // oracle) so the redaction regexes have real work to gate
+    "q_doc_redact" -> ((s, dir) => {
+      val withPii = Synth.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" http://ex.com/p/"),
+            col("doc_id").cast("string"), lit("?q=12345678 a"),
+            col("doc_id").cast("string"), lit("@mail.example.org tel 98765432109")))
+          .otherwise(col("text")))
+      TextOps.redact(withPii)
+        .select(col("doc_id"), col("redacted"), col("n_redactions"))
+        .orderBy("doc_id")
+    }),
+
     // pairs → clusters → survivors: LSH candidate pairs fed through
     // distributed connected components (alternating large/small-star,
     // O(log n) shuffle rounds, no driver-side graph state); survivor =
@@ -556,6 +577,34 @@ object SparkEntry {
         .orderBy("fmt", "w", "h")
     }),
 
+    // TRUE SQL decode oracle on a deterministic sample: DuckDB recomputes
+    // the synthesis-time splitmix pixel pattern from o_orderkey FROM FIRST
+    // PRINCIPLES (h1/h2 LCGs -> phash -> per-(x,y) splitmix rounds in
+    // HUGEINT mod-2^64 arithmetic) and derives exact per-channel sums; the
+    // Spark side DECODES the real encoded bytes (hand-rolled BMP parse /
+    // JDK imageio PNG inflate). Any decode bug breaks the match. Lossless
+    // fmts only (jpeg is not bit-recomputable by design); 1-in-97 sample
+    // keeps the oracle's 225-pixel-per-image expansion tractable.
+    "q_image_decode_sample" -> ((s, dir) => {
+      import s.implicits._
+      Synth.images(s, dir, Pipeline.prepared(s, dir)._1)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 97 === 0 && col("fmt") =!= "jpeg")
+        .select("k", "fmt", "bytes")
+        .as[(Long, String, Array[Byte])]
+        .map { case (k, fmt, bytes) =>
+          val (rgb, dw, dh) = graft.synth.Codec.decodeAny(fmt, bytes).get
+          var r = 0L; var g = 0L; var b = 0L; var i = 0
+          while (i < rgb.length) {
+            r += rgb(i) & 0xff; g += rgb(i + 1) & 0xff; b += rgb(i + 2) & 0xff
+            i += 3
+          }
+          (k, fmt, dw, dh, r, g, b)
+        }
+        .toDF("k", "fmt", "w", "h", "sum_r", "sum_g", "sum_b")
+        .orderBy("k")
+    }),
+
     // decoded-pixel fidelity vs the synthesis-time source pattern, the
     // input_hint contract verbatim: lossless rows (bmp/png) must be
     // bit-exact (PSNR pegged at the 999.00 dB cap), lossy rows (jpeg,
@@ -607,6 +656,54 @@ object SparkEntry {
           sum(col("peak").cast("long")).as("sum_peak"),
           sum(when(col("decode_ok"), lit(1L)).otherwise(lit(0L))).as("n_ok"))
         .orderBy("sample_rate")),
+
+    // video frame sampling, DRIVER-GATED with a first-principles oracle:
+    // sampleFrames slices every 2nd frame out of the concatenated-BMP clip
+    // payload by offset arithmetic (dropped frames never touched), each
+    // sampled frame is decoded, and DuckDB recomputes the expected channel
+    // sums from o_orderkey alone (frame phash = k·131071 + frame_idx).
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      ImageOps.sampleFrames(s, Synth.videos(s, dir), everyK = 2)
+        .withColumn("k", expr("CAST(substr(video_id, 4, 20) AS BIGINT)"))
+        .select("k", "frame_idx", "frame_bytes")
+        .as[(Long, Int, Array[Byte])]
+        .map { case (k, f, bytes) =>
+          val (rgb, dw, dh) = graft.synth.Bmp.decode(bytes)
+          var r = 0L; var g = 0L; var b = 0L; var i = 0
+          while (i < rgb.length) {
+            r += rgb(i) & 0xff; g += rgb(i + 1) & 0xff; b += rgb(i + 2) & 0xff
+            i += 3
+          }
+          (k, f, dw, dh, r, g, b)
+        }
+        .toDF("k", "frame_idx", "w", "h", "sum_r", "sum_g", "sum_b")
+        .orderBy("k", "frame_idx")
+    }),
+
+    // TRUE SQL decode oracle on a deterministic sample (audio analog of
+    // q_image_decode_sample): DuckDB replays the synthesis LCG
+    // (s := s·6364136223846793005 + 1442695040888963407 mod 2^64, sample =
+    // signed16(s >> 48)) from o_orderkey in a recursive HUGEINT CTE; Spark
+    // must RIFF-parse the real WAV bytes to the same exact sums.
+    "q_audio_decode_sample" -> ((s, dir) => {
+      import s.implicits._
+      Synth.audio(s, dir)
+        .withColumn("k", expr("CAST(substr(audio_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 97 === 0)
+        .select("k", "bytes")
+        .as[(Long, Array[Byte])]
+        .map { case (k, bytes) =>
+          val (samples, sr, ch) = graft.synth.Wav.decode(bytes)
+          var sum = 0L; var sumsq = 0L; var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong; sum += v; sumsq += v * v; i += 1
+          }
+          (k, sr, ch, samples.length, sum, sumsq)
+        }
+        .toDF("k", "sample_rate", "channels", "n_samples", "sample_sum", "sample_sumsq")
+        .orderBy("k")
+    }),
 
     // audio downsample (every 2nd frame, re-encoded WAV): each output clip
     // is re-decoded and every kept PCM sample pinned via an

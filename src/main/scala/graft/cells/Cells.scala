@@ -98,17 +98,24 @@ object GridCell {
     n.toInt
   }
 
-  /** All cells at Chebyshev distance ≤ k (the (2k+1)² disk). */
-  def disk(cell: Long, k: Int): Array[Long] = {
+  /** All cells at Chebyshev distance ≤ k (the (2k+1)² disk), WRAP-AWARE in
+    * longitude like diskRect (res sizes the wrap): kNN ring expansion at
+    * ±180° probes the far side's cells instead of nonexistent ids. The lon
+    * span is capped at one full wrap so no duplicate cells are ever
+    * emitted. */
+  def disk(cell: Long, k: Int, res: Int): Array[Long] = {
     val cx = unpackLonIdx(cell); val cy = unpackLatIdx(cell)
     val side = 2L * k + 1
-    val out = new Array[Long](checkedSize(side, side))
+    val fullSpan = 2L * (180.0 * pow10(res)).toLong
+    val span = math.min(side, fullSpan)
+    val out = new Array[Long](checkedSize(span, side))
     var i = 0
-    var x = -k
-    while (x <= k) {
+    var xi = 0L
+    while (xi < span) {
+      val x = wrapLonIdx(cx - k + xi, res)
       var y = -k
-      while (y <= k) { out(i) = pack(cx + x, cy + y); i += 1; y += 1 }
-      x += 1
+      while (y <= k) { out(i) = pack(x, cy + y); i += 1; y += 1 }
+      xi += 1
     }
     out
   }

@@ -68,15 +68,17 @@ object CellsCovering {
     new GenericArrayData(GridCell.covering(minLat, minLon, maxLat, maxLon, res))
 }
 
-/** cells at Chebyshev distance ≤ k of `cell` (kNN ring expansion, SURVEY J7). */
-case class CellDisk(cell: Expression, k: Expression)
+/** cells at Chebyshev distance ≤ k of `cell` (kNN ring expansion, SURVEY
+  * J7); `res` (static) sizes the antimeridian longitude wrap. */
+case class CellDisk(cell: Expression, k: Expression, res: Int)
     extends BinaryExpression with CodegenFallback {
+  require(res >= 0 && res <= 5, s"grid res out of range [0,5]: $res")
   override def left: Expression = cell
   override def right: Expression = k
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(c: Any, kk: Any): Any =
-    new GenericArrayData(GridCell.disk(c.asInstanceOf[Long], kk.asInstanceOf[Int]))
+    new GenericArrayData(GridCell.disk(c.asInstanceOf[Long], kk.asInstanceOf[Int], res))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(cell = l, k = r)
 }
@@ -744,7 +746,7 @@ object fns {
   def cell_encode(lat: Column, lon: Column, res: Int): Column = c(CellEncode(e(lat), e(lon), res))
   def cells_covering(minLat: Column, minLon: Column, maxLat: Column, maxLon: Column, res: Int): Column =
     c(CellsCovering(e(minLat), e(minLon), e(maxLat), e(maxLon), res))
-  def cell_disk(cell: Column, k: Column): Column = c(CellDisk(e(cell), e(k)))
+  def cell_disk(cell: Column, k: Column, res: Int): Column = c(CellDisk(e(cell), e(k), res))
   def cell_disk_rect(cell: Column, kLon: Column, kLat: Column, res: Int): Column =
     c(CellDiskRect(e(cell), e(kLon), e(kLat), res))
   /** F13 gmapUrl — see GmapUrl (one shared expression tree for the Column

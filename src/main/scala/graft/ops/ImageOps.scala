@@ -155,12 +155,51 @@ object ImageOps {
       .as[(String, String, Int, Int, Int, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, fmt, w, h, n, bytes) =>
-          if (fmt == "bmp") {
-            val fsize = Bmp.encodedSize(w, h)
-            (0 until n by everyK).iterator.map { f =>
-              (id, f, java.util.Arrays.copyOfRange(bytes, f * fsize, (f + 1) * fsize))
-            }
-          } else Iterator.empty // STUB: no codec for this container format
+          fmt match {
+            case "bmp" =>
+              // fixed-size frames: pure offset arithmetic, dropped frames
+              // never touched
+              val fsize = Bmp.encodedSize(w, h)
+              (0 until n by everyK).iterator.map { f =>
+                (id, f, java.util.Arrays.copyOfRange(bytes, f * fsize, (f + 1) * fsize))
+              }
+            case "jpeg" | "mjpeg" =>
+              // variable-size frames: one linear marker scan, NO decode.
+              // The EOI marker FF D9 is unambiguous inside a baseline JFIF
+              // stream — FF bytes in entropy-coded data are byte-stuffed as
+              // FF 00 and restart markers stop at FF D7 — so frame
+              // boundaries are exactly the bytes after each EOI. (Frames
+              // embedding an EXIF preview JPEG would need a full segment
+              // walk; baseline JFIF, incl. the JDK writer's output, does
+              // not.) Dropped frames are scanned (one pass, unavoidable
+              // for variable-size) but never decoded.
+              new Iterator[(String, Int, Array[Byte])] {
+                private var start = 0
+                private var idx = 0
+                private var nextOut: (String, Int, Array[Byte]) = null
+                private def advance(): Unit = {
+                  nextOut = null
+                  while (nextOut == null && start < bytes.length && idx < n) {
+                    var i = start + 1
+                    while (i < bytes.length &&
+                      !(bytes(i - 1) == 0xff.toByte && bytes(i) == 0xd9.toByte)) i += 1
+                    if (i >= bytes.length) { start = bytes.length }
+                    else {
+                      val fr = java.util.Arrays.copyOfRange(bytes, start, i + 1)
+                      if (idx % everyK == 0) nextOut = (id, idx, fr)
+                      idx += 1
+                      start = i + 1
+                    }
+                  }
+                }
+                advance()
+                override def hasNext: Boolean = nextOut != null
+                override def next(): (String, Int, Array[Byte]) = {
+                  val r = nextOut; advance(); r
+                }
+              }
+            case _ => Iterator.empty // STUB: no codec for this container format
+          }
         }
       }.toDF("video_id", "frame_idx", "frame_bytes")
   }

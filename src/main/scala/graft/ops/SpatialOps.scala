@@ -98,6 +98,14 @@ object SpatialOps {
     *
     * Distances are rounded to 1e-9 degrees before ranking so ordering is
     * reproducible across engines; ties break by way_id.
+    *
+    * Antimeridian: the cell disk wraps lon indices (GridCell.disk), so
+    * far-side segments DO enter the candidate set at ±180° — but the
+    * ranking metric is PLANAR degrees (reference parity), which does not
+    * wrap; a cross-line neighbor ranks at ~360° and never wins. Fully
+    * wrap-correct nearest-neighbor needs the haversine metric — that path
+    * is the DistanceJoinRewrite rule, whose refine is periodic and which is
+    * antimeridian-exact end-to-end (RuleSpec).
     */
   def knnWays(images: DataFrame, wayData: DataFrame,
               k: Int, res: Int = 3, ring: Int = 1, maxRing: Int = 32): DataFrame = {
@@ -116,7 +124,7 @@ object SpatialOps {
     while (remaining) {
       val last = r * 2 > maxRing // widest round: accept best effort
       val perSeg = pending
-        .withColumn("cell", explode(fns.cell_disk(col("cell0"), lit(r))))
+        .withColumn("cell", explode(fns.cell_disk(col("cell0"), lit(r), res)))
         // SHUFFLE_HASH: the segment index scales with the way table (never
         // driver-broadcast); the probe side was just exploded ×(2·r+1)² so
         // it is the big side by construction

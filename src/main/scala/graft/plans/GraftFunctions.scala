@@ -40,8 +40,9 @@ object GraftFunctions {
       a => CellEncode(a(0), a(1), intLit("graft_cell_encode", a(2), 3)) },
     entry("graft_cells_covering", "cells covered by the bbox at res", 5) {
       a => CellsCovering(a(0), a(1), a(2), a(3), intLit("graft_cells_covering", a(4), 5)) },
-    entry("graft_cell_disk", "cells at Chebyshev distance <= k", 2) {
-      a => CellDisk(a(0), a(1)) },
+    entry("graft_cell_disk",
+      "cells at Chebyshev distance <= k at grid res; wraps across the antimeridian", 3) {
+      a => CellDisk(a(0), a(1), intLit("graft_cell_disk", a(2), 3)) },
     entry("graft_cell_disk_rect",
       "rectangular cell disk (kLon, kLat half-widths) at grid res; wraps across the antimeridian", 4) {
       a => CellDiskRect(a(0), a(1), a(2), intLit("graft_cell_disk_rect", a(3), 4)) },

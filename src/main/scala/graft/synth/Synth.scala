@@ -70,6 +70,35 @@ object Synth {
     } else df.drop("k")
   }
 
+  /** video table (multimodal container column): one clip per sampled order
+    * (k % 199 == 0), n_frames concatenated REAL 24-bit BMP frames; frame f
+    * carries the splitmix pixel pattern of phash = k·131071 + f, so a
+    * first-principles SQL oracle can recompute every sampled frame's pixel
+    * sums from o_orderkey alone (q_video_frames). Frame dims derive from k
+    * (SQL-mirrorable): w = 8 + k%5, h = 9 + k%3. */
+  def videos(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = orders(spark, sfDir).select(col("o_orderkey").as("k"))
+      .filter(col("k") % 199 === 0)
+    val base = o.select(
+      col("k"),
+      concat(lit("vid"), col("k")).as("video_id"),
+      lit("bmp").as("fmt"),
+      (lit(8) + col("k") % 5).cast("int").as("w"),
+      (lit(9) + col("k") % 3).cast("int").as("h"),
+      (lit(6) + col("k") % 7).cast("int").as("n_frames"))
+    val enc = udf((k: Long, w: Int, h: Int, n: Int) => {
+      val out = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < n) {
+        out.write(Bmp.encode(Bmp.pixels(k * 131071L + f, w, h), w, h))
+        f += 1
+      }
+      out.toByteArray
+    })
+    base.withColumn("bytes", enc(col("k"), col("w"), col("h"), col("n_frames")))
+      .select("video_id", "bytes", "fmt", "w", "h", "n_frames")
+  }
+
   /** lon of grid column c (exact-double mirrored formula). */
   private def lonOf(c: Column): Column =
     when(c === 12, lit(LON0) + lit(TWIN_B_LON_OFF))

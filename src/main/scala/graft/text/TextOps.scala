@@ -426,4 +426,47 @@ object TextOps {
   /** winnowing-style rolling-hash fingerprint per document. */
   def fingerprints(docs: DataFrame, window: Int = 16): DataFrame =
     docs.select(col("doc_id"), fns.rolling_min_hash(col("text"), window).as("fingerprint"))
+
+  /** Fixed-window token chunking with overlap — the standard training-prep
+    * step that turns variable-length documents into model-context-sized
+    * pieces. Chunks start every (size - overlap) tokens; the LAST window is
+    * emitted even when short (a tail shorter than `overlap` would otherwise
+    * be silently dropped — data loss at corpus scale). Pure map-side
+    * explode: no shuffle, chunk ordinals are deterministic, and the payload
+    * travels exactly once (slice on the already-split array, not repeated
+    * substring scans). */
+  def chunk(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0: $chunkSize/$overlap")
+    val stride = chunkSize - overlap
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          greatest(lit(0), floor((size(col("toks")) - lit(overlap) - 1)
+            / lit(stride)).cast("int")))))
+      .select(
+        col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), size(col("toks")) - col("chunk_id") * stride)
+          .cast("int").as("n_tokens"))
+  }
+
+  /** PII/link scrubbing — redact URLs, emails, and long digit runs with
+    * typed placeholders. Only RE2-compatible ASCII-class patterns (no
+    * lookaround), so Java (Spark) and RE2 (DuckDB oracle) agree byte-for-
+    * byte; pure codegen'd per-row expressions, zero shuffle. Order matters:
+    * URLs first (their paths may contain digit runs), then emails, then
+    * standalone numbers. */
+  def redact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, "https?://[^ ]+", "<URL>")
+    val t2 = regexp_replace(t1, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+", "<EMAIL>")
+    val t3 = regexp_replace(t2, "[0-9]{7,}", "<NUM>")
+    docs.withColumn("redacted", t3)
+      .withColumn("n_redactions",
+        size(split(col("redacted"), "<URL>|<EMAIL>|<NUM>")) - 1)
+  }
 }

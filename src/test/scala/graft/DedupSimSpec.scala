@@ -275,17 +275,36 @@ class DedupSimSpec extends AnyFunSuite {
     val videos = Seq(1L, 2L).map { vid =>
       val bytes = (0 until n).map(frame(vid, _)).reduce(_ ++ _)
       (s"v$vid", "bmp", w, h, n, bytes)
-    } :+ (("v_jpeg", "jpeg", w, h, n, Array.fill[Byte](100)(0))) // stub path
+    } :+ (("v_gif", "gif", w, h, n, Array.fill[Byte](100)(0))) // stub path
     val df = videos.toDF("video_id", "fmt", "w", "h", "n_frames", "bytes")
     val out = graft.ops.ImageOps.sampleFrames(spark, df, everyK = 5)
       .as[(String, Int, Array[Byte])].collect()
-    // 1-in-5 of 24 frames -> indices 0,5,10,15,20 per bmp video; jpeg skipped
+    // 1-in-5 of 24 frames -> indices 0,5,10,15,20 per bmp video; gif skipped
     assert(out.map(t => (t._1, t._2)).sorted.toSeq ===
       (for (v <- Seq("v1", "v2"); f <- Seq(0, 5, 10, 15, 20)) yield (v, f)).sorted)
     out.foreach { case (vidS, f, bytes) =>
       val vid = vidS.drop(1).toLong
       assert(bytes.toSeq === frame(vid, f).toSeq, s"frame ($vidS,$f) not byte-exact")
       val (rgb, dw, dh) = Bmp.decode(bytes) // sampled frame stands alone
+      assert(dw === w && dh === h && rgb.length === w * h * 3)
+    }
+  }
+
+  test("frame sampling: mjpeg frames split on EOI markers byte-exact, each independently decodable") {
+    import graft.synth.Codec
+    val w = 16; val h = 9; val n = 11
+    def jframe(vid: Long, f: Int): Array[Byte] =
+      Codec.encodeJpeg(Codec.smoothPixels(vid * 1000 + f, w, h), w, h)
+    val frames = (0 until n).map(jframe(7L, _))
+    assert(frames.map(_.length).distinct.size > 1, "variable-size frames exercise the scan")
+    val df = Seq(("v7", "jpeg", w, h, n, frames.reduce(_ ++ _)))
+      .toDF("video_id", "fmt", "w", "h", "n_frames", "bytes")
+    val out = graft.ops.ImageOps.sampleFrames(spark, df, everyK = 3)
+      .as[(String, Int, Array[Byte])].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq === Seq(0, 3, 6, 9))
+    out.foreach { case (_, f, bytes) =>
+      assert(bytes.toSeq === frames(f).toSeq, s"jpeg frame $f not byte-exact")
+      val (rgb, dw, dh) = Codec.decode(bytes) // stands alone
       assert(dw === w && dh === h && rgb.length === w * h * 3)
     }
   }
@@ -368,6 +387,53 @@ class DedupSimSpec extends AnyFunSuite {
     assert(math.abs(feats("j")._1 - meanR(smooth)) < 4.0)
     assert(feats("j")._2 === true)
     assert(feats("b")._2 === false)
+  }
+
+  test("chunk: windows cover every token with exact overlap; short tail emitted; tiny doc = one chunk") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, toks(10)),   // 10 tokens, size 8 / overlap 3 -> chunks at 0,5
+                 (2L, toks(3)),    // shorter than overlap -> exactly one chunk
+                 (3L, toks(8)),    // == size -> one chunk
+                 (4L, toks(14)))   // chunks at 0,5,10 (tail len 4)
+      .toDF("doc_id", "text")
+    val out = TextOps.chunk(df, chunkSize = 8, overlap = 3)
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(1L).map(_._2).toSeq == Seq(0, 1))
+    assert(out(1L)(0)._3 === toks(8))
+    assert(out(1L)(1)._3 === (6 to 10).map(i => s"t$i").mkString(" "))
+    assert(out(1L)(1)._4 === 5)
+    assert(out(2L).length === 1 && out(2L)(0)._3 === toks(3) && out(2L)(0)._4 === 3)
+    assert(out(3L).length === 1 && out(3L)(0)._4 === 8)
+    assert(out(4L).map(_._2).toSeq == Seq(0, 1, 2))
+    assert(out(4L)(2)._3 === (11 to 14).map(i => s"t$i").mkString(" "))
+    assert(out(4L)(2)._4 === 4)
+    // reconstruction: stripping the overlap from every chunk after the
+    // first rebuilds the document exactly — no token lost or duplicated
+    val rebuilt = out(4L).zipWithIndex.map { case ((_, _, text, _), i) =>
+      val ws = text.split(" ")
+      if (i == 0) ws else ws.drop(3)
+    }.flatten.mkString(" ")
+    assert(rebuilt === toks(14))
+  }
+
+  test("redact: URLs, emails, and long digit runs replaced; counts exact; clean text untouched") {
+    val df = Seq(
+      (1L, "see https://a.b/c?x=123456789 or http://d.e f"),
+      (2L, "mail a.b-c%d@mail.example.org now"),
+      (3L, "call 12345678 not 123456 end"),
+      (4L, "plain text with no pii at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.redact(df).select("doc_id", "redacted", "n_redactions")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === "see <URL> or <URL> f")
+    assert(out(1L)._2 === 2)
+    assert(out(2L)._1 === "mail <EMAIL> now")
+    assert(out(2L)._2 === 1)
+    assert(out(3L)._1 === "call <NUM> not 123456 end") // 6 digits stays
+    assert(out(3L)._2 === 1)
+    assert(out(4L)._1 === "plain text with no pii at all")
+    assert(out(4L)._2 === 0)
   }
 
   test("Codec: png round-trips bit-exact; jpeg smooth-gradient PSNR clears 40 dB at all synth sizes") {

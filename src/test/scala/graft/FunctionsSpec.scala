@@ -36,7 +36,7 @@ class FunctionsSpec extends AnyFunSuite {
     val rows = spark.sql(
       """SELECT graft_tile_id(lat, lon, 15) AS t,
         |       size(graft_cells_covering(lat, lon, lat + 0.02D, lon + 0.02D, 2)) AS nc,
-        |       size(graft_cell_disk(graft_cell_encode(lat, lon, 2), 2)) AS nd
+        |       size(graft_cell_disk(graft_cell_encode(lat, lon, 2), 2, 2)) AS nd
         |FROM pts""".stripMargin).collect()
     assert(rows.length === 2)
     assert(rows.forall(_.getInt(1) === 9))  // 0.02° bbox at 0.01° cells → 3×3

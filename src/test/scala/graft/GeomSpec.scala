@@ -265,9 +265,9 @@ class CellsSpec extends AnyFunSuite {
     assert(GridCell.ring(c, 0).toSeq === Seq(c))
     assert(GridCell.ring(c, 1).length === 8)
     assert(GridCell.ring(c, 3).length === 24)
-    assert(GridCell.disk(c, 2).length === 25)
+    assert(GridCell.disk(c, 2, 2).length === 25)
     // ring(k) = disk(k) -- disk(k-1)
-    assert(GridCell.ring(c, 2).toSet === (GridCell.disk(c, 2).toSet -- GridCell.disk(c, 1).toSet))
+    assert(GridCell.ring(c, 2).toSet === (GridCell.disk(c, 2, 2).toSet -- GridCell.disk(c, 1, 2).toSet))
   }
 
   test("parent at coarser res contains child center") {

@@ -139,9 +139,30 @@ class RuleSpec extends AnyFunSuite {
     }
   }
 
+  test("antimeridian: pairs straddling ±180° join end-to-end (wrap-aware disk + periodic haversine)") {
+    // a at lon 179.9995, b0 at -179.9990: 0.0015° apart ACROSS the line
+    // (~120 m at lat 20); naive haversine is periodic so the theta-join
+    // finds it — the rewritten cell join must too, which requires diskRect
+    // to wrap lon indices (pre-wrap it emitted nonexistent ids > 180·10^res
+    // and silently dropped the pair). b1 is on the far side but out of
+    // range.
+    import spark.implicits._
+    val a = Seq(("a0", 20.0, 179.9995)).toDF("a_id", "a_lat", "a_lon")
+    val b = Seq(("b0", 20.0, -179.9990), ("b1", 20.0, -179.9))
+      .toDF("b_id", "b_lat", "b_lon")
+    assert(graft.geom.Geom.haversineM(20.0, 179.9995, 20.0, -179.9990) <= 200.0)
+    val expected = withoutRule { distJoin(a, b, 200.0).collect().map(_.getString(1)).toSet }
+    assert(expected === Set("b0"))
+    withRule {
+      val got = distJoin(a, b, 200.0)
+      assert(got.queryExecution.executedPlan.toString.contains("_graft_cell"))
+      assert(got.collect().map(_.getString(1)).toSet === expected)
+    }
+  }
+
   test("disk/diskRect size guards use Long arithmetic and a clear cap") {
     val c = GridCell.encode(89.5, 10.0, 5)
-    val e1 = intercept[IllegalArgumentException](GridCell.disk(c, 180 * 100000))
+    val e1 = intercept[IllegalArgumentException](GridCell.disk(c, 180 * 100000, 5))
     assert(e1.getMessage.contains("exceeds cap"))
     val e2 = intercept[IllegalArgumentException](GridCell.diskRect(c, 180 * 100000, 2, 5))
     assert(e2.getMessage.contains("exceeds cap"))
