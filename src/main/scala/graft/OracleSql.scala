@@ -789,6 +789,25 @@ FROM t, ids
 WHERE i <= GREATEST(0, (n - 8 - 1) // 24)
 ORDER BY doc_id, chunk_id""",
 
+    // sequence packing: the same Knuth-hash bucket + per-bucket cumulative
+    // token sum + integer chop, rerun verbatim (all nonneg integer DIV/MOD)
+    "q_doc_pack" ->
+      """WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    ((doc_id % 1000003) * 2654435761) % 8 AS bucket
+  FROM documents),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+  CAST(bucket * 4294967296 + (cum - n_tokens) // 64 AS BIGINT) AS seq_first,
+  CAST(bucket * 4294967296 + (cum - 1) // 64 AS BIGINT) AS seq_last,
+  CAST((cum - n_tokens) % 64 AS BIGINT) AS seq_offset
+FROM c ORDER BY doc_id""",
+
     // PII/link redaction: same three RE2-safe regexes in the same order;
     // DuckDB needs the 'g' flag (default replaces first match only)
     "q_doc_redact" ->
@@ -1165,6 +1184,53 @@ ORDER BY id1, id2""",
     // streaming flatMapGroupsWithState sessionization vs the same
     // window-function closed form the batch twin is gated on
     "q_stream_sessions" -> eventsSessionsSql,
+
+    // as-of join: Spark runs the union-merge window form; the oracle is
+    // DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of the
+    // same inclusive at-or-before semantics. The right side is collapsed
+    // per (user_id, ts_us) with max(event_id) in both engines so ties are
+    // deterministic.
+    "q_events_asof" ->
+      """WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+v AS (
+  SELECT user_id, ts_us, CAST(MAX(event_id) AS BIGINT) AS right_id,
+    CAST(MAX(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS right_value_micro
+  FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_us),
+p AS (
+  SELECT user_id, ts_us, event_id FROM ev WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id AS left_id, p.ts_us AS left_ts_us,
+  v.right_id, v.ts_us AS right_ts_us, v.right_value_micro
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+ORDER BY p.user_id, left_ts_us, left_id""",
+
+    // streaming exact-dedup twin: survivor truth is the window minimum per
+    // md5 digest (same digest formula both engines, like q_doc_curation);
+    // every 7th doc re-emitted under doc_id+1e6 so duplicates exist
+    "q_stream_dedup" ->
+      """WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)
+SELECT doc_id, md5(text) AS digest,
+  doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_first
+FROM docs2 ORDER BY doc_id""",
+
+    // stream-stream interval join twin: the batch interval join over the
+    // same deterministically-derived ping/caption feeds
+    "q_stream_join" ->
+      s"""WITH $imgCte,
+pings AS (
+  SELECT image_id, lat, lon, 1767225600 + (u % 240) AS ping_sec FROM imgs),
+caps AS (
+  SELECT image_id, 'c' || image_id AS caption,
+    1767225600 + (u % 240) + (v % 360) - 180 AS cap_sec
+  FROM imgs WHERE v % 3 = 0)
+SELECT p.image_id, p.lat, p.lon, CAST(p.ping_sec AS BIGINT) AS ping_sec,
+  CAST(c.cap_sec AS BIGINT) AS cap_sec, c.caption
+FROM pings p JOIN caps c ON p.image_id = c.image_id
+  AND c.cap_sec BETWEEN p.ping_sec - 120 AND p.ping_sec + 120
+ORDER BY p.image_id, cap_sec""",
 
     // ---- relational anchors -------------------------------------------------
     "q1_agg" ->

@@ -407,6 +407,13 @@ object SparkEntry {
       TextOps.chunk(Synth.documents(s, dir), chunkSize = 32, overlap = 8)
         .orderBy("doc_id", "chunk_id")),
 
+    // sequence packing (concat-and-chop into fixed 64-token training
+    // sequences, 8 hash buckets at this SF): per-bucket window scan, one
+    // shuffle, no global sort — a long doc spans seq_first..seq_last
+    "q_doc_pack" -> ((s, dir) =>
+      TextOps.packSequences(Synth.documents(s, dir), budgetTokens = 64,
+        buckets = 8).orderBy("doc_id")),
+
     // PII/link scrubbing: deterministic URL/email/long-number appendix is
     // added to every 3rd doc INSIDE the query (mirrored verbatim in the
     // oracle) so the redaction regexes have real work to gate
@@ -738,6 +745,14 @@ object SparkEntry {
           col("sum_value_micro"))
         .orderBy("user_id", "sess_id")),
 
+    // as-of join (purchase ← latest view at-or-before, per user): union-merge
+    // + per-user window carry-forward, ONE shuffle on user_id — no range-join
+    // candidate blowup. Oracle is DuckDB's NATIVE ASOF LEFT JOIN, a fully
+    // independent implementation of the semantics.
+    "q_events_asof" -> ((s, dir) =>
+      EventOps.asofJoin(Synth.events(s, dir), "purchase", "view")
+        .orderBy("user_id", "left_ts_us", "left_id")),
+
     // ---- Structured Streaming twins, DRIVER-GATED: the same events replay
     // through the streaming engine (MemoryStream, one batch) and must land
     // on the exact rows of the batch oracle. Values stream as integer
@@ -809,6 +824,82 @@ object SparkEntry {
         .select(col("user_id"), col("sess_id"), col("n_events"), col("duration_sec"),
           col("sum_value").cast("long").as("sum_value_micro"))
         .orderBy("user_id", "sess_id")
+    }),
+
+    // streaming exact-dedup twin: every document replays through the
+    // flatMapGroupsWithState digest-keyed dedup (state = ONE long per
+    // digest) and must land on the batch truth — is_first ⇔ smallest doc_id
+    // per md5 digest. The synthetic documents are all distinct, so every 7th
+    // doc is re-emitted under doc_id+1e6 INSIDE the query (mirrored in the
+    // oracle) to make the duplicate path do real work at the gate. Same
+    // ProcessingTimeTimeout caveat as sessions: poll the memory table to the
+    // driver-computed row count, never processAllAvailable.
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = Synth.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val docs = base
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .as[Streaming.DocIn].collect()
+      val expected = docs.length.toLong
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Streaming.DocIn]
+      val q = Streaming.dedupStream(s, mem.toDS())
+        .writeStream.format("memory").queryName("graft_q_stream_dedup")
+        .outputMode("append").start()
+      try {
+        mem.addData(docs.toIndexedSeq)
+        val deadline = System.currentTimeMillis() + 180000L
+        while (s.table("graft_q_stream_dedup").count() < expected &&
+               System.currentTimeMillis() < deadline)
+          Thread.sleep(500)
+      } finally q.stop()
+      require(s.table("graft_q_stream_dedup").count() == expected,
+        s"q_stream_dedup: stream did not converge to $expected rows")
+      s.table("graft_q_stream_dedup")
+        .select(col("doc_id"), col("digest"), col("is_first"))
+        .orderBy("doc_id")
+    }),
+
+    // STREAM-STREAM interval join twin: geotagged pings and a separately-
+    // arriving caption feed (both derived deterministically from the image
+    // table — ping at base + u%240 s, caption offset (v%360)-180 s, so
+    // roughly a third of captioned images land outside the ±120 s window)
+    // joined with watermarks on BOTH sides; the oracle is the equivalent
+    // batch interval join. No stateful timeout here, so a single replay
+    // batch + processAllAvailable is deterministic.
+    "q_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = 1767225600L // 2026-01-01T00:00:00Z
+      val gi = Pipeline.geoImages(s, dir)
+      val pings = gi.select(col("image_id"), col("lat"), col("lon"),
+          (lit(base) + col("u") % 240).cast("timestamp").as("ts"))
+        .as[(String, Double, Double, java.sql.Timestamp)].collect()
+      val caps = gi.filter(col("v") % 3 === 0)
+        .select(col("image_id"), concat(lit("c"), col("image_id")).as("caption"),
+          (lit(base) + col("u") % 240 + (col("v") % 360) - 180).cast("timestamp").as("ts"))
+        .as[(String, String, java.sql.Timestamp)].collect()
+      val pMem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double, Double, java.sql.Timestamp)]
+      val cMem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, java.sql.Timestamp)]
+      val q = Streaming.pingCaptionJoin(
+          pMem.toDF().toDF("image_id", "lat", "lon", "ts"),
+          cMem.toDF().toDF("image_id", "caption", "ts"), joinWindowSec = 120)
+        .writeStream.format("memory").queryName("graft_q_stream_join")
+        .outputMode("append").start()
+      try {
+        pMem.addData(pings.toIndexedSeq); cMem.addData(caps.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_q_stream_join")
+        .select(col("image_id"), col("lat"), col("lon"),
+          col("ping_sec"), col("cap_sec"), col("caption"))
+        .orderBy("image_id", "cap_sec")
     }),
 
     // ---- relational anchors (scan/filter/agg/join/window) ----------------

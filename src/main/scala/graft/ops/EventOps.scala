@@ -27,6 +27,53 @@ object EventOps {
       .select(col("event_type"), (col("bucket") * windowSec).as("window_start_sec"),
         col("n"), col("sum_value_micro"))
 
+  /** AS-OF JOIN — for every `leftType` event, the latest `rightType` event of
+    * the same user at-or-before it (inclusive, like DuckDB's `ASOF JOIN ...
+    * ON l.ts >= r.ts`, which is the oracle). Spark has no native as-of
+    * operator; a naive theta-join (`l.ts >= r.ts` + a per-left max) plans a
+    * range join whose candidate set is the full per-user cross product. This
+    * is the UNION-MERGE form instead: tag both sides, sort each user's rows
+    * once by (ts, side) — right rows first at equal ts, making the match
+    * inclusive — and carry the most recent right row forward with
+    * last(ignoreNulls) over an unbounded-preceding window. ONE shuffle on
+    * user_id, per-user linear work, no range-join blowup: the shape that
+    * survives a 100 TB event log (SURVEY §2.10 generalization; the reference
+    * is batch-only and has no temporal join).
+    *
+    * Right rows are pre-collapsed per (user_id, ts_us) — max(event_id) and
+    * max(value_micro), each taken independently — so ties inside the right
+    * side are deterministic in both engines.
+    * Left rows with no prior right event keep NULL right columns (left join
+    * semantics). Values travel as integer micros (partitioning-invariant
+    * sums, exact in both engines). */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val ev = events.withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+    val right = ev.filter(col("event_type") === rightType)
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("r_id"),
+        max(floor(col("value") * lit(1e6)).cast("long")).as("r_value_micro"))
+    val left = ev.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val tagged = right
+      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("r_id"), col("r_value_micro"))
+      .unionByName(left.select(col("user_id"), col("ts_us"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("long").as("r_id"),
+        lit(null).cast("long").as("r_value_micro")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("right_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("right_ts_us",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("right_value_micro",
+        last(col("r_value_micro"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id").as("left_id"),
+        col("ts_us").as("left_ts_us"), col("right_id"), col("right_ts_us"),
+        col("right_value_micro"))
+  }
+
   /** gap-based sessionization per user: lag + cumulative flag sum, then
     * per-session aggregates. */
   def sessionize(events: DataFrame, gapSec: Long): DataFrame = {

@@ -454,6 +454,42 @@ object TextOps {
           .cast("int").as("n_tokens"))
   }
 
+  /** SEQUENCE PACKING — concat-and-chop assignment of documents into fixed
+    * token-budget training sequences (the GPT-style packing step that turns
+    * a curated corpus into equal-length model inputs). Documents are
+    * deterministically hash-bucketed (Knuth hash — the same permanent
+    * assignment on every run and cluster), concatenated in doc_id order
+    * WITHIN each bucket, and the running token stream is chopped every
+    * `budgetTokens`: each document learns the sequence range it lands in
+    * (seq_first..seq_last — a long document spans several) and its token
+    * offset inside the first one.
+    *
+    * Scale shape: ONE shuffle on the bucket key, then a per-bucket window
+    * scan — cumulative sums never cross buckets, so there is no global sort
+    * and no single-partition window (the classic packing scale-killer). At
+    * 100 TB, `buckets` is sized so a bucket's docs fit one task (~2^20);
+    * packing quality is unaffected because every bucket chops into the same
+    * fixed budget independently. Sequence ids are globally unique:
+    * bucket * 2^32 + per-bucket ordinal. All arithmetic is nonneg integer
+    * DIV/MOD — the DuckDB oracle reruns it verbatim. */
+  def packSequences(docs: DataFrame, budgetTokens: Int = 512,
+                    buckets: Int = 1 << 10): DataFrame = {
+    require(budgetTokens > 0 && buckets > 0)
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", sampleBucket(col("doc_id"), buckets))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        (col("bucket") * lit(4294967296L) +
+          expr(s"(cum - n_tokens) DIV $budgetTokens")).as("seq_first"),
+        (col("bucket") * lit(4294967296L) +
+          expr(s"(cum - 1) DIV $budgetTokens")).as("seq_last"),
+        expr(s"(cum - n_tokens) % $budgetTokens").as("seq_offset"))
+  }
+
   /** PII/link scrubbing — redact URLs, emails, and long digit runs with
     * typed placeholders. Only RE2-compatible ASCII-class patterns (no
     * lookaround), so Java (Spark) and RE2 (DuckDB oracle) agree byte-for-

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.EventOps
+import graft.text.TextOps
+
+/** As-of join (union-merge window form) and sequence packing: hand-built
+  * fixtures for the semantics edges (inclusive tie, no-prior-right null,
+  * right-side tie collapse), plus an independent serial re-derivation and a
+  * partitioning-invariance check over the real documents table. */
+class AsofPackSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, sec: Long, typ: String, value: Double) =
+    (id, user, new java.sql.Timestamp(sec * 1000L), typ, value)
+
+  private def eventsDf(rows: Seq[(Long, Long, java.sql.Timestamp, String, Double)]) =
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("asofJoin: latest at-or-before right row, inclusive tie, null when none") {
+    val df = eventsDf(Seq(
+      ev(1, 10, 100, "view", 1.5),
+      ev(2, 10, 200, "view", 2.5),
+      ev(3, 10, 200, "purchase", 9.0),  // tie: view@200 visible (inclusive)
+      ev(4, 10, 300, "purchase", 9.0),  // latest view@200
+      ev(5, 10, 50, "purchase", 9.0),   // before any view -> nulls
+      ev(6, 20, 100, "purchase", 9.0),  // user 20 has no views at all
+      ev(7, 30, 90, "view", 3.0),
+      ev(8, 30, 95, "view", 4.0),       // same user, later view wins
+      ev(9, 30, 99, "purchase", 9.0)))
+    val out = EventOps.asofJoin(df, "purchase", "view")
+      .orderBy("user_id", "left_ts_us", "left_id")
+      .select("left_id", "right_id", "right_ts_us", "right_value_micro")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (5L, None, None, None),
+      (3L, Some(2L), Some(200000000L), Some(2500000L)),
+      (4L, Some(2L), Some(200000000L), Some(2500000L)),
+      (6L, None, None, None),
+      (9L, Some(8L), Some(95000000L), Some(4000000L))))
+  }
+
+  test("asofJoin: right rows at identical (user, ts) collapse to max event_id") {
+    val df = eventsDf(Seq(
+      ev(11, 1, 100, "view", 1.0),
+      ev(12, 1, 100, "view", 2.0), // same ts: event_id 12 wins
+      ev(13, 1, 150, "purchase", 0.0)))
+    val out = EventOps.asofJoin(df, "purchase", "view")
+      .select("left_id", "right_id", "right_value_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((13L, 12L, 2000000L)))
+  }
+
+  test("asofJoin matches a serial per-user scan on the real events table") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val out = EventOps.asofJoin(events, "purchase", "view")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => (r._2, (r._4, r._5))).toMap
+    // independent serial re-derivation from the raw rows
+    val raw = events
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val viewsByUser = raw.filter(_._4 == "view")
+      .groupBy(_._2).map { case (u, vs) =>
+        // collapse ties per ts to max event_id, then sort by ts
+        u -> vs.groupBy(_._3).map { case (ts, g) => (ts, g.map(_._1).max) }
+          .toArray.sortBy(_._1)
+      }
+    var checked = 0
+    raw.filter(_._4 == "purchase").foreach { case (pid, u, pts, _) =>
+      val expect = viewsByUser.get(u)
+        .flatMap(vs => vs.takeWhile(_._1 <= pts).lastOption)
+      val got = out(pid)
+      assert(got._1 === expect.map(_._2), s"purchase $pid right_id")
+      assert(got._2 === expect.map(_._1), s"purchase $pid right_ts")
+      checked += 1
+    }
+    assert(checked > 0)
+  }
+
+  test("packSequences: serial re-derivation, offsets in budget, spans contiguous") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val budget = 64
+    val out = TextOps.packSequences(docs, budgetTokens = budget, buckets = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // serial truth: per bucket, docs in doc_id order, running token chop
+    val toks = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect()
+    val byBucket = toks.groupBy { case (id, _) => ((id % 1000003L) * 2654435761L) % 8L }
+    var checked = 0
+    byBucket.foreach { case (bucket, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, n) =>
+        val start = cum; cum += n
+        val (_, b, nt, sf, sl, off) = out(id)
+        assert(b === bucket && nt === n, s"doc $id bucket/tokens")
+        assert(sf === bucket * 4294967296L + start / budget, s"doc $id seq_first")
+        assert(sl === bucket * 4294967296L + (cum - 1) / budget, s"doc $id seq_last")
+        assert(off === start % budget && off >= 0 && off < budget, s"doc $id offset")
+        checked += 1
+      }
+    }
+    assert(checked === toks.length && checked > 0)
+  }
+
+  test("packSequences is invariant to input partitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextOps.packSequences(docs, 64, 8).collect().toSet
+    val b = TextOps.packSequences(docs.repartition(7), 64, 8).collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+}
