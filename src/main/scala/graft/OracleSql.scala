@@ -688,6 +688,17 @@ ranked AS (
   FROM agg)
 SELECT lang, rk, tok, n FROM ranked WHERE rk <= 10 ORDER BY lang, rk""",
 
+    // heavy hitters: CLOSED FORM — the exact HAVING query, with no trace of
+    // the CMS. The Spark side's sketch+verify construction must land on
+    // exactly this rowset (superset candidates, exact re-count); any sketch
+    // bug that loses a true heavy hitter or keeps a light token reds here.
+    "q_doc_heavy_hitters" ->
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok HAVING COUNT(*) >= 900
+ORDER BY tok""",
+
     // mixing: same sampling-hash formula as q_doc_curation; copies =
     // floor(w) + (bucket < frac(w)·2^20). Weights chosen with exact binary
     // fractional parts so the threshold is integer-exact in both engines.

@@ -454,6 +454,14 @@ object SparkEntry {
     "q_doc_vocab_topn" -> ((s, dir) =>
       TextOps.vocabTopN(Synth.documents(s, dir), 10).orderBy("lang", "rk")),
 
+    // EXACT heavy hitters via the CMS candidate filter (sketch pass + exact
+    // re-count of candidates only): the oracle is the plain exact HAVING
+    // query, independent of the sketch — CMS one-sided error makes the
+    // candidate set a provable superset, the exact count kills the rest
+    "q_doc_heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHitters(Synth.documents(s, dir), minCount = 900L)
+        .orderBy("tok")),
+
     // deterministic source mixing: src0 upsampled 2.5×, src1 kept, src2/3
     // down to 0.5×/0.25×, the rest dropped — same mixture on every run
     "q_doc_mix" -> ((s, dir) =>

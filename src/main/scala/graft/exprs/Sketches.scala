@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -118,10 +119,151 @@ case class HllDistinct(child: Expression, p: Int,
     copy(child = c)
 }
 
+/** Count-Min sketch (Cormode, Muthukrishnan, J.Algorithms 2005 — public
+  * construction): d rows of w counters; update increments one counter per
+  * row at h_j(x) mod w; the point estimate min_j cms[j][h_j(x)] NEVER
+  * undercounts the true frequency. That one-sided error is the whole point
+  * here: it makes the sketch a sound CANDIDATE FILTER for exact heavy
+  * hitters (see TextOps.heavyHitters) — no true heavy hitter can be
+  * filtered out, and false positives die in the exact re-count.
+  *
+  * Buffer is d*w longs; merge is element-wise sum, which is commutative
+  * and associative, so the merged sketch is EXACTLY identical under any
+  * partitioning, task order, or retry. Scale shape: constant-size state
+  * (d=4, w=8192 → 256 KiB) flowing through Spark's standard partial →
+  * final aggregation; a 100 TB frequency survey costs one scan plus one
+  * sketch per map task through the exchange — the tokens themselves never
+  * shuffle.
+  */
+case class CmsSketch(child: Expression, d: Int, w: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(d >= 1 && d <= 8, s"d must be in [1,8], got $d")
+  require(w >= 16 && (w & (w - 1)) == 0, s"w must be a power of two >= 16, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cms_sketch requires a STRING, BIGINT or INT input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val base = v match {
+        case s: UTF8String => Hashing.utf8Hash(s)
+        case l: Long       => l
+        case i: Int        => i.toLong
+        case other => throw new IllegalArgumentException(
+          s"cms_sketch: unsupported input ${other.getClass}")
+      }
+      var j = 0
+      while (j < d) {
+        buf(j * w + CmsOps.slot(base, j, w)) += 1L
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CmsSketch =
+    copy(child = c)
+}
+
+/** Static kernels shared by the CMS aggregate (update) and the CMS lookup
+  * expression (probe) — the two sides MUST hash identically or the
+  * no-undercount guarantee breaks. */
+object CmsOps {
+  /** row-j slot of a pre-hashed key: splitmix64 mix of (base, j), masked
+    * to the power-of-two width. */
+  def slot(base: Long, j: Int, w: Int): Int =
+    (Hashing.mix(base, j) & (w - 1)).toInt
+
+  /** min_j cms[j][h_j(key)] — never less than the true count of `key`. */
+  def minCount(sketch: Array[Long], d: Int, w: Int, key: UTF8String): Long = {
+    val base = Hashing.utf8Hash(key)
+    var m = Long.MaxValue
+    var j = 0
+    while (j < d) {
+      val c = sketch(j * w + slot(base, j, w))
+      if (c < m) m = c
+      j += 1
+    }
+    m
+  }
+}
+
+/** Point-estimate probe against a plan-time CMS (the merged global sketch,
+  * a few hundred KiB, rides the expression as a reference object and the
+  * task closure). Stays inside whole-stage codegen — this is the per-token
+  * hot op of the heavy-hitter candidate filter. */
+case class CmsMinCount(child: Expression, sketch: Array[Long], d: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cms_min_count"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cms_min_count requires a STRING input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    CmsOps.minCount(sketch, d, w, v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cmsSketch", sketch, "long[]")
+    defineCodeGen(ctx, ev, v => s"graft.exprs.CmsOps.minCount($ref, $d, $w, $v)")
+  }
+  override protected def withNewChildInternal(c: Expression): CmsMinCount =
+    copy(child = c)
+}
+
 object sketches {
   /** HLL distinct-count estimate of `col` (string or integral), 2^p
     * registers. Deterministic under any partitioning → pinnable. */
   def hll_distinct(col: Column, p: Int = 12): Column =
     ColumnBridge.column(
       HllDistinct(ColumnBridge.expression(col), p).toAggregateExpression())
+
+  /** Count-Min sketch of `col` as array<bigint> of length d*w (row-major).
+    * Deterministic under any partitioning (merge = elementwise sum). */
+  def cms_sketch(col: Column, d: Int = 4, w: Int = 8192): Column =
+    ColumnBridge.column(
+      CmsSketch(ColumnBridge.expression(col), d, w).toAggregateExpression())
+
+  /** CMS point estimate of `col`'s frequency (>= true count). */
+  def cms_min_count(col: Column, sketch: Array[Long], d: Int, w: Int): Column =
+    ColumnBridge.column(
+      CmsMinCount(ColumnBridge.expression(col), sketch, d, w))
 }

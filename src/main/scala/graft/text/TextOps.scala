@@ -505,4 +505,43 @@ object TextOps {
       .withColumn("n_redactions",
         size(split(col("redacted"), "<URL>|<EMAIL>|<NUM>")) - 1)
   }
+
+  /** EXACT corpus heavy hitters (every token with count >= minCount)
+    * WITHOUT a vocabulary-wide shuffle — the Count-Min candidate-filter
+    * construction:
+    *
+    *   pass 1: one scan folds all tokens into a single 256 KiB CMS
+    *           (merge = elementwise sum → partition-invariant); the merged
+    *           sketch is a bounded driver artifact (one row), broadcast
+    *           back inside a codegen'd probe expression.
+    *   pass 2: one scan keeps only token occurrences whose CMS estimate
+    *           reaches minCount, then exactly counts JUST those.
+    *
+    * Soundness: CMS never undercounts, so the candidate set is a SUPERSET
+    * of the true heavy hitters — no false negatives possible — and the
+    * exact re-count discards the collisions' false positives. The result is
+    * therefore exactly `SELECT tok, count(*) ... HAVING count >= minCount`
+    * (the DuckDB oracle is that query, independent of the sketch).
+    *
+    * Scale shape: a plain groupBy over 100 TB of tokens shuffles the whole
+    * token stream (|corpus| rows); this shuffles only occurrences of
+    * candidate tokens — with a threshold worth asking about (say 1e-6 of
+    * corpus mass), a vanishing fraction. Two scans beat one full-corpus
+    * shuffle by a wide margin at that scale. Width w trades sketch size
+    * against false-positive shuffle volume (collision inflation ~ n/w per
+    * slot); d=4 rows drive the probability that ALL rows collide hot to
+    * negligible. */
+  def heavyHitters(docs: DataFrame, minCount: Long,
+                   d: Int = 4, w: Int = 8192): DataFrame = {
+    import graft.exprs.sketches
+    require(minCount > 0, s"heavyHitters: minCount must be positive, got $minCount")
+    val toks = docs.select(explode(tokensCol(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val row = toks.agg(sketches.cms_sketch(col("tok"), d, w).as("s"))
+      .collect()(0) // bounded artifact: one row, d*w longs
+    val sketch = row.getSeq[Long](0).toArray
+    toks.filter(sketches.cms_min_count(col("tok"), sketch, d, w) >= minCount)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
 }

@@ -69,4 +69,63 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(m("1") - 2000) <= 150, s"g1=${m("1")}")
     assert(math.abs(m("2") - 3000) <= 200, s"g2=${m("2")}")
   }
+
+  // ---- Count-Min sketch + exact heavy hitters ----
+
+  /** skewed corpus: token t_i appears (i+1)*step times — known exact counts. */
+  private def skewedTokens(nTok: Int, step: Int) = {
+    val rows = for {
+      i <- 0 until nTok
+      _ <- 0 until (i + 1) * step
+    } yield s"t$i"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Tuple1(_)), 16)
+    ).toDF("tok")
+  }
+
+  test("CMS never undercounts, even with a tiny colliding sketch (w=16, d=2)") {
+    val df = skewedTokens(nTok = 200, step = 3) // 200 tokens >> 16 slots
+    val sketch = df.agg(sketches.cms_sketch(col("tok"), 2, 16))
+      .head().getSeq[Long](0).toArray
+    val est = df.distinct()
+      .select(col("tok"), sketches.cms_min_count(col("tok"), sketch, 2, 16).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (i <- 0 until 200) {
+      val truth = (i + 1) * 3L
+      assert(est(s"t$i") >= truth, s"t$i: est=${est(s"t$i")} < true=$truth")
+    }
+  }
+
+  test("CMS is partition-invariant: repartition(1) == repartition(32) exactly") {
+    val df = skewedTokens(nTok = 100, step = 2)
+    val a = df.repartition(1).agg(sketches.cms_sketch(col("tok"), 4, 64))
+      .head().getSeq[Long](0)
+    val b = df.repartition(32).agg(sketches.cms_sketch(col("tok"), 4, 64))
+      .head().getSeq[Long](0)
+    assert(a == b)
+  }
+
+  test("heavyHitters is EXACT under heavy collision pressure (w=16)") {
+    // 300 distinct tokens forced into 16 slots: nearly every slot is a
+    // multi-token pileup, so the candidate filter admits plenty of false
+    // positives — the exact re-count must kill all of them.
+    val docs = skewedTokens(nTok = 300, step = 1)
+      .groupBy(spark_partition_id().as("p")).agg(
+        concat_ws(" ", collect_list(col("tok"))).as("text"))
+      .select(col("text"))
+    val minCount = 150L
+    val got = graft.text.TextOps.heavyHitters(docs, minCount, d = 2, w = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = (0 until 300).map(i => s"t$i" -> (i + 1).toLong)
+      .filter(_._2 >= minCount).toMap
+    assert(got == expected,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+  }
+
+  test("cms_sketch rejects unhashable input types at analysis time") {
+    val df = spark.range(4).select(col("id").cast("double").as("d"))
+    val e = intercept[Exception](
+      df.agg(sketches.cms_sketch(col("d"))).collect())
+    assert(e.getMessage.toLowerCase.contains("cms_sketch"))
+  }
 }
