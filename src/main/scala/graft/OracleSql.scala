@@ -1243,6 +1243,21 @@ FROM pings p JOIN caps c ON p.image_id = c.image_id
   AND c.cap_sec BETWEEN p.ping_sec - 120 AND p.ping_sec + 120
 ORDER BY p.image_id, cap_sec""",
 
+    // exact discrete quantiles: CLOSED FORM by rank — row_number over the
+    // sorted column picks the floor(q*(n-1))-th value (0-indexed). The
+    // value at a fixed rank is unique regardless of tie order, so this is
+    // deterministic; the Spark side must land on it through the
+    // histogram-narrowing path with zero knowledge shared.
+    "q_quantiles_exact" ->
+      """WITH t AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT COUNT(*) AS c FROM t),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rn FROM t),
+qs AS (SELECT * FROM (VALUES (0.25::DOUBLE),(0.5::DOUBLE),(0.75::DOUBLE),(0.9::DOUBLE),(0.99::DOUBLE)) AS x(q))
+SELECT qs.q AS q, r.v AS value
+FROM qs, n, r
+WHERE r.rn = CAST(FLOOR(qs.q * CAST(n.c - 1 AS DOUBLE)) AS BIGINT)
+ORDER BY qs.q""",
+
     // ---- relational anchors -------------------------------------------------
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

@@ -919,6 +919,15 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // exact discrete quantiles WITHOUT a global sort: histogram-narrowing
+    // selection (QuantileOps) — the oracle recomputes each rank by
+    // row_number over the sorted column, fully independent of the
+    // histogram machinery
+    "q_quantiles_exact" -> ((s, dir) =>
+      QuantileOps.exactQuantiles(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99)).orderBy("q")),
+
     "q_join_topn" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
