@@ -197,6 +197,45 @@ ORDER BY streets, raw, node_id, lat, lon""",
     // per-way shared-node counts (north_star parity item): the way→node
     // relation rebuilt closed-form for all six synthetic way families
     // (H rows, V columns, motorway, two links, circle); SUMs cast BIGINT
+    // PageRank: the integer recurrence unrolled — pK computed from p{K-1}
+    // by the exact formula GraphOps.pageRank runs (floor divs, 85/100
+    // scaling); CAST(SUM AS BIGINT) before the multiply keeps DuckDB's
+    // HUGEINT widening out of the declared schema.
+    "q_graph_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""p$i AS (
+  SELECT n.id, 150000 + (85 * COALESCE(s.s, 0)) // 100 AS r
+  FROM pgnodes n LEFT JOIN (
+    SELECT e.dst AS id, CAST(SUM(p.r // d.outdeg) AS BIGINT) AS s
+    FROM pge e JOIN p${i - 1} p ON e.src = p.id
+      JOIN pgdeg d ON e.src = d.src
+    GROUP BY e.dst) s USING (id))"""
+      }.mkString(",\n")
+      s"""WITH $gridCte,
+nw AS (
+  SELECT r.i AS way_id, r.i * 1000000 + c.i AS node_id
+  FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
+  UNION ALL
+  SELECT 1000000 + c.i, r.i * 1000000 + c.i
+  FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
+  UNION ALL
+  SELECT 2000000, 900000000 + k.i FROM ser k, p WHERE k.i < p.g
+  UNION ALL SELECT 5000000, 900000001
+  UNION ALL SELECT 5000000, 910000001
+  UNION ALL SELECT 5000001, 910000001
+  UNION ALL SELECT 5000001, 910000002
+  UNION ALL SELECT 6000000, 1000001
+  UNION ALL SELECT 6000000, 1000002),
+pge AS (
+  SELECT DISTINCT a.way_id AS src, b.way_id AS dst
+  FROM nw a JOIN nw b USING (node_id) WHERE a.way_id <> b.way_id),
+pgnodes AS (SELECT src AS id FROM pge UNION SELECT dst FROM pge),
+pgdeg AS (SELECT src, COUNT(*) AS outdeg FROM pge GROUP BY src),
+p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM pgnodes),
+$iterCtes
+SELECT id AS way_id, CAST(r AS BIGINT) AS rank_micro FROM p5 ORDER BY way_id"""
+    },
+
     "q_way_shared_nodes" ->
       s"""WITH $gridCte,
 nw AS (

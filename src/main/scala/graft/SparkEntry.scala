@@ -166,6 +166,21 @@ object SparkEntry {
     // way, and the total sharing degree Σ(ways_at_node − 1). One explode +
     // two partial-aggregated groupBys; the oracle rebuilds the way→node
     // relation closed-form for all six way families.
+    // integer-arithmetic PageRank over the way-adjacency graph (ways
+    // sharing >=1 node); 5 fixed iterations, oracle = the same recurrence
+    // unrolled as chained CTEs in DuckDB — exact BIGINT match per node
+    "q_graph_pagerank" -> ((s, dir) => {
+      val (_, raw, _) = Pipeline.prepared(s, dir)
+      val nw = raw.select(col("id").as("way_id"), explode(col("nodes")).as("node_id"))
+        .distinct()
+      val e = nw.as("a").join(nw.as("b"), "node_id")
+        .filter(col("a.way_id") =!= col("b.way_id"))
+        .select(col("a.way_id").as("src"), col("b.way_id").as("dst")).distinct()
+      GraphOps.pageRank(e)
+        .select(col("id").as("way_id"), col("rank_micro"))
+        .orderBy("way_id")
+    }),
+
     "q_way_shared_nodes" -> ((s, dir) => {
       val (_, raw, _) = Pipeline.prepared(s, dir)
       val nw = raw.select(col("id").as("way_id"), explode(col("nodes")).as("node_id"))

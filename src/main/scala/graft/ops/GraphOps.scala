@@ -86,4 +86,50 @@ object GraphOps {
   def dedupClusters(pairs: DataFrame, id1: String = "id1", id2: String = "id2"): DataFrame =
     connectedComponents(pairs, id1, id2)
       .withColumn("is_survivor", col("id") === col("component"))
+
+  /** PageRank (Brin, Page, WWW'98 — public) over directed edges (src, dst),
+    * in SCALED INTEGER arithmetic so the result is bit-identical under any
+    * partitioning AND independently recomputable in SQL:
+    *
+    *   r_0(v)   = scale                    (micro-units, scale = 1e6)
+    *   r_t+1(v) = floor(0.15·scale)
+    *            + floor(85 · Σ_{u→v} floor(r_t(u)/outdeg(u)) / 100)
+    *
+    * Floating-point PageRank sums contributions in shuffle arrival order —
+    * non-deterministic across runs and engines; here every op is integer
+    * (div truncates, sum of longs is exactly commutative), so the fixed-
+    * iteration result is a CLOSED FORM any engine reproduces exactly.
+    * Dangling mass is dropped (the standard no-redistribution variant).
+    *
+    * Scale shape: `iters` rounds, each = one equi-join of the 16-byte/node
+    * rank state against edges on src (both sides co-partitionable on the
+    * same key; AQE handles hub skew) + one partially-aggregated groupBy on
+    * dst. Edges and degrees are checkpointed once and reused; the per-round
+    * localCheckpoint truncates lineage so plan size stays O(1) in iters.
+    * Nothing graph-sized ever reaches the driver. Overflow headroom:
+    * total mass ≤ |V|·scale, so scale=1e6 is safe to ~9e12 nodes.
+    */
+  def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
+               iters: Int = 5, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val base = scale * 15L / 100L
+    var rank = nodes.select(col("id"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(rank.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div outdeg").as("c"))
+      val sums = contribs.groupBy("id").agg(sum(col("c")).as("s"))
+      rank = nodes.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("id"), col("r").as("rank_micro"))
+  }
 }

@@ -69,4 +69,45 @@ class GraphSpec extends AnyFunSuite {
     val out = GraphOps.connectedComponents(edges)
     assert(out.filter(col("component") =!= 0L).count() === 0) // all reach node 0
   }
+
+  // ---- PageRank ----
+
+  /** in-JVM reference of the exact integer recurrence. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          scale: Long): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale * 15L / 100L
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val sums = edges.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) / outdeg(e._1)).sum).toMap
+      r = nodes.map(v => v -> (base + 85L * sums.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the in-JVM integer reference on a hub-and-chain graph") {
+    // hub 0 pointed at by 50 leaves; chain 100..120; a dangling sink 999
+    val edges: Seq[(Long, Long)] =
+      (1L to 50L).flatMap(i => Seq((i, 0L), (0L, i))) ++
+      (100L until 120L).map(i => (i, i + 1)) ++ Seq((120L, 999L))
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refPageRank(edges, iters = 5, scale = 1000000L)
+    assert(got == want,
+      s"diff=${want.keySet.filter(k => got.get(k) != want.get(k)).take(5)}")
+    // sanity on the shape: the hub outranks every leaf
+    assert((1L to 50L).forall(i => got(0L) > got(i)))
+  }
+
+  test("pageRank is partition-invariant (integer arithmetic, exact equality)") {
+    val edges = (0L until 3000L).map(i => (i, (i * 48271 + 11) % 997))
+      .toDF("src", "dst")
+    val a = GraphOps.pageRank(edges.repartition(1), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pageRank(edges.repartition(32), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }
