@@ -499,6 +499,32 @@ SELECT cell, COUNT(*) AS n_ways FROM allcells GROUP BY cell
 ORDER BY n_ways DESC, cell LIMIT 20""",
 
     // ---- mirror: slippy tile assignment (z=15) -----------------------------
+    // geohash: MIRROR of the closed-form contract — axis quantization
+    // (one floor per axis at 2^18/2^17), lon-first bit interleave via a
+    // fixed 0..34 series, base-32 via substr; identical IEEE arithmetic
+    "q_image_geohash" ->
+      s"""WITH $imgCte,
+axq AS (
+  SELECT image_id,
+    LEAST(131071, GREATEST(0, CAST(FLOOR((lat + 90.0::DOUBLE) / 180.0::DOUBLE * 131072.0::DOUBLE) AS BIGINT))) AS la,
+    LEAST(262143, GREATEST(0, CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 262144.0::DOUBLE) AS BIGINT))) AS lo
+  FROM imgs),
+ghbits AS (
+  SELECT image_id,
+    CAST(SUM(CASE WHEN i % 2 = 0 THEN ((lo >> (17 - i // 2)) & 1) << (34 - i)
+                  ELSE ((la >> (16 - (i - 1) // 2)) & 1) << (34 - i) END) AS BIGINT) AS gh
+  FROM axq, (SELECT i FROM generate_series(0, 34) t(i))
+  GROUP BY image_id),
+gh7 AS (
+  SELECT image_id,
+    string_agg(substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                      CAST((gh >> (30 - 5 * k)) & 31 AS INTEGER) + 1, 1),
+               '' ORDER BY k) AS geohash
+  FROM ghbits, (SELECT k FROM generate_series(0, 6) t(k))
+  GROUP BY image_id)
+SELECT geohash, CAST(COUNT(*) AS BIGINT) AS n
+FROM gh7 GROUP BY geohash ORDER BY geohash""",
+
     "q_image_tiles" ->
       s"""WITH $imgCte
 SELECT image_id,

@@ -354,6 +354,15 @@ object SparkEntry {
         .orderBy("way_id")
     }),
 
+    // geohash encoder (closed-form contract, see GeohashOps): per-cell image
+    // counts at precision 7 — TRUE SQL oracle (the bit interleave + base-32
+    // mapping is plain integer arithmetic DuckDB reruns verbatim)
+    "q_image_geohash" -> ((s, dir) =>
+      Pipeline.geoImages(s, dir)
+        .select(graft.exprs.fns.geohash(col("lat"), col("lon"), 7).as("geohash"))
+        .groupBy("geohash").agg(count(lit(1)).as("n"))
+        .orderBy("geohash")),
+
     "q_image_s2cells" -> ((s, dir) =>
       Pipeline.geoImages(s, dir)
         .select(col("image_id"),

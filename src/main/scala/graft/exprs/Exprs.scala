@@ -194,6 +194,73 @@ case class TileId(lat: Expression, lon: Expression, zoom: Int)
     copy(lat = l, lon = r)
 }
 
+/** Geohash (G. Niemeyer 2008, public domain) base-32 cell id, CLOSED FORM:
+  * the successive-halving construction is equivalent to taking the leading
+  * latBits/lonBits of the binary fractions (lat+90)/180 and (lon+180)/360,
+  * interleaving lon-first, and mapping 5-bit groups through the base-32
+  * alphabet. We DEFINE the encode as that closed form (one floor per axis),
+  * which makes it a pure IEEE expression any engine reproduces bit-for-bit
+  * — the DuckDB oracle runs the identical arithmetic. (The classic
+  * iterative midpoint loop can differ from the closed form by one cell for
+  * inputs within 1 ulp of a boundary, because its midpoints round; the
+  * closed form rounds once and is the better-defined contract.)
+  */
+object GeohashOps {
+  private val B32 = "0123456789bcdefghjkmnpqrstuvwxyz".toCharArray
+
+  def encodeU(lat: Double, lon: Double, p: Int): UTF8String =
+    UTF8String.fromString(encode(lat, lon, p))
+
+  def encode(lat: Double, lon: Double, p: Int): String = {
+    val bits = 5 * p
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    val latInt = axis(lat, 90.0, 180.0, latBits)
+    val lonInt = axis(lon, 180.0, 360.0, lonBits)
+    val out = new Array[Char](p)
+    var i = 0 // bit index from the MSB of the interleaved stream
+    var k = 0
+    while (k < p) {
+      var c = 0
+      var j = 0
+      while (j < 5) {
+        val bit =
+          if (i % 2 == 0) (lonInt >>> (lonBits - 1 - i / 2)) & 1L
+          else (latInt >>> (latBits - 1 - (i - 1) / 2)) & 1L
+        c = (c << 1) | bit.toInt
+        i += 1; j += 1
+      }
+      out(k) = B32(c)
+      k += 1
+    }
+    new String(out)
+  }
+
+  private def axis(v: Double, off: Double, span: Double, nBits: Int): Long = {
+    val max = (1L << nBits) - 1
+    val q = math.floor((v + off) / span * (1L << nBits).toDouble).toLong
+    if (q < 0L) 0L else if (q > max) max else q
+  }
+}
+
+case class GeohashEncode(lat: Expression, lon: Expression, precision: Int)
+    extends BinaryExpression {
+  require(precision >= 1 && precision <= 12,
+    s"geohash precision out of range [1,12]: $precision")
+  override def left: Expression = lat
+  override def right: Expression = lon
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geohash_encode"
+  override protected def nullSafeEval(latV: Any, lonV: Any): Any =
+    GeohashOps.encodeU(latV.asInstanceOf[Double], lonV.asInstanceOf[Double], precision)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (la, lo) =>
+      s"graft.exprs.GeohashOps.encodeU($la, $lo, $precision)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lat = l, lon = r)
+}
+
 /** First intersection point of two polylines (array<struct<lat,lon>>) as
   * array<double>[lat, lon], null when disjoint. Replaces turf.lineIntersect
   * keeping features[0] (`geo.js:209-214`). Per-segment bbox prefilter inside.
@@ -766,6 +833,8 @@ object fns {
   def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     c(Haversine(e(lat1), e(lon1), e(lat2), e(lon2)))
   def tile_id(lat: Column, lon: Column, zoom: Int): Column = c(TileId(e(lat), e(lon), zoom))
+  def geohash(lat: Column, lon: Column, precision: Int): Column =
+    c(GeohashEncode(e(lat), e(lon), precision))
   def segments_intersect(l1: Column, l2: Column): Column = c(SegmentsIntersect(e(l1), e(l2)))
   def point_polyline_dist(lat: Column, lon: Column, line: Column): Column =
     c(PointPolylineDist(e(lat), e(lon), e(line)))

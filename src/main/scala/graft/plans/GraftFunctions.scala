@@ -58,6 +58,8 @@ object GraftFunctions {
       a => Hex7CellEncode(a(0), a(1), intLit("graft_hex7_cell", a(2), 3)) },
     entry("graft_tile_id", "packed Web-Mercator tile id at zoom", 3) {
       a => TileId(a(0), a(1), intLit("graft_tile_id", a(2), 3)) },
+    entry("graft_geohash", "base-32 geohash at precision (1-12)", 3) {
+      a => GeohashEncode(a(0), a(1), intLit("graft_geohash", a(2), 3)) },
     entry("graft_haversine_m", "great-circle meters between two points", 4) {
       a => Haversine(a(0), a(1), a(2), a(3)) },
     entry("graft_point_seg_dist", "planar point-to-segment distance (degrees)", 6) {

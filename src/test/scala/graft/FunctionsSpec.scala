@@ -114,4 +114,45 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("INTEGER literal"))
   }
+
+  // ---- geohash ----
+
+  test("geohash reproduces the published reference vectors") {
+    import graft.exprs.GeohashOps
+    // the two classic published examples (Niemeyer's announcement /
+    // widely-reproduced docs)
+    assert(GeohashOps.encode(42.605, -5.603, 5) == "ezs42")
+    assert(GeohashOps.encode(57.64911, 10.40744, 11) == "u4pruydqqvj")
+    // poles/antimeridian clamp into the max cell instead of overflowing
+    assert(GeohashOps.encode(90.0, 180.0, 12) == "zzzzzzzzzzzz")
+    assert(GeohashOps.encode(-90.0, -180.0, 12) == "000000000000")
+  }
+
+  test("geohash prefix-nesting is exact: precision p is a prefix of p+k") {
+    import graft.exprs.GeohashOps
+    var seed = 987654321L
+    def next(): Long = { seed = (seed * 48271) % 2147483647L; seed }
+    for (_ <- 1 to 300) {
+      val lat = (next() % 180000).toDouble / 1000.0 - 90.0
+      val lon = (next() % 360000).toDouble / 1000.0 - 180.0
+      val g12 = GeohashOps.encode(lat, lon, 12)
+      for (p <- 1 to 11)
+        assert(GeohashOps.encode(lat, lon, p) == g12.take(p),
+          s"($lat,$lon) p=$p: ${GeohashOps.encode(lat, lon, p)} vs $g12")
+    }
+  }
+
+  test("geohash column expression stays codegen'd and null-safe") {
+    val df = spark.range(100).select(
+      (col("id").cast("double") / 10.0 - 5.0).as("lat"),
+      (col("id").cast("double") / 5.0 - 10.0).as("lon"))
+      .union(spark.range(1).select(lit(null).cast("double"), lit(null).cast("double")))
+    val out = df.select(graft.exprs.fns.geohash(col("lat"), col("lon"), 6).as("g"))
+    assert(out.filter(col("g").isNull).count() == 1)
+    assert(out.filter(col("g").isNotNull).count() == 100)
+    // '*' marks whole-stage-codegen'd operators in the plan string: the
+    // Project computing geohash_encode must carry it
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [geohash_encode"), plan)
+  }
 }
