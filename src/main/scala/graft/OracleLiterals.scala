@@ -23,6 +23,9 @@ object OracleLiterals {
     // hash + splitmix recomputed in DuckDB HUGEINT arithmetic)
     "q_doc_token_hll",
     "q_image_features", "q_image_psnr", "q_audio_features",
+    // Douglas-Peucker is recursive-split sequential logic DuckDB SQL can't
+    // express; independent check = JTS equality sweep (TrajSpec)
+    "q_traj_simplify",
     // golden-file replays: static reference data (sfDir-independent), pinned
     // because the driver's DuckDB sees only the sf parquet tables, not the
     // reference's GeoJSON files

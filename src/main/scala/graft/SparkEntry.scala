@@ -354,6 +354,25 @@ object SparkEntry {
         .orderBy("way_id")
     }),
 
+    // Douglas-Peucker trajectory simplification over deterministic synthetic
+    // GPS walks (1-in-97 sample): per-row map-side kernel, no shuffle. DP is
+    // not SQL-expressible → regression pin; the independent check is the
+    // JTS DouglasPeuckerSimplifier equality sweep in TrajSpec.
+    "q_traj_simplify" -> ((s, dir) => {
+      val simp = graft.exprs.fns.simplify_polyline(col("geometry"), 2.0e-4)
+      Synth.tracks(s, dir)
+        .filter(col("track_id") % 97 === 0)
+        .select(col("track_id"), col("geometry"), simp.as("simp"))
+        .select(col("track_id"),
+          size(col("geometry")).as("n_before"),
+          size(col("simp")).as("n_after"),
+          round(aggregate(transform(col("simp"), p => p.getField("lat")),
+            lit(0.0), (a, x) => a + x), 9).as("lat_sum"),
+          round(aggregate(transform(col("simp"), p => p.getField("lon")),
+            lit(0.0), (a, x) => a + x), 9).as("lon_sum"))
+        .orderBy("track_id")
+    }),
+
     // geohash encoder (closed-form contract, see GeohashOps): per-cell image
     // counts at precision 7 — TRUE SQL oracle (the bit interleave + base-32
     // mapping is plain integer arithmetic DuckDB reruns verbatim)

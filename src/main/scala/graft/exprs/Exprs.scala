@@ -303,6 +303,45 @@ object SegmentsIntersect {
   }
 }
 
+/** Douglas-Peucker simplification of an array<struct<lat,lon>> polyline at
+  * a fixed tolerance (planar degrees). Per-row kernel, no shuffle — at
+  * 100 TB of trajectories this is a map-side transform that typically
+  * drops 80-95% of GPS-trace vertices before any join or sink touches
+  * them, which is the point: simplify EARLY, move less. Deterministic
+  * (strict-> split, first-max tie break — see Geom.simplifyDp), so the
+  * output is pinnable; JTS's DouglasPeuckerSimplifier is the independent
+  * test oracle. */
+case class SimplifyPolyline(line: Expression, epsDeg: Double)
+    extends UnaryExpression {
+  require(epsDeg >= 0.0, s"epsilon must be non-negative, got $epsDeg")
+  override def child: Expression = line
+  override def dataType: DataType = line.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simplify_polyline"
+  override protected def nullSafeEval(v: Any): Any =
+    SimplifyPolyline.run(v.asInstanceOf[ArrayData], epsDeg)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.exprs.SimplifyPolyline.run($v, $epsDeg)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(line = c)
+}
+object SimplifyPolyline {
+  /** static entry for generated code. */
+  def run(line: ArrayData, epsDeg: Double): ArrayData = {
+    val flat = SegmentsIntersect.toFlat(line)
+    val simp = Geom.simplifyDp(flat, epsDeg)
+    val n = simp.length / 2
+    val rows = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(simp(2 * i), simp(2 * i + 1))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
 /** Min planar distance (degrees) from a point to a polyline
   * (array<struct<lat,lon>>). Used by kNN exact refinement (SURVEY J7;
   * reference `distGpsGeometry` geo.js:1305-1312 uses vertex distance only —
@@ -835,6 +874,8 @@ object fns {
   def tile_id(lat: Column, lon: Column, zoom: Int): Column = c(TileId(e(lat), e(lon), zoom))
   def geohash(lat: Column, lon: Column, precision: Int): Column =
     c(GeohashEncode(e(lat), e(lon), precision))
+  def simplify_polyline(line: Column, epsDeg: Double): Column =
+    c(SimplifyPolyline(e(line), epsDeg))
   def segments_intersect(l1: Column, l2: Column): Column = c(SegmentsIntersect(e(l1), e(l2)))
   def point_polyline_dist(lat: Column, lon: Column, line: Column): Column =
     c(PointPolylineDist(e(lat), e(lon), e(line)))

@@ -171,6 +171,52 @@ object Geom {
     math.sqrt(ex * ex + ey * ey)
   }
 
+  /** Douglas-Peucker polyline simplification (Douglas & Peucker 1973 —
+    * public) on flat [lat0,lon0,...] pairs, planar-degrees metric (the
+    * same pointSegDist the spatial joins refine with). Endpoints always
+    * kept; a section splits at its FIRST maximum-distance interior point
+    * when that distance exceeds epsDeg (strict >, ties → first index) —
+    * both choices pinned so the output is deterministic. Iterative
+    * explicit stack: no recursion depth limit on pathological inputs. */
+  def simplifyDp(flat: Array[Double], epsDeg: Double): Array[Double] = {
+    val n = flat.length / 2
+    if (n <= 2) return flat.clone()
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    var stack = new Array[Int](32)
+    var top = 0
+    def push(a: Int, b: Int): Unit = {
+      if (top + 2 > stack.length) stack = java.util.Arrays.copyOf(stack, stack.length * 2)
+      stack(top) = a; stack(top + 1) = b; top += 2
+    }
+    push(0, n - 1)
+    while (top > 0) {
+      top -= 2
+      val a = stack(top); val b = stack(top + 1)
+      if (b - a >= 2) {
+        var maxD = -1.0; var idx = -1
+        var i = a + 1
+        while (i < b) {
+          val d = pointSegDist(flat(2 * i), flat(2 * i + 1),
+            flat(2 * a), flat(2 * a + 1), flat(2 * b), flat(2 * b + 1))
+          if (d > maxD) { maxD = d; idx = i }
+          i += 1
+        }
+        if (maxD > epsDeg) { keep(idx) = true; push(a, idx); push(idx, b) }
+      }
+    }
+    var cnt = 0
+    var i = 0
+    while (i < n) { if (keep(i)) cnt += 1; i += 1 }
+    val out = new Array[Double](2 * cnt)
+    var j = 0; i = 0
+    while (i < n) {
+      if (keep(i)) { out(2 * j) = flat(2 * i); out(2 * j + 1) = flat(2 * i + 1); j += 1 }
+      i += 1
+    }
+    out
+  }
+
   /** Min planar distance (degrees) from point to polyline (flat lat,lon pairs). */
   def pointPolylineDist(plat: Double, plon: Double, line: Array[Double]): Double = {
     var best = Double.MaxValue

@@ -42,6 +42,43 @@ object Synth {
     math.max(16, math.min(512, math.ceil(math.sqrt(cnt.toDouble)).toLong)).toInt
   }
 
+  /** deterministic GPS-trace random walk for one track key: LCG steps of
+    * ±1e-3° max, start pinned by the key. Static entry for StaticInvoke
+    * (codegen'd, no closure UDF). */
+  def trackArray(key: Long, nPoints: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    var h = key & 0x7fffffffL
+    def nxt(): Long = { h = (h * 48271 + 11) % 2147483647L; h }
+    var lat = LAT0 + (key % 1000).toDouble * 1e-4
+    var lon = LON0 + (key % 997).toDouble * 1e-4
+    val rows = new Array[Any](nPoints)
+    rows(0) = org.apache.spark.sql.catalyst.InternalRow(lat, lon)
+    var i = 1
+    while (i < nPoints) {
+      lat += ((nxt() % 2001) - 1000).toDouble * 1e-6
+      lon += ((nxt() % 2001) - 1000).toDouble * 1e-6
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(lat, lon)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** (track_id, geometry) synthetic trajectories, one per order key. */
+  def tracks(spark: SparkSession, sfDir: String, nPoints: Int = 40): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types._
+    val geomType = ArrayType(StructType(Seq(
+      StructField("lat", DoubleType, nullable = false),
+      StructField("lon", DoubleType, nullable = false))), containsNull = false)
+    val key = col("o_orderkey")
+    val geom = ColumnBridge.column(StaticInvoke(
+      classOf[Synth.type], geomType, "trackArray",
+      Seq(ColumnBridge.expression(key), Literal(nPoints)),
+      propagateNull = true))
+    orders(spark, sfDir).select(key.as("track_id"), geom.as("geometry"))
+  }
+
   def orders(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/orders.parquet")
   def documents(spark: SparkSession, sfDir: String): DataFrame =

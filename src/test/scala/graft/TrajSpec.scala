@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+import graft.geom.Geom
+
+/** Douglas-Peucker vs the independent JTS implementation (same published
+  * algorithm, same split rule: first interior max, keep when dist >
+  * tolerance), plus the simplification invariants. */
+class TrajSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val gf = new GeometryFactory()
+  private var seed = 1234567L
+  private def nxt(): Long = { seed = (seed * 48271 + 11) % 2147483647L; seed }
+
+  private def randomWalk(n: Int): Array[Double] = {
+    val flat = new Array[Double](2 * n)
+    var lat = 37.0 + (nxt() % 1000).toDouble * 1e-4
+    var lon = -122.0 + (nxt() % 1000).toDouble * 1e-4
+    flat(0) = lat; flat(1) = lon
+    for (i <- 1 until n) {
+      lat += ((nxt() % 2001) - 1000).toDouble * 1e-6
+      lon += ((nxt() % 2001) - 1000).toDouble * 1e-6
+      flat(2 * i) = lat; flat(2 * i + 1) = lon
+    }
+    flat
+  }
+
+  private def viaJts(flat: Array[Double], eps: Double): Array[Double] = {
+    val coords = Array.tabulate(flat.length / 2)(i =>
+      new Coordinate(flat(2 * i + 1), flat(2 * i))) // x=lon, y=lat
+    val simp = DouglasPeuckerSimplifier.simplify(gf.createLineString(coords), eps)
+    simp.getCoordinates.flatMap(c => Array(c.y, c.x))
+  }
+
+  test("simplifyDp equals JTS DouglasPeuckerSimplifier on 200 random walks") {
+    for (t <- 1 to 200) {
+      val n = 3 + (nxt() % 60).toInt
+      val flat = randomWalk(n)
+      val eps = Seq(5e-5, 2e-4, 1e-3)((t % 3))
+      val ours = Geom.simplifyDp(flat, eps)
+      val jts = viaJts(flat, eps)
+      assert(ours.toSeq == jts.toSeq,
+        s"walk $t n=$n eps=$eps: ours=${ours.length / 2} jts=${jts.length / 2} pts")
+    }
+  }
+
+  test("invariants: endpoints kept, kept ⊆ original in order, dropped within eps") {
+    for (_ <- 1 to 50) {
+      val flat = randomWalk(40)
+      val eps = 2e-4
+      val simp = Geom.simplifyDp(flat, eps)
+      val n = flat.length / 2; val m = simp.length / 2
+      assert(simp(0) == flat(0) && simp(1) == flat(1))
+      assert(simp(2 * m - 2) == flat(2 * n - 2) && simp(2 * m - 1) == flat(2 * n - 1))
+      // kept points appear in the original, in order
+      var j = 0
+      for (i <- 0 until n if j < m
+           if flat(2 * i) == simp(2 * j) && flat(2 * i + 1) == simp(2 * j + 1)) j += 1
+      assert(j == m, s"kept sequence not an ordered subset: $j/$m")
+      // every original point lies within eps of the simplified line (the
+      // DP guarantee for the section containing it)
+      for (i <- 0 until n) {
+        val d = Geom.pointPolylineDist(flat(2 * i), flat(2 * i + 1), simp)
+        assert(d <= eps + 1e-12, s"point $i deviates $d > $eps")
+      }
+    }
+  }
+
+  test("degenerate inputs: 1-2 points unchanged, eps=0 keeps everything non-collinear") {
+    assert(Geom.simplifyDp(Array(1.0, 2.0), 1e-3).toSeq == Seq(1.0, 2.0))
+    assert(Geom.simplifyDp(Array(1.0, 2.0, 3.0, 4.0), 1e-3).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    val zigzag = Array(0.0, 0.0, 1.0, 1.0, 0.0, 2.0, 1.0, 3.0)
+    assert(Geom.simplifyDp(zigzag, 0.0).toSeq == zigzag.toSeq)
+    // perfectly collinear interior collapses at any positive eps
+    val line = Array(0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0)
+    assert(Geom.simplifyDp(line, 1e-9).toSeq == Seq(0.0, 0.0, 3.0, 3.0))
+  }
+
+  test("SimplifyPolyline column expression: codegen'd, struct order preserved") {
+    val df = Synthetic.tracksDf(spark)
+    val out = df.select(col("track_id"),
+      graft.exprs.fns.simplify_polyline(col("geometry"), 2e-4).as("simp"))
+    val rows = out.orderBy("track_id").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val pts = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(pts.length >= 2)
+      // lat stays in the walk's band — field order (lat, lon) not swapped
+      assert(pts.forall(p => p.getDouble(0) > 30 && p.getDouble(0) < 45))
+      assert(pts.forall(p => p.getDouble(1) < -100))
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("simplify_polyline"), plan)
+  }
+
+  private object Synthetic {
+    def tracksDf(s: org.apache.spark.sql.SparkSession) = {
+      import graft.synth.Synth
+      // tiny orders stand-in: keys 1..50 through the same track synthesizer
+      val dir = "/root/testdata/sf0.001"
+      Synth.tracks(s, dir).limit(50)
+    }
+  }
+}
