@@ -499,6 +499,82 @@ SELECT cell, COUNT(*) AS n_ways FROM allcells GROUP BY cell
 ORDER BY n_ways DESC, cell LIMIT 20""",
 
     // ---- mirror: slippy tile assignment (z=15) -----------------------------
+    // map-matching: CLOSED FORM — the walks are rebuilt from the affine-LCG
+    // closed form s_j = a^j·s0 + c·(a^j-1)/(a-1) mod m (powers of a
+    // embedded as a VALUES table, modular inverse precomputed), positions
+    // from INTEGER-microdegree cumulative sums (exact under any
+    // association), nearest way brute-forced over the h/v street lines,
+    // runs collapsed with the same lag/cumsum windows. No trace of the kNN
+    // ring-expansion engine the Spark side uses.
+    "q_traj_map_match" -> {
+      val m = 2147483647L; val a = 48271L
+      val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong // 1968059542
+      val powers = (1 to 78)
+        .map(j => s"($j,${BigInt(a).modPow(BigInt(j), BigInt(m))})").mkString(",")
+      s"""WITH $gridCte,
+pw(j, apow) AS (VALUES $powers),
+keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0
+         FROM orders WHERE o_orderkey % 13 = 0),
+deltas AS (
+  SELECT k, (j + 1) // 2 AS t, j % 2 = 1 AS is_lat,
+    ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d
+  FROM keys, pw),
+stepd AS (
+  SELECT k, t, SUM(CASE WHEN is_lat THEN d ELSE 0 END) AS dl,
+         SUM(CASE WHEN NOT is_lat THEN d ELSE 0 END) AS dn
+  FROM deltas GROUP BY k, t),
+cums AS (
+  SELECT k, t AS step,
+    SUM(dl) OVER (PARTITION BY k ORDER BY t) AS dlat,
+    SUM(dn) OVER (PARTITION BY k ORDER BY t) AS dlon
+  FROM stepd),
+pts0 AS (
+  SELECT k AS track_id, 0 AS step,
+    (37000000 + (k % 1000) * 100) * 1e-6 AS lat,
+    (-122000000 + (k % 997) * 100) * 1e-6 AS lon
+  FROM keys
+  UNION ALL
+  SELECT k, step,
+    (37000000 + (k % 1000) * 100 + dlat) * 1e-6,
+    (-122000000 + (k % 997) * 100 + dlon) * 1e-6
+  FROM cums),
+tpts AS (
+  SELECT track_id, step,
+    LEAST(37.0::DOUBLE + CAST(p.g - 1 AS DOUBLE) * 0.001::DOUBLE,
+          GREATEST(37.0::DOUBLE, lat)) AS lat,
+    LEAST(-122.0::DOUBLE + CAST(p.g - 1 AS DOUBLE) * 0.001::DOUBLE,
+          GREATEST(-122.0::DOUBLE, lon)) AS lon
+  FROM pts0, p),
+mmways AS (
+  SELECT r AS way_id, lat AS wlat, NULL::DOUBLE AS wlon, 'h' AS kind FROM rr
+  UNION ALL
+  SELECT 1000000 + c, NULL::DOUBLE, lon, 'v' FROM cc),
+mmcand AS (
+  SELECT t.track_id, t.step, w.way_id,
+    CAST(ROUND((CASE WHEN w.kind = 'h' THEN ABS(t.lat - w.wlat)
+                     ELSE ABS(t.lon - w.wlon) END)
+         * 1000000000.0::DOUBLE) AS BIGINT) AS dist9
+  FROM tpts t, mmways w),
+mmbest AS (
+  SELECT track_id, step, way_id
+  FROM mmcand
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY track_id, step ORDER BY dist9, way_id) = 1),
+mmruns AS (
+  SELECT track_id, step, way_id,
+    CASE WHEN way_id = LAG(way_id) OVER (PARTITION BY track_id ORDER BY step)
+         THEN 0 ELSE 1 END AS flag
+  FROM mmbest),
+mmseq AS (
+  SELECT track_id, step, way_id,
+    SUM(flag) OVER (PARTITION BY track_id ORDER BY step
+                    ROWS UNBOUNDED PRECEDING) AS seq_idx
+  FROM mmruns)
+SELECT track_id, CAST(seq_idx AS BIGINT) AS seq_idx, way_id,
+  CAST(COUNT(*) AS BIGINT) AS n_points
+FROM mmseq GROUP BY track_id, seq_idx, way_id
+ORDER BY track_id, seq_idx"""
+    },
+
     // geohash: MIRROR of the closed-form contract — axis quantization
     // (one floor per axis at 2^18/2^17), lon-first bit interleave via a
     // fixed 0..34 series, base-32 via substr; identical IEEE arithmetic

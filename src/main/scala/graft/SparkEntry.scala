@@ -373,6 +373,38 @@ object SparkEntry {
         .orderBy("track_id")
     }),
 
+    // trajectory map-matching: every GPS point snapped to its provably
+    // nearest street (the kNN ring-expansion engine, k=1), then collapsed
+    // into ordered way runs per track. TRUE SQL oracle: DuckDB rebuilds the
+    // walks from the LCG closed form (a^j mod m powers + integer-microdeg
+    // cumulative sums — association-free), brute-forces nearest way, and
+    // replays the same run-length collapse.
+    "q_traj_map_match" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Synth.gridSize(s, dir)
+      val latMax = Synth.LAT0 + (g - 1).toDouble * Synth.STEP
+      val lonMax = Synth.LON0 + (g - 1).toDouble * Synth.STEP
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      val streets = wayData.filter(col("way_id") < 2000000L)
+      val pts = Synth.tracks(s, dir)
+        .filter(col("track_id") % 13 === 0)
+        .select(col("track_id"), posexplode(col("geometry")))
+        .select((col("track_id") * 100 + col("pos")).as("image_id"),
+          least(lit(latMax), greatest(lit(Synth.LAT0), col("col.lat"))).as("lat"),
+          least(lit(lonMax), greatest(lit(Synth.LON0), col("col.lon"))).as("lon"))
+      val w = Window.partitionBy("track_id").orderBy("step")
+      SpatialOps.knnWays(pts, streets, k = 1)
+        .select(expr("image_id div 100").as("track_id"),
+          (col("image_id") % 100).as("step"), col("way_id"))
+        .withColumn("flag",
+          when(col("way_id") === lag(col("way_id"), 1).over(w), 0L).otherwise(1L))
+        .withColumn("seq_idx", sum(col("flag"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("track_id", "seq_idx", "way_id")
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy("track_id", "seq_idx")
+    }),
+
     // geohash encoder (closed-form contract, see GeohashOps): per-cell image
     // counts at precision 7 — TRUE SQL oracle (the bit interleave + base-32
     // mapping is plain integer arithmetic DuckDB reruns verbatim)

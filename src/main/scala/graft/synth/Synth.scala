@@ -43,20 +43,24 @@ object Synth {
   }
 
   /** deterministic GPS-trace random walk for one track key: LCG steps of
-    * ±1e-3° max, start pinned by the key. Static entry for StaticInvoke
-    * (codegen'd, no closure UDF). */
+    * ±1e-3° max, start pinned by the key. The walk ACCUMULATES IN INTEGER
+    * MICRODEGREES (exact, association-free), converting to double only at
+    * emit — so a SQL oracle can rebuild every point with a windowed integer
+    * cumulative sum and land on bit-identical doubles (a double-accumulated
+    * walk would tie the result to summation order). Static entry for
+    * StaticInvoke (codegen'd, no closure UDF). */
   def trackArray(key: Long, nPoints: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     var h = key & 0x7fffffffL
     def nxt(): Long = { h = (h * 48271 + 11) % 2147483647L; h }
-    var lat = LAT0 + (key % 1000).toDouble * 1e-4
-    var lon = LON0 + (key % 997).toDouble * 1e-4
+    var latU = 37000000L + (key % 1000) * 100L // microdegrees
+    var lonU = -122000000L + (key % 997) * 100L
     val rows = new Array[Any](nPoints)
-    rows(0) = org.apache.spark.sql.catalyst.InternalRow(lat, lon)
+    rows(0) = org.apache.spark.sql.catalyst.InternalRow(latU * 1e-6, lonU * 1e-6)
     var i = 1
     while (i < nPoints) {
-      lat += ((nxt() % 2001) - 1000).toDouble * 1e-6
-      lon += ((nxt() % 2001) - 1000).toDouble * 1e-6
-      rows(i) = org.apache.spark.sql.catalyst.InternalRow(lat, lon)
+      latU += (nxt() % 2001L) - 1000L
+      lonU += (nxt() % 2001L) - 1000L
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(latU * 1e-6, lonU * 1e-6)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
