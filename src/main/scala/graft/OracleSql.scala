@@ -499,6 +499,52 @@ SELECT cell, COUNT(*) AS n_ways FROM allcells GROUP BY cell
 ORDER BY n_ways DESC, cell LIMIT 20""",
 
     // ---- mirror: slippy tile assignment (z=15) -----------------------------
+    // trajectory lengths: same LCG closed-form walk reconstruction as
+    // q_traj_map_match (all tracks, no sample); consecutive-point deltas
+    // via LAG on the emitted doubles, per-segment round-to-1e-9 BEFORE the
+    // sum so the totals are integer sums
+    "q_traj_length" -> {
+      val m = 2147483647L; val a = 48271L
+      val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong
+      val powers = (1 to 78)
+        .map(j => s"($j,${BigInt(a).modPow(BigInt(j), BigInt(m))})").mkString(",")
+      s"""WITH pw(j, apow) AS (VALUES $powers),
+keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0 FROM orders),
+deltas AS (
+  SELECT k, (j + 1) // 2 AS t, j % 2 = 1 AS is_lat,
+    ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d
+  FROM keys, pw),
+stepd AS (
+  SELECT k, t, SUM(CASE WHEN is_lat THEN d ELSE 0 END) AS dl,
+         SUM(CASE WHEN NOT is_lat THEN d ELSE 0 END) AS dn
+  FROM deltas GROUP BY k, t),
+cums AS (
+  SELECT k, t AS step,
+    SUM(dl) OVER (PARTITION BY k ORDER BY t) AS dlat,
+    SUM(dn) OVER (PARTITION BY k ORDER BY t) AS dlon
+  FROM stepd),
+lpts AS (
+  SELECT k AS track_id, 0 AS step,
+    (37000000 + (k % 1000) * 100) * 1e-6 AS lat,
+    (-122000000 + (k % 997) * 100) * 1e-6 AS lon
+  FROM keys
+  UNION ALL
+  SELECT k, step,
+    (37000000 + (k % 1000) * 100 + dlat) * 1e-6,
+    (-122000000 + (k % 997) * 100 + dlon) * 1e-6
+  FROM cums),
+segs9 AS (
+  SELECT track_id, step,
+    CAST(ROUND(SQRT((lat - LAG(lat) OVER w) * (lat - LAG(lat) OVER w) +
+                    (lon - LAG(lon) OVER w) * (lon - LAG(lon) OVER w))
+         * 1000000000.0::DOUBLE) AS BIGINT) AS s9
+  FROM lpts WINDOW w AS (PARTITION BY track_id ORDER BY step))
+SELECT track_id, CAST(40 AS INTEGER) AS n_points,
+  CAST(SUM(s9) AS BIGINT) AS length9, CAST(MAX(s9) AS BIGINT) AS max_step9
+FROM segs9 WHERE s9 IS NOT NULL
+GROUP BY track_id ORDER BY track_id"""
+    },
+
     // map-matching: CLOSED FORM — the walks are rebuilt from the affine-LCG
     // closed form s_j = a^j·s0 + c·(a^j-1)/(a-1) mod m (powers of a
     // embedded as a VALUES table, modular inverse precomputed), positions

@@ -373,6 +373,27 @@ object SparkEntry {
         .orderBy("track_id")
     }),
 
+    // trajectory length stats: per-segment planar length rounded to 1e-9°
+    // BEFORE summing, so the per-track total is an integer sum (exact under
+    // any association/partitioning) — one map-side projection, no shuffle,
+    // no explode; the whole fold runs inside the array expression
+    "q_traj_length" -> ((s, dir) => {
+      val seg9 = expr(
+        """transform(sequence(0, size(geometry) - 2), i ->
+             CAST(round(sqrt((geometry[i+1].lat - geometry[i].lat) *
+                             (geometry[i+1].lat - geometry[i].lat) +
+                             (geometry[i+1].lon - geometry[i].lon) *
+                             (geometry[i+1].lon - geometry[i].lon)) * 1e9, 0)
+                  AS BIGINT))""")
+      Synth.tracks(s, dir)
+        .select(col("track_id"), size(col("geometry")).as("n_points"),
+          seg9.as("seg9"))
+        .select(col("track_id"), col("n_points"),
+          expr("aggregate(seg9, CAST(0 AS BIGINT), (a, x) -> a + x)").as("length9"),
+          expr("array_max(seg9)").as("max_step9"))
+        .orderBy("track_id")
+    }),
+
     // trajectory map-matching: every GPS point snapped to its provably
     // nearest street (the kNN ring-expansion engine, k=1), then collapsed
     // into ordered way runs per track. TRUE SQL oracle: DuckDB rebuilds the
