@@ -181,7 +181,13 @@ object Bench {
     // taken. Contention is one-sided, so min-filtering is unbiased.
     val qRepeats = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "2").toInt
     var qWaitLeftMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_STORM_WAIT_S", "300").toLong * 1000L
-    val results = (if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
+    // dev knob: comma-separated exact names restrict the per-query loop
+    // (e.g. SPARK_GRAFT_BENCH_QUERY_FILTER=q_image_knn,q_traj_map_match)
+    val qFilter = sys.env.get("SPARK_GRAFT_BENCH_QUERY_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = (if (skipQueries) Nil
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => qFilter.forall(_.contains(q._1)))).map { case (name, fn) =>
       var best = Double.MaxValue
       var worst = 0.0
       var ok = true

@@ -663,6 +663,15 @@ SELECT image_id, $cityCase AS city
 FROM imgs, (SELECT (g - 1) * 1000 AS s FROM p) sp
 ORDER BY image_id""",
 
+    // same oracle as q_image_city: the cell-indexed distributed-polygon
+    // join (the million-polygon scale path) must be row-identical to the
+    // broadcast-prepared path
+    "q_image_city_indexed" ->
+      s"""WITH $imgCte
+SELECT image_id, $cityCase AS city
+FROM imgs, (SELECT (g - 1) * 1000 AS s FROM p) sp
+ORDER BY image_id""",
+
     // ---- mirror: kNN streets per image (top-2 by rounded distance) ---------
     "q_image_knn" ->
       s"""WITH $imgCte,

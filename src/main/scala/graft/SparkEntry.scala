@@ -299,6 +299,15 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // J6 scale twin: cell-indexed (distributed-polygon) point-in-polygon —
+    // must be row-identical to the broadcast path; same oracle SQL
+    "q_image_city_indexed" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      SpatialOps.imageCityIndexed(Pipeline.geoImages(s, dir), Synth.cityPolys(g))
+        .select(col("image_id"), col("city"))
+        .orderBy("image_id")
+    }),
+
     "q_image_knn" -> ((s, dir) => {
       val (_, _, wayData) = Pipeline.prepared(s, dir)
       val streets = wayData.filter(col("way_id") < 2000000L)

@@ -185,4 +185,42 @@ object SpatialOps {
   def imageCity(images: DataFrame, polys: Array[(String, Array[Array[Double]])]): DataFrame =
     images.withColumn("city",
       fns.point_in_polygon_first(col("lat"), col("lon"), polys, "Unincorporated"))
+
+  /** J6 at the million-polygon scale: the broadcast-prepared-polys path
+    * (imageCity) dies when the boundary table no longer fits every
+    * executor — countries ship ~50 MB of city polygons, cadastral/parcel
+    * layers ship millions. This twin keeps polygons DISTRIBUTED: each
+    * polygon explodes to its bbox-covering cells (a few hundred cells at
+    * res 2), points equi-join on their single cell (SHUFFLE_HASH — the
+    * index scales with the polygon table, never the driver), and the exact
+    * ray-cast PIP refines candidates only. First-match-wins parity with
+    * imageCity via min(poly_idx) over containing polygons (the prepared
+    * path scans polys in array order). Must produce the IDENTICAL rowset —
+    * registered on the same oracle SQL as q_image_city. */
+  def imageCityIndexed(images: DataFrame,
+                       polys: Array[(String, Array[Array[Double]])],
+                       res: Int = 2, default: String = "Unincorporated"): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val polyDf = polys.zipWithIndex.map { case ((name, rings), i) =>
+      (i, name, rings.map(_.toSeq).toSeq)
+    }.toSeq.toDF("poly_idx", "poly_name", "rings")
+    // outer-ring bbox: rings[0] is flat [lon,lat,...]
+    val lons = expr("transform(sequence(0, size(rings[0]) div 2 - 1), i -> rings[0][2*i])")
+    val lats = expr("transform(sequence(0, size(rings[0]) div 2 - 1), i -> rings[0][2*i + 1])")
+    val polyCells = polyDf
+      .withColumn("cell", explode(fns.cells_covering(
+        array_min(lats), array_min(lons), array_max(lats), array_max(lons), res)))
+    val firstHit = images
+      .select(col("image_id"), col("lat"), col("lon"),
+        fns.cell_encode(col("lat"), col("lon"), res).as("cell"))
+      .join(polyCells.hint("SHUFFLE_HASH"), Seq("cell"))
+      .filter(fns.point_in_polygon(col("lat"), col("lon"), col("rings")))
+      .groupBy(col("image_id")).agg(min(col("poly_idx")).as("poly_idx"))
+      .join(polyDf.select(col("poly_idx"), col("poly_name")), Seq("poly_idx"))
+    images.join(firstHit.select(col("image_id"), col("poly_name")),
+        Seq("image_id"), "left")
+      .withColumn("city", coalesce(col("poly_name"), lit(default)))
+      .drop("poly_name")
+  }
 }
