@@ -1392,6 +1392,30 @@ ORDER BY id1, id2""",
     // window-function closed form the batch twin is gated on
     "q_stream_sessions" -> eventsSessionsSql,
 
+    // funnel: MIRROR — chained per-user first-occurrence frontiers with
+    // strict-after joins; min() + strict `>` make it tie-insensitive
+    "q_events_funnel" ->
+      """WITH f1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY user_id),
+f2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN f1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > f1.t GROUP BY e.user_id),
+f3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN f2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > f2.t GROUP BY e.user_id),
+f4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN f3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > f3.t GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 1 AS stage, 'signup' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM f1
+  UNION ALL
+  SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM f2
+  UNION ALL
+  SELECT 3, 'click', CAST(COUNT(*) AS BIGINT) FROM f3
+  UNION ALL
+  SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM f4)
+ORDER BY stage""",
+
     // as-of join: Spark runs the union-merge window form; the oracle is
     // DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of the
     // same inclusive at-or-before semantics. The right side is collapsed

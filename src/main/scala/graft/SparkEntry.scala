@@ -866,6 +866,12 @@ object SparkEntry {
       EventOps.asofJoin(Synth.events(s, dir), "purchase", "view")
         .orderBy("user_id", "left_ts_us", "left_id")),
 
+    // ordered funnel (signup → view → click → purchase, first-occurrence
+    // chaining with strict-after steps): per-stage user counts
+    "q_events_funnel" -> ((s, dir) =>
+      EventOps.funnel(Synth.events(s, dir),
+        Seq("signup", "view", "click", "purchase")).orderBy("stage")),
+
     // ---- Structured Streaming twins, DRIVER-GATED: the same events replay
     // through the streaming engine (MemoryStream, one batch) and must land
     // on the exact rows of the batch oracle. Values stream as integer

@@ -91,4 +91,31 @@ object EventOps {
         (floor((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L))).cast("long").as("duration_sec"),
         sumMicro(col("value")).as("sum_value_micro"))
   }
+
+  /** Ordered-funnel analysis: how many users reach each stage, where stage
+    * i+1 counts only events STRICTLY AFTER the user's first qualifying
+    * stage-i event (first-occurrence chaining — the standard product
+    * funnel). Per stage: one filtered scan + one user-keyed min — every
+    * join/agg is on user_id, so all stages co-partition on the same key and
+    * AQE reuses the exchange; nothing event-sized crosses stages, only the
+    * (user_id, first_ts) frontier (one row per surviving user). Strict `>`
+    * and min() make the result tie-insensitive and engine-reproducible. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: at least one stage")
+    var frontier: DataFrame = null
+    val perStage = stages.zipWithIndex.map { case (st, i) =>
+      frontier =
+        if (i == 0)
+          events.filter(col("event_type") === st)
+            .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        else
+          events.filter(col("event_type") === st)
+            .join(frontier.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
+            .filter(col("ts") > col("prev_t"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      frontier.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"), col("n_users"))
+    }
+    perStage.reduce(_ unionByName _)
+  }
 }

@@ -113,4 +113,21 @@ class AsofPackSpec extends AnyFunSuite {
     val b = TextOps.packSequences(docs.repartition(7), 64, 8).collect().toSet
     assert(a === b && a.nonEmpty)
   }
+
+  test("funnel: strict-after chaining — order matters, equal ts does not advance") {
+    val rows = Seq(
+      // user 1 completes A→B in order
+      ev(1, 1, 10, "A", 0), ev(2, 1, 20, "B", 0),
+      // user 2 has B BEFORE A only → must not reach stage 2
+      ev(3, 2, 20, "B", 0), ev(4, 2, 30, "A", 0),
+      // user 3: B at the SAME ts as A → strict > excludes it
+      ev(5, 3, 10, "A", 0), ev(6, 3, 10, "B", 0),
+      // user 4: first A at 50, stale B at 40, valid B at 60 → advances
+      ev(7, 4, 50, "A", 0), ev(8, 4, 40, "B", 0), ev(9, 4, 60, "B", 0),
+      // user 5: B only, never signs up → not even stage 1
+      ev(10, 5, 5, "B", 0))
+    val got = EventOps.funnel(eventsDf(rows), Seq("A", "B"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 4L, 2 -> 2L), got) // stage1: users 1,2,3,4; stage2: 1,4
+  }
 }
