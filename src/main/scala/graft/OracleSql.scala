@@ -1416,6 +1416,18 @@ SELECT * FROM (
   SELECT 4, 'purchase', CAST(COUNT(*) AS BIGINT) FROM f4)
 ORDER BY stage""",
 
+    // retention: MIRROR — integer epoch-week cohorts, distinct activity
+    "q_events_retention" ->
+      """WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+coh AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+act AS (
+  SELECT DISTINCT c.cohort_week, e.week - c.cohort_week AS week_offset, e.user_id
+  FROM ev e JOIN coh c USING (user_id))
+SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset""",
+
     // as-of join: Spark runs the union-merge window form; the oracle is
     // DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of the
     // same inclusive at-or-before semantics. The right side is collapsed

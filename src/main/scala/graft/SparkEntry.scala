@@ -872,6 +872,12 @@ object SparkEntry {
       EventOps.funnel(Synth.events(s, dir),
         Seq("signup", "view", "click", "purchase")).orderBy("stage")),
 
+    // retention matrix (cohort = first-event epoch-week): distinct users
+    // per (cohort_week, week_offset) — integer week arithmetic
+    "q_events_retention" -> ((s, dir) =>
+      EventOps.retention(Synth.events(s, dir))
+        .orderBy("cohort_week", "week_offset")),
+
     // ---- Structured Streaming twins, DRIVER-GATED: the same events replay
     // through the streaming engine (MemoryStream, one batch) and must land
     // on the exact rows of the batch oracle. Values stream as integer

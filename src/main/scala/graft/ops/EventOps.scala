@@ -118,4 +118,23 @@ object EventOps {
     }
     perStage.reduce(_ unionByName _)
   }
+
+  /** Classic retention matrix: cohort = the epoch-week of a user's first
+    * event; each cell counts distinct users from that cohort active
+    * week_offset weeks later. Pure integer week arithmetic (epoch_us div
+    * week) — engine-exact. Shape: first-event agg and the activity
+    * distinct both key on user_id (one co-partitioned exchange), then the
+    * final count groups ≤ |weeks|² cells — the matrix never scales with
+    * event volume. */
+  def retention(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      expr("unix_micros(cast(ts as timestamp)) div 604800000000").as("week"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(cohorts, Seq("user_id"))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }
