@@ -499,6 +499,41 @@ SELECT cell, COUNT(*) AS n_ways FROM allcells GROUP BY cell
 ORDER BY n_ways DESC, cell LIMIT 20""",
 
     // ---- mirror: slippy tile assignment (z=15) -----------------------------
+    // polygon measures: MIRROR — the three city rings rebuilt from the
+    // Synth.cityPolys vertex formulas, then the SAME left folds (DuckDB
+    // list_reduce ≡ Spark aggregate) over identical per-term arithmetic.
+    // DuckDB lists are 1-based: flat 0-based index k is ring[k+1].
+    "q_poly_measures" -> {
+      def pp(x: Int) = s"(sp.s * $x // 100)"
+      def la(u: String) = s"(37.0::DOUBLE + (CAST($u AS DOUBLE) + 0.5) * 1e-6)"
+      def lo(v: String) = s"(-122.0::DOUBLE + (CAST($v AS DOUBLE) + 0.5) * 1e-6)"
+      def rect(uLo: String, uHi: String, vLo: String, vHi: String) =
+        s"[${lo(vLo)}, ${la(uLo)}, ${lo(vHi)}, ${la(uLo)}, ${lo(vHi)}, ${la(uHi)}, ${lo(vLo)}, ${la(uHi)}]"
+      val alpha = rect(pp(10), pp(35), pp(10), pp(40))
+      val beta = rect(pp(40), pp(70), pp(50), pp(90))
+      val gamma = s"""[${lo(pp(5))}, ${la(pp(70))}, ${lo(pp(5))}, ${la(pp(95))},
+ ${lo(pp(20))}, ${la(pp(95))}, ${lo(pp(20))}, ${la(pp(80))},
+ ${lo(pp(45))}, ${la(pp(80))}, ${lo(pp(45))}, ${la(pp(70))}]"""
+      val n = "(len(ring) // 2)"
+      val j = s"((i + 1) % $n)"
+      s"""WITH p AS (SELECT GREATEST(16, LEAST(512, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS g FROM orders),
+sp AS (SELECT (g - 1) * 1000 AS s FROM p),
+pol(name, ring) AS (
+  SELECT 'alpha', $alpha FROM sp
+  UNION ALL SELECT 'beta', $beta FROM sp
+  UNION ALL SELECT 'gamma', $gamma FROM sp)
+SELECT name, len(ring) // 2 AS n_vertices,
+  ABS(list_reduce(list_transform(range(0, $n), i ->
+    (ring[2*i + 1] - ring[1]) * (ring[2*$j + 2] - ring[2])
+  - (ring[2*$j + 1] - ring[1]) * (ring[2*i + 2] - ring[2])),
+    (a, t) -> a + t)) * 0.5 AS area_deg2,
+  list_reduce(list_transform(range(0, $n), i ->
+    SQRT((ring[2*$j + 1] - ring[2*i + 1]) * (ring[2*$j + 1] - ring[2*i + 1])
+       + (ring[2*$j + 2] - ring[2*i + 2]) * (ring[2*$j + 2] - ring[2*i + 2]))),
+    (a, t) -> a + t) AS perimeter_deg
+FROM pol ORDER BY name"""
+    },
+
     // trajectory lengths: same LCG closed-form walk reconstruction as
     // q_traj_map_match (all tracks, no sample); consecutive-point deltas
     // via LAG on the emitted doubles, per-segment round-to-1e-9 BEFORE the

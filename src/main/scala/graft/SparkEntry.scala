@@ -363,6 +363,36 @@ object SparkEntry {
         .orderBy("way_id")
     }),
 
+    // polygon measures (planar shoelace area + closed-ring perimeter) as
+    // pure array folds — Spark's aggregate() is a LEFT fold and DuckDB's
+    // list_reduce is too, so the double sums are bit-identical without any
+    // integer-scaling tricks. The shoelace runs about a LOCAL ORIGIN (the
+    // first vertex): at lon ≈ -122 the raw cross products are ~10^4 while
+    // the area is ~10^-4, so the naive form cancels away 12 digits —
+    // translating first keeps every term at the area's own scale. JTS
+    // getArea/getLength + the exact lattice areas are the independent
+    // test oracle (PolySpec).
+    "q_poly_measures" -> ((s, dir) => {
+      val g = Synth.gridSize(s, dir)
+      val n = "size(rings[0]) div 2" // ring is flat [lon,lat,...], 0-indexed
+      Synth.boundariesDf(s, g)
+        .select(col("name"),
+          expr(s"$n").as("n_vertices"),
+          expr(
+            s"""abs(aggregate(transform(sequence(0, $n - 1), i ->
+                 (rings[0][2*i] - rings[0][0]) * (rings[0][2*((i+1) % ($n)) + 1] - rings[0][1])
+               - (rings[0][2*((i+1) % ($n))] - rings[0][0]) * (rings[0][2*i + 1] - rings[0][1])),
+               cast(0.0 as double), (a, t) -> a + t)) * 0.5""").as("area_deg2"),
+          expr(
+            s"""aggregate(transform(sequence(0, $n - 1), i ->
+                 sqrt((rings[0][2*((i+1) % ($n))] - rings[0][2*i])
+                    * (rings[0][2*((i+1) % ($n))] - rings[0][2*i])
+                    + (rings[0][2*((i+1) % ($n)) + 1] - rings[0][2*i + 1])
+                    * (rings[0][2*((i+1) % ($n)) + 1] - rings[0][2*i + 1]))),
+               cast(0.0 as double), (a, t) -> a + t)""").as("perimeter_deg"))
+        .orderBy("name")
+    }),
+
     // Douglas-Peucker trajectory simplification over deterministic synthetic
     // GPS walks (1-in-97 sample): per-row map-side kernel, no shuffle. DP is
     // not SQL-expressible → regression pin; the independent check is the
