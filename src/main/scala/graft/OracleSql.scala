@@ -1533,6 +1533,24 @@ ORDER BY qs.q""",
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""",
 
+    // Q5 anchor: revenue floored to integer micros BEFORE the sum in both
+    // engines, so the grouped total is exact regardless of join/partition
+    // order
+    "q5_local_supplier" ->
+      """SELECT n_name,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0::DOUBLE - l_discount) * 1e6) AS BIGINT)) AS BIGINT)
+    AS revenue_micro,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue_micro DESC, n_name""",
+
     "q_join_topn" ->
       """WITH rev AS (
   SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS revenue, COUNT(*) AS n_orders

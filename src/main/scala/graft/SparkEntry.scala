@@ -1075,6 +1075,33 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice",
         Seq(0.25, 0.5, 0.75, 0.9, 0.99)).orderBy("q")),
 
+    // TPC-H Q5-shaped local-supplier revenue: the 6-way join anchor. Fact
+    // tables (lineitem, orders) shuffle on their join keys; customer/
+    // supplier/nation/region are explicitly broadcast (they are dims —
+    // at 100 TB the facts grow, the dims don't). Revenue in integer micros
+    // (floor before sum) so the 6-way-shuffled aggregation is
+    // partition-order-invariant, not merely round-masked.
+    "q5_local_supplier" -> ((s, dir) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = broadcast(s.read.parquet(s"$dir/customer.parquet"))
+      val su = broadcast(s.read.parquet(s"$dir/supplier.parquet"))
+      val na = broadcast(s.read.parquet(s"$dir/nation.parquet"))
+      val re = broadcast(s.read.parquet(s"$dir/region.parquet"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(na, col("s_nationkey") === col("n_nationkey"))
+        .join(re, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(1e6)).cast("long")).as("revenue_micro"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_micro").desc, col("n_name"))
+    }),
+
     "q_join_topn" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
