@@ -768,6 +768,78 @@ WHERE 2*6371008.8*asin(least(1.0, sqrt(
     cos(radians(i.lat))*cos(radians(l.llat))*sin(radians((l.llon - i.lon)/2))*sin(radians((l.llon - i.lon)/2))))) <= 150.0::DOUBLE
 ORDER BY image_id, lm_id""",
 
+    // ---- mirror: DBSCAN over the geotagged corpus ---------------------------
+    // full relational replay of the decomposition: integer-cell candidate
+    // join (700 µ° cells ⊇ the 60 m disk at these latitudes: lat halfwidth
+    // 540 µ°, lon halfwidth ≤ 680 µ° at lat 37.5) + the identical haversine
+    // refine, neighborhood counts, core threshold, recursive-CTE transitive
+    // closure for components (min core id), min-cluster border assignment
+    "q_geo_dbscan" ->
+      s"""WITH RECURSIVE $imgCte,
+pts AS (SELECT CAST(substring(image_id, 4) AS BIGINT) AS pid, lat, lon, u, v FROM imgs),
+off AS (SELECT a.du, b.dv FROM (VALUES (-1),(0),(1)) a(du), (VALUES (-1),(0),(1)) b(dv)),
+prs AS (
+  SELECT a.pid AS a_id, b.pid AS b_id
+  FROM pts a, off o, pts b
+  WHERE b.u // 700 = a.u // 700 + o.du AND b.v // 700 = a.v // 700 + o.dv
+    AND 2*6371008.8*asin(least(1.0, sqrt(
+      sin(radians((b.lat - a.lat)/2))*sin(radians((b.lat - a.lat)/2)) +
+      cos(radians(a.lat))*cos(radians(b.lat))*sin(radians((b.lon - a.lon)/2))*sin(radians((b.lon - a.lon)/2))))) <= 60.0::DOUBLE),
+cnt AS (SELECT a_id, COUNT(*) AS n_eps FROM prs GROUP BY a_id),
+core AS (SELECT a_id AS id FROM cnt WHERE n_eps >= 4),
+ed AS (SELECT p.a_id AS a, p.b_id AS b FROM prs p
+       JOIN core c1 ON p.a_id = c1.id JOIN core c2 ON p.b_id = c2.id),
+reach(a, b) AS (SELECT a, b FROM ed UNION SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+comp AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+bord AS (SELECT p.a_id, MIN(c.cluster) AS nbr_cluster
+         FROM prs p JOIN comp c ON p.b_id = c.id WHERE p.a_id <> p.b_id GROUP BY p.a_id)
+SELECT cnt.a_id AS pid, cnt.n_eps,
+  CASE WHEN comp.cluster IS NOT NULL THEN 'core'
+       WHEN bord.nbr_cluster IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+  COALESCE(comp.cluster, bord.nbr_cluster) AS cluster
+FROM cnt LEFT JOIN comp ON cnt.a_id = comp.id LEFT JOIN bord ON cnt.a_id = bord.a_id
+ORDER BY pid""",
+
+    // ---- mirror: per-tile capped sampling -----------------------------------
+    "q_geo_cap_sample" ->
+      s"""WITH $imgCte,
+pts AS (SELECT CAST(substring(image_id, 4) AS BIGINT) AS pid, lat, lon FROM imgs),
+t AS (SELECT pid,
+  15 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT)
+  AS tile_id,
+  (pid * 2654435761) % 4294967296 AS priority
+  FROM pts),
+r AS (SELECT pid, tile_id, priority,
+      ROW_NUMBER() OVER (PARTITION BY tile_id ORDER BY priority, pid) AS rk FROM t)
+SELECT pid, tile_id, priority, rk FROM r WHERE rk <= 16 ORDER BY pid""",
+
+    // ---- mirror: multi-zoom density pyramid ---------------------------------
+    // leaf z15 counts + chained integer parent-arithmetic rollups to z11;
+    // SUMs cast back to BIGINT (DuckDB SUM(BIGINT) is HUGEINT)
+    "q_geo_tile_pyramid" ->
+      s"""WITH $imgCte,
+l15 AS (SELECT
+  15 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT)
+  AS tile_id, COUNT(*) AS n FROM imgs GROUP BY 1),
+l14 AS (SELECT 14 * 4503599627370496 + ((tile_id % 4503599627370496) // 67108864 // 2) * 67108864
+  + (tile_id % 67108864) // 2 AS tile_id, CAST(SUM(n) AS BIGINT) AS n FROM l15 GROUP BY 1),
+l13 AS (SELECT 13 * 4503599627370496 + ((tile_id % 4503599627370496) // 67108864 // 2) * 67108864
+  + (tile_id % 67108864) // 2 AS tile_id, CAST(SUM(n) AS BIGINT) AS n FROM l14 GROUP BY 1),
+l12 AS (SELECT 12 * 4503599627370496 + ((tile_id % 4503599627370496) // 67108864 // 2) * 67108864
+  + (tile_id % 67108864) // 2 AS tile_id, CAST(SUM(n) AS BIGINT) AS n FROM l13 GROUP BY 1),
+l11 AS (SELECT 11 * 4503599627370496 + ((tile_id % 4503599627370496) // 67108864 // 2) * 67108864
+  + (tile_id % 67108864) // 2 AS tile_id, CAST(SUM(n) AS BIGINT) AS n FROM l12 GROUP BY 1)
+SELECT 15 AS zoom, tile_id, n FROM l15
+UNION ALL SELECT 14, tile_id, n FROM l14
+UNION ALL SELECT 13, tile_id, n FROM l13
+UNION ALL SELECT 12, tile_id, n FROM l12
+UNION ALL SELECT 11, tile_id, n FROM l11
+ORDER BY zoom, tile_id""",
+
     // ---- documents ---------------------------------------------------------
     "q_doc_tokens" ->
       """SELECT doc_id,

@@ -506,6 +506,40 @@ object SparkEntry {
         .orderBy("image_id", "lm_id")
     }),
 
+    // ---- spatial clustering + spatial curation --------------------------
+    // DBSCAN over the geotagged image corpus: ε-pairs via the SAME
+    // DistanceJoinRewrite cell join as q_rule_distance_join, core points by
+    // neighborhood count, clusters as connected components of the
+    // core-core ε-graph (min-core-id canonical labels), deterministic
+    // min-cluster border assignment. The oracle replays the whole
+    // decomposition: integer-cell candidate join + identical haversine
+    // refine + recursive-CTE closure.
+    "q_geo_dbscan" -> ((s, dir) =>
+      graft.ops.ClusterOps.dbscan(
+          Pipeline.geoImages(s, dir).select(
+            expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+            col("lat"), col("lon")),
+          epsMeters = 60.0, minPts = 4)
+        .orderBy("pid")),
+
+    // per-tile capped sampling (spatial de-biasing): dense tiles keep at
+    // most `cap` images by deterministic Knuth-hash priority
+    "q_geo_cap_sample" -> ((s, dir) =>
+      graft.ops.ClusterOps.capPerTile(
+          Pipeline.geoImages(s, dir).select(
+            expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+            col("lat"), col("lon")),
+          zoom = 15, cap = 16)
+        .orderBy("pid")),
+
+    // multi-zoom density pyramid: z15 leaf counts rolled up to z11 by pure
+    // integer parent arithmetic on the packed tile id
+    "q_geo_tile_pyramid" -> ((s, dir) =>
+      graft.ops.ClusterOps.tilePyramid(
+          Pipeline.geoImages(s, dir).select(col("lat"), col("lon")),
+          leafZoom = 15, minZoom = 11)
+        .orderBy("zoom", "tile_id")),
+
     // ---- documents: text analysis + dedup -------------------------------
     "q_doc_tokens" -> ((s, dir) =>
       TextOps.tokenStats(Synth.documents(s, dir)).orderBy("doc_id")),

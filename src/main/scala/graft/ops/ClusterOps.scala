@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.exprs.fns
+
+/** Spatial clustering + spatial curation operators over geotagged points —
+  * the density layer a 10^12-image geo corpus needs on top of the join
+  * engine: DBSCAN cluster labels (place discovery / geo-dedup of photo
+  * bursts), per-tile capped sampling (training-data de-biasing of overdense
+  * urban tiles), and the multi-zoom density pyramid (the raster side of the
+  * raster↔vector assignment).
+  *
+  * Everything here is DETERMINISTIC (no RNG, no order-dependence) so a
+  * DuckDB oracle recomputes every row, and every candidate-generation step
+  * is an equi-join or a keyed aggregate — no all-pairs anywhere.
+  */
+object ClusterOps {
+
+  /** DBSCAN (Ester, Kriegel, Sander, Xu — KDD'96, public) over geotagged
+    * points, in the deterministic relational decomposition:
+    *
+    *   1. ε-neighbor pairs: declared as the NAIVE haversine theta-join of
+    *      the point set with itself; the session's DistanceJoinRewrite
+    *      optimizer rule turns it into the cell-bucketed equi-join with a
+    *      per-row adaptive rectangular disk (same machinery as
+    *      q_rule_distance_join — Spark alone would nested-loop it).
+    *      Self-pairs are kept: |N_ε(p)| in the paper includes p itself.
+    *   2. core points: |N_ε(p)| ≥ minPts — one partially-aggregated count.
+    *   3. clusters: connected components of the core–core ε-graph
+    *      (GraphOps large/small-star, O(log n) rounds); the cluster id is
+    *      the MINIMUM core point id of the component — a canonical label,
+    *      unlike textbook DBSCAN's scan-order-dependent integers.
+    *   4. border points: non-core points with ≥1 core ε-neighbor join the
+    *      MINIMUM cluster id among their core neighbors (textbook DBSCAN
+    *      assigns ties by visit order — nondeterministic; min is the
+    *      canonical deterministic choice). Everything else is noise.
+    *
+    * Scale shape: the pair join is cell-bucketed (never all-pairs), counts
+    * and component rounds shuffle only (id, id)-sized rows, and the point
+    * payload never travels — at 10^12 points the dominant cost is the
+    * ε-pair shuffle, which AQE skew-splits on hot cells like every other
+    * cell join here. `pairs` is localCheckpointed once because three
+    * downstream consumers (counts, core edges, border assignment) would
+    * otherwise re-execute the spatial join.
+    *
+    * Input columns: pid (long), lat, lon. Output: (pid, n_eps, role ∈
+    * core|border|noise, cluster — null for noise).
+    */
+  def dbscan(points: DataFrame, epsMeters: Double, minPts: Int): DataFrame = {
+    require(epsMeters > 0.0, "epsMeters must be positive")
+    require(minPts >= 1, "minPts must be >= 1")
+    graft.plans.GraftPlans.enable(points.sparkSession)
+    val a = points.select(col("pid").as("a_id"), col("lat").as("a_lat"), col("lon").as("a_lon"))
+    val b = points.select(col("pid").as("b_id"), col("lat").as("b_lat"), col("lon").as("b_lon"))
+    val pairs = a.join(b,
+        fns.haversine_m(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon"))
+          <= lit(epsMeters))
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(true) // reused 3x: counts, core edges, border assign
+
+    val cnt = pairs.groupBy(col("a_id")).agg(count(lit(1)).as("n_eps"))
+    val core = cnt.filter(col("n_eps") >= minPts)
+      .select(col("a_id").as("id"))
+      .localCheckpoint(true) // reused 2x: both sides of the core-edge semi-join
+
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a_id")), Seq("a_id"))
+      .join(core.select(col("id").as("b_id")), Seq("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    // components only cover cores WITH a core neighbor; isolated cores are
+    // their own (singleton) cluster
+    val comp = GraphOps.connectedComponents(coreEdges, "a_id", "b_id")
+    val coreClusters = core.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+      .localCheckpoint(true) // reused 2x: core labeling, border assignment
+
+    val borderAssign = pairs.filter(col("a_id") =!= col("b_id"))
+      .join(coreClusters.select(col("id").as("b_id"), col("cluster")), Seq("b_id"))
+      .groupBy(col("a_id")).agg(min(col("cluster")).as("nbr_cluster"))
+
+    // every point has a self-pair, so `cnt` covers the full point set
+    cnt.withColumnRenamed("a_id", "pid")
+      .join(coreClusters.withColumnRenamed("id", "pid"), Seq("pid"), "left")
+      .join(borderAssign.withColumnRenamed("a_id", "pid"), Seq("pid"), "left")
+      .select(col("pid"), col("n_eps"),
+        when(col("cluster").isNotNull, "core")
+          .when(col("nbr_cluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("cluster"), col("nbr_cluster")).as("cluster"))
+  }
+
+  /** Per-tile capped sampling — the spatial de-biasing stage of a geo
+    * training corpus: dense tiles (city centers) contribute at most `cap`
+    * images, chosen by a DETERMINISTIC per-row priority (Knuth
+    * multiplicative hash of the point id — run/engine/cluster invariant, a
+    * keyed analog of TextOps.assignSplit's sampling hash) so the kept set
+    * is a stable pseudo-random sample, not head-of-scan-order.
+    *
+    * Scale shape: ONE shuffle on tile_id + a bounded per-tile rank. The
+    * window ranks (hash, pid)-sized rows — payloads join back by pid after
+    * the cut, so at 10^12 rows the sort under the window never carries
+    * image bytes. A pathological mega-tile (everything geotagged to one
+    * spot) is the same hot-key case as every cell join here: AQE splits
+    * the sort, or the tile routes through Skew.scala's subdivision.
+    *
+    * Input columns: pid, lat, lon. Output: kept rows only —
+    * (pid, tile_id, priority, rk).
+    */
+  def capPerTile(points: DataFrame, zoom: Int, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val prio = pmod(col("pid") * lit(2654435761L), lit(4294967296L)).as("priority")
+    val w = Window.partitionBy(col("tile_id")).orderBy(col("priority"), col("pid"))
+    points
+      .select(col("pid"), fns.tile_id(col("lat"), col("lon"), zoom).as("tile_id"), prio)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+  }
+
+  /** Multi-zoom density pyramid — the raster product of the engine: point
+    * counts per Web-Mercator tile at `leafZoom`, rolled up level by level
+    * to `minZoom`. The leaf level is the only pass over the data; every
+    * coarser level aggregates the PREVIOUS level's (tile, n) rows by pure
+    * integer parent arithmetic on the packed tile id
+    * (zoom·2^52 + x·2^26 + y → parent = (zoom−1)·2^52 + (x÷2)·2^26 + y÷2),
+    * so rollup cost scales with the number of DISTINCT tiles, never the
+    * corpus — at 10^12 points the z15 leaf has ≤ 2^30 tiles and each level
+    * above shrinks ~4×. Output: (zoom, tile_id, n) for every level.
+    */
+  def tilePyramid(points: DataFrame, leafZoom: Int, minZoom: Int): DataFrame = {
+    require(minZoom >= 0 && minZoom <= leafZoom, "need 0 <= minZoom <= leafZoom")
+    val leaf = points
+      .select(fns.tile_id(col("lat"), col("lon"), leafZoom).as("tile_id"))
+      .groupBy(col("tile_id")).agg(count(lit(1)).as("n"))
+      .select(lit(leafZoom).as("zoom"), col("tile_id"), col("n"))
+    val levels = Iterator.iterate(leaf) { prev =>
+      prev.select(
+          (col("zoom") - 1).as("zoom"),
+          expr("""(zoom - 1) * 4503599627370496L
+                 + ((tile_id % 4503599627370496L) DIV 67108864 DIV 2) * 67108864L
+                 + (tile_id % 67108864) DIV 2""").as("tile_id"),
+          col("n"))
+        .groupBy(col("zoom"), col("tile_id")).agg(sum(col("n")).as("n"))
+    }.take(leafZoom - minZoom + 1).toSeq
+    levels.reduce(_.unionByName(_))
+  }
+}

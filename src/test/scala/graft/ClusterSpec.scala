@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.ClusterOps
+
+/** Spatial clustering + curation: DBSCAN against an in-JVM brute-force
+  * reference, per-tile cap invariants, pyramid mass conservation. */
+class ClusterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // the registered query uses eps=60 m, tuned to sf0.01 density (945 core /
+  // 481 border / 13,574 noise there); at the spec's sf0.001 the same radius
+  // yields zero cores, so the spec exercises the operator at eps=100 m where
+  // all three roles appear (786 core / 273 border / 441 noise, max comp 7)
+  private val Eps = 100.0
+  private val MinPts = 4
+
+  private lazy val pts: Array[(Long, Double, Double)] =
+    Pipeline.geoImages(spark, "/root/testdata/sf0.001")
+      .select(expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+        col("lat"), col("lon"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+
+  private def hav(aLat: Double, aLon: Double, bLat: Double, bLon: Double): Double = {
+    val dLat = math.toRadians(bLat - aLat) / 2
+    val dLon = math.toRadians(bLon - aLon) / 2
+    val h = math.sin(dLat) * math.sin(dLat) +
+      math.cos(math.toRadians(aLat)) * math.cos(math.toRadians(bLat)) *
+        math.sin(dLon) * math.sin(dLon)
+    2 * 6371008.8 * math.asin(math.min(1.0, math.sqrt(h)))
+  }
+
+  /** textbook DBSCAN, brute force, with the same deterministic tie rules:
+    * cluster id = min core id of the component, border joins min cluster. */
+  private def reference(): Map[Long, (Long, String, Option[Long])] = {
+    val n = pts.length
+    val nbrs = Array.fill(n)(List.empty[Int])
+    for (i <- 0 until n; j <- 0 until n
+         if hav(pts(i)._2, pts(i)._3, pts(j)._2, pts(j)._3) <= Eps)
+      nbrs(i) ::= j // includes self
+    val core = (0 until n).filter(nbrs(_).size >= MinPts).toSet
+    // union-find over core-core edges
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (i <- core; j <- nbrs(i) if core(j)) {
+      val (ri, rj) = (find(i), find(j)); if (ri != rj) parent(ri) = rj
+    }
+    val clusterOf: Map[Int, Long] = core.groupBy(find)
+      .flatMap { case (_, members) =>
+        val label = members.map(pts(_)._1).min
+        members.map(_ -> label)
+      }
+    (0 until n).map { i =>
+      val id = pts(i)._1
+      if (core(i)) id -> (nbrs(i).size.toLong, "core", Some(clusterOf(i)))
+      else {
+        val coreNbrClusters = nbrs(i).filter(j => core(j) && j != i).map(clusterOf)
+        if (coreNbrClusters.nonEmpty)
+          id -> (nbrs(i).size.toLong, "border", Some(coreNbrClusters.min))
+        else id -> (nbrs(i).size.toLong, "noise", None)
+      }
+    }.toMap
+  }
+
+  test("dbscan matches the brute-force reference exactly (roles, labels, counts)") {
+    val got = ClusterOps.dbscan(
+        pts.toSeq.toDF("pid", "lat", "lon"), Eps, MinPts)
+      .as[(Long, Long, String, Option[Long])].collect()
+      .map { case (pid, nEps, role, cl) => pid -> ((nEps, role, cl)) }.toMap
+    val want = reference()
+    assert(got.size === want.size)
+    val mismatches = want.collect { case (id, w) if got(id) != w => (id, w, got(id)) }
+    assert(mismatches.isEmpty, s"first mismatches: ${mismatches.take(5)}")
+    // the scenario actually exercises all three roles
+    val roles = got.values.map(_._2).toSet
+    assert(roles === Set("core", "border", "noise"))
+  }
+
+  test("capPerTile: ≤cap rows per tile, deterministic keep set, stable priorities") {
+    val df = pts.toSeq.toDF("pid", "lat", "lon")
+    val kept = ClusterOps.capPerTile(df, zoom = 15, cap = 16)
+      .as[(Long, Long, Long, Int)].collect()
+    val byTile = kept.groupBy(_._2)
+    assert(byTile.values.forall(_.length <= 16))
+    // keep set = the 16 smallest (priority, pid) per tile, recomputed locally
+    val local = pts.map { case (pid, lat, lon) =>
+      val tile = 15L * (1L << 52) +
+        graft.geom.Geom.tileX(lon, 15) * (1L << 26) + graft.geom.Geom.tileY(lat, 15)
+      (pid, tile, java.lang.Math.floorMod(pid * 2654435761L, 4294967296L))
+    }
+    val expect = local.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(16).map(_._1)
+    }.toSet
+    assert(kept.map(_._1).toSet === expect)
+    // some tile is actually over the cap (the test is non-vacuous)
+    assert(local.groupBy(_._2).values.exists(_.length > 16))
+  }
+
+  test("tilePyramid: leaf mass = point count, every level conserves mass, parents aggregate children") {
+    val df = pts.toSeq.toDF("pid", "lat", "lon")
+    val pyr = ClusterOps.tilePyramid(df.select("lat", "lon"), leafZoom = 15, minZoom = 11)
+      .as[(Int, Long, Long)].collect()
+    val byZoom = pyr.groupBy(_._1)
+    assert(byZoom.keySet === Set(11, 12, 13, 14, 15))
+    byZoom.values.foreach(level => assert(level.map(_._3).sum === pts.length.toLong))
+    // per-parent check at one level: z14 tile n = sum of its z15 children
+    val z15 = byZoom(15).map { case (_, t, cnt) => (t, cnt) }
+    val parentOf = (t: Long) =>
+      14L * (1L << 52) + ((t % (1L << 52)) / (1L << 26) / 2) * (1L << 26) + (t % (1L << 26)) / 2
+    val rolled = z15.groupBy { case (t, _) => parentOf(t) }
+      .map { case (p, kids) => (p, kids.map(_._2).sum) }
+    val z14 = byZoom(14).map { case (_, t, cnt) => (t, cnt) }.toMap
+    assert(rolled === z14)
+    // coarser levels genuinely merge tiles
+    assert(byZoom(11).length < byZoom(15).length)
+  }
+}
