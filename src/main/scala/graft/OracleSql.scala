@@ -840,6 +840,143 @@ UNION ALL SELECT 12, tile_id, n FROM l12
 UNION ALL SELECT 11, tile_id, n FROM l11
 ORDER BY zoom, tile_id""",
 
+    // ---- mirror: zonal statistics over decoded imagery ----------------------
+    // every lossless image's pixels rebuilt from the splitmix closed form
+    // (same HUGEINT machinery as q_image_decode_sample, unsampled), summed
+    // per image, city-assigned by the integer-microdegree CASE, aggregated
+    // per zone — Spark must DECODE the real BMP/PNG bytes to the same
+    // exact channel sums
+    "q_geo_zonal_stats" ->
+      s"""WITH $gridCte,
+img AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+         (o_orderkey * 69621 + 7) % 2147483647 AS h2
+  FROM orders WHERE o_orderkey % 5 <> 3),
+dims AS (
+  SELECT k, h1, h2, 8 + h1 % 8 AS w, 8 + h2 % 8 AS h,
+         (h1 * 2147483648 + h2)::HUGEINT AS ph
+  FROM img),
+geo AS (
+  SELECT k,
+    CASE WHEN u0 % 500 = 0 THEN u0 + 13 ELSE u0 END AS u,
+    CASE WHEN v0 % 500 = 0 THEN v0 + 13 ELSE v0 END AS v
+  FROM (SELECT k, h1 % ((p.g - 1) * 1000) AS u0, h2 % ((p.g - 1) * 1000) AS v0
+        FROM dims, p)),
+xs AS (SELECT i AS x FROM generate_series(0, 15) t(i)),
+ys AS (SELECT i AS y FROM generate_series(0, 15) t(i)),
+px AS (
+  SELECT k,
+    (ph + x * 11400714819323198485::HUGEINT
+        + y * 13787848793156543929::HUGEINT)
+      % 18446744073709551616::HUGEINT AS z0
+  FROM dims, xs, ys WHERE x < w AND y < h),
+m1 AS (
+  SELECT k,
+    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1
+  FROM (SELECT k, xor(z0, z0 >> 30) AS x1 FROM px)),
+m2 AS (
+  SELECT k,
+    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
+  FROM (SELECT k, xor(z1, z1 >> 27) AS x2 FROM m1)),
+fin AS (SELECT k, xor(z2, z2 >> 31) AS z FROM m2),
+sums AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS npx,
+    CAST(SUM(z % 256) AS BIGINT) AS pr,
+    CAST(SUM((z // 256) % 256) AS BIGINT) AS pg,
+    CAST(SUM((z // 65536) % 256) AS BIGINT) AS pb
+  FROM fin GROUP BY k),
+zoned AS (
+  SELECT sm.k, sm.npx, sm.pr, sm.pg, sm.pb, $cityCase AS zone
+  FROM sums sm JOIN geo USING (k), (SELECT (g - 1) * 1000 AS s FROM p) sp)
+SELECT zone, COUNT(*) AS n_images,
+  CAST(SUM(npx) AS BIGINT) AS n_px,
+  CAST(SUM(pr) AS BIGINT) AS sum_r,
+  CAST(SUM(pg) AS BIGINT) AS sum_g,
+  CAST(SUM(pb) AS BIGINT) AS sum_b,
+  (CAST(SUM(pr) AS BIGINT) * 1000000) // CAST(SUM(npx) AS BIGINT) AS mean_r_micro,
+  (CAST(SUM(pg) AS BIGINT) * 1000000) // CAST(SUM(npx) AS BIGINT) AS mean_g_micro,
+  (CAST(SUM(pb) AS BIGINT) * 1000000) // CAST(SUM(npx) AS BIGINT) AS mean_b_micro
+FROM zoned GROUP BY zone ORDER BY zone""",
+
+    // ---- mirror: Getis-Ord Gi* hotspots over z14 tile counts ----------------
+    // exact BIGINT moments + 9-offset neighbor equi-join on the packed tile
+    // id; the z-score double dag is written VERBATIM as in GeoStatsOps (same
+    // IEEE op order ⇒ same bits), rounded to integer micro-units
+    "q_geo_hotspots" ->
+      s"""WITH $imgCte,
+tiles AS (SELECT
+  14 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT)
+  AS tile_id, CAST(COUNT(*) AS BIGINT) AS n FROM imgs GROUP BY 1),
+gstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(n) AS BIGINT) AS sn,
+                CAST(SUM(n * n) AS BIGINT) AS sn2 FROM tiles),
+off AS (SELECT a.du, b.dv FROM (VALUES (-1),(0),(1)) a(du), (VALUES (-1),(0),(1)) b(dv)),
+hood AS (
+  SELECT t.tile_id, CAST(COUNT(*) AS BIGINT) AS w_i, CAST(SUM(nb.n) AS BIGINT) AS s_i
+  FROM tiles t, off o, tiles nb
+  WHERE nb.tile_id = t.tile_id + o.du * 67108864 + o.dv
+  GROUP BY t.tile_id)
+SELECT t.tile_id, t.n, h.w_i, h.s_i,
+  CASE WHEN nt > 1 AND
+      SQRT(GREATEST(0.0::DOUBLE, CAST(sn2 AS DOUBLE)/CAST(nt AS DOUBLE)
+        - (CAST(sn AS DOUBLE)/CAST(nt AS DOUBLE))*(CAST(sn AS DOUBLE)/CAST(nt AS DOUBLE))))
+      * SQRT((CAST(nt AS DOUBLE)*CAST(w_i AS DOUBLE) - CAST(w_i AS DOUBLE)*CAST(w_i AS DOUBLE))
+             /(CAST(nt AS DOUBLE) - 1.0::DOUBLE)) > 0.0::DOUBLE
+    THEN CAST(ROUND(
+      (CAST(s_i AS DOUBLE) - (CAST(sn AS DOUBLE)/CAST(nt AS DOUBLE))*CAST(w_i AS DOUBLE))
+      / (SQRT(GREATEST(0.0::DOUBLE, CAST(sn2 AS DOUBLE)/CAST(nt AS DOUBLE)
+          - (CAST(sn AS DOUBLE)/CAST(nt AS DOUBLE))*(CAST(sn AS DOUBLE)/CAST(nt AS DOUBLE))))
+         * SQRT((CAST(nt AS DOUBLE)*CAST(w_i AS DOUBLE) - CAST(w_i AS DOUBLE)*CAST(w_i AS DOUBLE))
+                /(CAST(nt AS DOUBLE) - 1.0::DOUBLE)))
+      * 1000000.0::DOUBLE) AS BIGINT)
+    ELSE CAST(NULL AS BIGINT) END AS z_micro
+FROM tiles t JOIN hood h USING (tile_id) CROSS JOIN gstats
+ORDER BY tile_id""",
+
+    // ---- mirror: bounded-hop shortest paths over the way graph --------------
+    // pagerank's closed-form way-adjacency edges + (src+dst)%97+1 weights;
+    // the 4-round Bellman-Ford recurrence unrolled d0..d4
+    "q_graph_khop_dist" -> {
+      val relaxCtes = (1 to 4).map { i =>
+        s"""d$i AS (
+  SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT id, dist FROM d${i - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + e.w AS dist
+    FROM d${i - 1} d JOIN pgew e ON d.id = e.src)
+  GROUP BY id)"""
+      }.mkString(",\n")
+      s"""WITH $gridCte,
+nw AS (
+  SELECT r.i AS way_id, r.i * 1000000 + c.i AS node_id
+  FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
+  UNION ALL
+  SELECT 1000000 + c.i, r.i * 1000000 + c.i
+  FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
+  UNION ALL
+  SELECT 2000000, 900000000 + k.i FROM ser k, p WHERE k.i < p.g
+  UNION ALL SELECT 5000000, 900000001
+  UNION ALL SELECT 5000000, 910000001
+  UNION ALL SELECT 5000001, 910000001
+  UNION ALL SELECT 5000001, 910000002
+  UNION ALL SELECT 6000000, 1000001
+  UNION ALL SELECT 6000000, 1000002),
+pge AS (
+  SELECT DISTINCT a.way_id AS src, b.way_id AS dst
+  FROM nw a JOIN nw b USING (node_id) WHERE a.way_id <> b.way_id),
+pgew AS (SELECT src, dst, (src + dst) % 97 + 1 AS w FROM pge),
+d0 AS (SELECT CAST(id AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+       FROM (VALUES (2000000), (6000000)) s(id)),
+$relaxCtes
+SELECT id AS way_id, dist FROM d4 ORDER BY way_id"""
+    },
+
     // ---- documents ---------------------------------------------------------
     "q_doc_tokens" ->
       """SELECT doc_id,

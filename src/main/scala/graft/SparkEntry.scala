@@ -540,6 +540,44 @@ object SparkEntry {
           leafZoom = 15, minZoom = 11)
         .orderBy("zoom", "tile_id")),
 
+    // zonal statistics over DECODED imagery (raster↔vector): per-city exact
+    // integer pixel-channel sums + micro-unit means, lossless fmts only —
+    // the oracle rebuilds every pixel from the splitmix closed form and
+    // re-runs the same integer-cell city CASE, so all nine columns must
+    // match bit-for-bit
+    "q_geo_zonal_stats" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      graft.ops.GeoStatsOps.zonalImageStats(s,
+          Pipeline.geoImages(s, dir, withBytes = true), Synth.cityPolys(g))
+        .orderBy("zone")
+    }),
+
+    // Getis-Ord Gi* hotspot detection over z14 tile counts: exact BIGINT
+    // moments + neighborhood sums, ONE shared double z-score dag mirrored
+    // verbatim in the oracle, reported in rounded micro-units
+    "q_geo_hotspots" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.giStarHotspots(
+          Pipeline.geoImages(s, dir).select(col("lat"), col("lon")), zoom = 14)
+        .orderBy("tile_id")),
+
+    // bounded-hop shortest paths over the way-adjacency graph (4 rounds of
+    // Bellman-Ford from the motorway + fake-name ways, deterministic
+    // (src+dst)%97+1 weights); the oracle unrolls the identical recurrence
+    "q_graph_khop_dist" -> ((s, dir) => {
+      val (_, raw, _) = Pipeline.prepared(s, dir)
+      val sess = s; import sess.implicits._
+      val nw = raw.select(col("id").as("way_id"), explode(col("nodes")).as("node_id"))
+        .distinct()
+      val e = nw.as("a").join(nw.as("b"), "node_id")
+        .filter(col("a.way_id") =!= col("b.way_id"))
+        .select(col("a.way_id").as("src"), col("b.way_id").as("dst")).distinct()
+        .withColumn("w", expr("(src + dst) % 97 + 1"))
+      graft.ops.GraphOps.boundedDistances(
+          e, Seq(2000000L, 6000000L).toDF("id"), hops = 4)
+        .select(col("id").as("way_id"), col("dist"))
+        .orderBy("way_id")
+    }),
+
     // ---- documents: text analysis + dedup -------------------------------
     "q_doc_tokens" -> ((s, dir) =>
       TextOps.tokenStats(Synth.documents(s, dir)).orderBy("doc_id")),

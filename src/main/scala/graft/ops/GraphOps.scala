@@ -132,4 +132,40 @@ object GraphOps {
     }
     rank.select(col("id"), col("r").as("rank_micro"))
   }
+
+  /** Bounded-hop single-source(-set) shortest paths: `hops` rounds of
+    * Bellman-Ford relaxation from the `sources` node set over integer edge
+    * weights — the routing primitive ("everything reachable within k legs,
+    * and how far") done the only way that scales: dist_{i+1}(v) =
+    * min(dist_i(v), min over edges (u,v) of dist_i(u) + w(u,v)).
+    *
+    * Exact by construction: after k rounds every node holds the true
+    * min-weight over ≤k-hop paths (nonneg weights), an integer — so a DuckDB
+    * oracle unrolling the identical recurrence matches bit-for-bit.
+    *
+    * Scale shape: each round is one equi-join of the frontier-so-far with
+    * the edge list on the source node plus one min-aggregate — only
+    * (id, dist) pairs shuffle, never adjacency payloads; k rounds = k
+    * shuffles, independent of graph size. `localCheckpoint` truncates the
+    * per-round lineage exactly as pageRank does (k-deep join trees otherwise
+    * re-execute the whole prefix at every action). Nodes not reached within
+    * k hops are absent from the output (no sentinel infinities to carry).
+    *
+    * Input: edges (src, dst, `w` — nonnegative long), sources (id).
+    * Output: (id, dist) for every node within `hops` of a source. */
+  def boundedDistances(edges: DataFrame, sources: DataFrame, hops: Int,
+      src: String = "src", dst: String = "dst", w: String = "w"): DataFrame = {
+    require(hops >= 1, "hops must be >= 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"), col(w).as("w"))
+      .localCheckpoint(true)
+    var dist = sources.select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to hops) {
+      val relaxed = dist.join(e, dist("id") === e("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

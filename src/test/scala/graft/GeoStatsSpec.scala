@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GeoStatsOps, GraphOps}
+import graft.synth.{Codec, Synth}
+
+/** Geospatial statistics: zonal decoded-pixel stats vs a local decode of the
+  * same bytes, Gi* hotspots vs a brute-force recompute of the identical
+  * double dag, bounded-hop distances vs hand-relaxed Bellman-Ford. */
+class GeoStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("zonalImageStats: exact sums/means vs local decode + integer-bounds zoning") {
+    val (g, _, _) = Pipeline.prepared(spark, sf)
+    val s = (g - 1) * 1000L
+    val rows = Pipeline.geoImages(spark, sf, withBytes = true)
+      .select("image_id", "fmt", "bytes", "lat", "lon", "phash")
+      .as[(String, String, Array[Byte], Double, Double, Long)].collect()
+
+    // mirror of the oracle's integer-microdegree city CASE
+    def zone(phash: Long): String = {
+      val h1 = phash / 2147483648L
+      val h2 = phash % 2147483648L
+      def bump(x: Long) = if (x % 500 == 0) x + 13 else x
+      val u = bump(h1 % s); val v = bump(h2 % s)
+      def p(x: Long) = s * x / 100
+      if (u > p(10) && u <= p(35) && v > p(10) && v <= p(40)) "alpha"
+      else if (u > p(40) && u <= p(70) && v > p(50) && v <= p(90)) "beta"
+      else if ((u > p(70) && u <= p(95) && v > p(5) && v <= p(20)) ||
+               (u > p(70) && u <= p(80) && v > p(20) && v <= p(45))) "gamma"
+      else "Unincorporated"
+    }
+
+    case class Acc(var nImg: Long = 0, var nPx: Long = 0,
+                   var r: Long = 0, var gg: Long = 0, var b: Long = 0)
+    val accs = scala.collection.mutable.Map.empty[String, Acc]
+    rows.filter(t => t._2 == "bmp" || t._2 == "png").foreach {
+      case (_, fmt, bytes, _, _, phash) =>
+        val Some((rgb, w, h)) = Codec.decodeAny(fmt, bytes)
+        val a = accs.getOrElseUpdate(zone(phash), Acc())
+        a.nImg += 1; a.nPx += w.toLong * h
+        var i = 0
+        while (i < rgb.length) {
+          a.r += rgb(i) & 0xff; a.gg += rgb(i + 1) & 0xff; a.b += rgb(i + 2) & 0xff
+          i += 3
+        }
+    }
+    val got = GeoStatsOps.zonalImageStats(spark,
+        Pipeline.geoImages(spark, sf, withBytes = true), Synth.cityPolys(g))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === accs.keySet)
+    assert(got.size === 4) // all three cities + unincorporated present
+    accs.foreach { case (z, a) =>
+      val (_, nImg, nPx, sr, sg, sb, mr, mg, mb) = got(z)
+      assert((nImg, nPx, sr, sg, sb) === ((a.nImg, a.nPx, a.r, a.gg, a.b)), z)
+      assert((mr, mg, mb) ===
+        ((a.r * 1000000 / a.nPx, a.gg * 1000000 / a.nPx, a.b * 1000000 / a.nPx)), z)
+    }
+  }
+
+  test("giStarHotspots: z-scores match the brute-force identical double dag; hot tiles rank high") {
+    val pts = Pipeline.geoImages(spark, sf)
+      .select("lat", "lon").as[(Double, Double)].collect()
+    val zoomZ = 14
+    val tileOf = (lat: Double, lon: Double) =>
+      zoomZ.toLong * (1L << 52) +
+        graft.geom.Geom.tileX(lon, zoomZ) * (1L << 26) + graft.geom.Geom.tileY(lat, zoomZ)
+    val counts = pts.groupBy { case (la, lo) => tileOf(la, lo) }
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val nt = counts.size.toLong
+    val sn = counts.values.sum
+    val sn2 = counts.values.map(n => n * n).sum
+    val want = counts.map { case (t, _) =>
+      val nbrs = for {
+        du <- -1L to 1L; dv <- -1L to 1L
+        nn <- counts.get(t + du * (1L << 26) + dv)
+      } yield nn
+      val wi = nbrs.size.toLong; val si = nbrs.sum
+      // the same dag, term for term
+      val xbar = sn.toDouble / nt.toDouble
+      val sD = math.sqrt(math.max(0.0, sn2.toDouble / nt.toDouble - xbar * xbar))
+      val den = sD * math.sqrt((nt.toDouble * wi.toDouble - wi.toDouble * wi.toDouble) /
+        (nt.toDouble - 1.0))
+      val z = if (nt > 1 && den > 0.0)
+        Some(math.round((si.toDouble - xbar * wi.toDouble) / den * 1000000.0))
+      else None
+      t -> ((wi, si, z))
+    }
+    val got = GeoStatsOps.giStarHotspots(
+        Pipeline.geoImages(spark, sf).select(col("lat"), col("lon")), zoomZ)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got.size === want.size)
+    val bad = want.collect { case (t, w) if got(t) != w => (t, w, got(t)) }
+    assert(bad.isEmpty, s"first: ${bad.take(3)}")
+    // non-degenerate: the statistic separates hot from cold tiles
+    assert(got.values.exists(_._3.exists(_ > 0)))
+    assert(got.values.exists(_._3.exists(_ < 0)))
+  }
+
+  test("boundedDistances: hand-relaxed Bellman-Ford on a known graph, hop bound honored") {
+    // 1 → 2 (w 10) → 3 (w 1); 1 → 3 (w 100); 3 → 5 (w 2); 4 never appears
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 1L), (1L, 3L, 100L), (3L, 5L, 2L))
+      .toDF("src", "dst", "w")
+    val twoHop = GraphOps.boundedDistances(e, Seq(1L).toDF("id"), hops = 2)
+      .as[(Long, Long)].collect().toMap
+    // within 2 hops: 3 via the direct heavy edge OR 1→2→3 = 11; 5 only via
+    // the 2-hop-reachable heavy route 1→3→5 = 102 (the cheap path needs 3)
+    assert(twoHop === Map(1L -> 0L, 2L -> 10L, 3L -> 11L, 5L -> 102L))
+    val threeHop = GraphOps.boundedDistances(e, Seq(1L).toDF("id"), hops = 3)
+      .as[(Long, Long)].collect().toMap
+    // the third round relaxes 5 down to 1→2→3→5 = 13
+    assert(threeHop === Map(1L -> 0L, 2L -> 10L, 3L -> 11L, 5L -> 13L))
+  }
+}
