@@ -840,6 +840,41 @@ UNION ALL SELECT 12, tile_id, n FROM l12
 UNION ALL SELECT 11, tile_id, n FROM l11
 ORDER BY zoom, tile_id""",
 
+    // ---- mirror: deterministic geo K-means ----------------------------------
+    // the Lloyd recurrence unrolled: closed-form grid init c0, per-round
+    // (distance, j) row_number argmin assignment, integer-division centroid
+    // update with empty-cluster carryover; round 3's assignment + the
+    // centroids that produced it are the output
+    "q_geo_kmeans" -> {
+      val rounds = (1 to 3).map { t =>
+        val c = s"c${t - 1}"
+        val a = s"""a$t AS (
+  SELECT pid, u, v, j, cu, cv FROM (
+    SELECT p2.pid, p2.u, p2.v, c.j, c.cu, c.cv,
+      ROW_NUMBER() OVER (PARTITION BY p2.pid
+        ORDER BY (p2.u - c.cu)*(p2.u - c.cu) + (p2.v - c.cv)*(p2.v - c.cv), c.j) AS rk
+    FROM pts p2, $c c) t WHERE rk = 1)"""
+        val cNext =
+          if (t < 3) s""",
+c$t AS (
+  SELECT $c.j, COALESCE(s2.cu, $c.cu) AS cu, COALESCE(s2.cv, $c.cv) AS cv
+  FROM $c LEFT JOIN (
+    SELECT j, CAST(SUM(u) // COUNT(*) AS BIGINT) AS cu,
+           CAST(SUM(v) // COUNT(*) AS BIGINT) AS cv FROM a$t GROUP BY j) s2 USING (j))"""
+          else ""
+        a + cNext
+      }.mkString(",\n")
+      s"""WITH $imgCte,
+pts AS (SELECT CAST(substring(image_id, 4) AS BIGINT) AS pid, u, v FROM imgs),
+c0 AS (
+  SELECT j, (2 * (j % 4) + 1) * sp.s // 8 AS cu, (2 * (j // 4) + 1) * sp.s // 4 AS cv
+  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) jj(j),
+       (SELECT (g - 1) * 1000 AS s FROM p) sp),
+$rounds
+SELECT pid, CAST(j AS BIGINT) AS cluster, CAST(cu AS BIGINT) AS cu, CAST(cv AS BIGINT) AS cv
+FROM a3 ORDER BY pid"""
+    },
+
     // ---- mirror: zonal statistics over decoded imagery ----------------------
     // every lossless image's pixels rebuilt from the splitmix closed form
     // (same HUGEINT machinery as q_image_decode_sample, unsampled), summed

@@ -540,6 +540,20 @@ object SparkEntry {
           leafZoom = 15, minZoom = 11)
         .orderBy("zoom", "tile_id")),
 
+    // deterministic geo K-means (k=8, 3 Lloyd rounds, closed-form grid
+    // init, exact integer µ° distance/means): the oracle unrolls the
+    // identical recurrence — grid-init CTE, (d, j) row_number argmin,
+    // integer-division centroid updates with empty-cluster carryover
+    "q_geo_kmeans" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      graft.ops.ClusterOps.kmeans(
+          Pipeline.geoImages(s, dir).select(
+            expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+            col("u"), col("v")),
+          spanMicroDeg = (g - 1) * 1000L, k = 8, iters = 3)
+        .orderBy("pid")
+    }),
+
     // zonal statistics over DECODED imagery (raster↔vector): per-city exact
     // integer pixel-channel sums + micro-unit means, lossless fmts only —
     // the oracle rebuilds every pixel from the splitmix closed form and

@@ -119,6 +119,63 @@ object ClusterOps {
       .filter(col("rk") <= cap)
   }
 
+  /** Deterministic geo K-means (Lloyd 1957/1982, public) over integer
+    * microdegree coordinates — the partitioner a geo corpus needs for
+    * balanced shard assignment / IVF-style coarse quantization of locations.
+    *
+    * Everything that usually makes k-means irreproducible is pinned:
+    *   - init: centroid j on a fixed 4×(k/4) grid of the span `s`
+    *     ((2·(j%4)+1)·s÷8, (2·(j÷4)+1)·s÷(k/2) for the default k=8) —
+    *     closed-form, no RNG, no data-order dependence;
+    *   - assignment: argmin of EXACT integer squared distance
+    *     (u−cu)²+(v−cv)² (fits a long for any span < 2^31 µ°), ties to the
+    *     smaller cluster id via lexicographic (d, j) struct-min;
+    *   - update: integer-division centroid means (Σu÷n, Σv÷n) — exact;
+    *     empty clusters keep their previous centroid;
+    *   - fixed `iters` assignment rounds (no data-dependent convergence
+    *     test), so a DuckDB oracle unrolls the identical recurrence.
+    *
+    * Scale shape: per round ONE partial-aggregated groupBy over (cluster,
+    * Σu, Σv, n) — the k centroids come back to the driver and re-enter the
+    * next round's plan as literals (the IVF-centroid pattern; k longs, never
+    * data). The assignment argmin is a codegen'd expression over a
+    * k-element literal array — no join at all.
+    *
+    * Input: (pid, u, v — integer µ° offsets ≥ 0). Output: one row per point
+    * (pid, cluster, cu, cv — the centroid that produced the final
+    * assignment).
+    */
+  def kmeans(points: DataFrame, spanMicroDeg: Long, k: Int = 8, iters: Int = 3): DataFrame = {
+    require(k >= 2 && k % 4 == 0, "grid init needs k divisible by 4")
+    require(iters >= 1, "iters must be >= 1")
+    require(spanMicroDeg > 0 && spanMicroDeg < (1L << 31), "span must fit integer distance math")
+    var cents: IndexedSeq[(Long, Long)] = (0 until k).map { j =>
+      ((2L * (j % 4) + 1) * spanMicroDeg / 8, (2L * (j / 4) + 1) * spanMicroDeg / (k / 2))
+    }
+    def argmin(cs: IndexedSeq[(Long, Long)]) = expr(
+      cs.zipWithIndex.map { case ((cu, cv), j) =>
+        s"struct((u - ${cu}L) * (u - ${cu}L) + (v - ${cv}L) * (v - ${cv}L) AS d, CAST($j AS BIGINT) AS j)"
+      }.mkString("array_min(array(", ", ", ")).j"))
+    var assigned = points.withColumn("cluster", argmin(cents))
+    for (_ <- 2 to iters) {
+      val sums = assigned.groupBy(col("cluster"))
+        .agg(sum(col("u")).as("su"), sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      cents = cents.zipWithIndex.map { case (prev, j) =>
+        sums.get(j.toLong).fold(prev) { case (su, sv, n) => (su / n, sv / n) }
+      }
+      assigned = points.withColumn("cluster", argmin(cents))
+    }
+    val cuMap = cents.zipWithIndex
+      .map { case ((cu, _), j) => s"CAST($j AS BIGINT), ${cu}L" }.mkString(", ")
+    val cvMap = cents.zipWithIndex
+      .map { case ((_, cv), j) => s"CAST($j AS BIGINT), ${cv}L" }.mkString(", ")
+    assigned.select(col("pid"), col("cluster"),
+      expr(s"element_at(map($cuMap), cluster)").as("cu"),
+      expr(s"element_at(map($cvMap), cluster)").as("cv"))
+  }
+
   /** Multi-zoom density pyramid — the raster product of the engine: point
     * counts per Web-Mercator tile at `leafZoom`, rolled up level by level
     * to `minZoom`. The leaf level is the only pass over the data; every

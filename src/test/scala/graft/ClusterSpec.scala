@@ -98,6 +98,47 @@ class ClusterSpec extends AnyFunSuite {
     assert(local.groupBy(_._2).values.exists(_.length > 16))
   }
 
+  test("kmeans: exact match vs in-JVM Lloyd with identical init/tie/update rules") {
+    val (g, _, _) = Pipeline.prepared(spark, "/root/testdata/sf0.001")
+    val s = (g - 1) * 1000L
+    val uv = Pipeline.geoImages(spark, "/root/testdata/sf0.001")
+      .select(expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+        col("u"), col("v"))
+      .as[(Long, Long, Long)].collect()
+
+    val k = 8; val iters = 3
+    var cents: IndexedSeq[(Long, Long)] = (0 until k).map { j =>
+      ((2L * (j % 4) + 1) * s / 8, (2L * (j / 4) + 1) * s / (k / 2))
+    }
+    def assign(cs: IndexedSeq[(Long, Long)]) = uv.map { case (pid, u, v) =>
+      val best = cs.zipWithIndex.minBy { case ((cu, cv), j) =>
+        ((u - cu) * (u - cu) + (v - cv) * (v - cv), j)
+      }
+      (pid, best._2, best._1._1, best._1._2)
+    }
+    var want = assign(cents)
+    for (_ <- 2 to iters) {
+      val byC = want.groupBy(_._2)
+      cents = cents.zipWithIndex.map { case (prev, j) =>
+        byC.get(j).fold(prev) { rows =>
+          val ids = rows.map(_._1).toSet
+          val pts = uv.filter(t => ids(t._1))
+          (pts.map(_._2).sum / pts.length, pts.map(_._3).sum / pts.length)
+        }
+      }
+      want = assign(cents)
+    }
+    val got = graft.ops.ClusterOps.kmeans(
+        uv.toSeq.toDF("pid", "u", "v"), s, k, iters)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === want.length)
+    val wantMap = want.map(t => t._1 -> ((t._2.toLong, t._3, t._4))).toMap
+    val bad = got.filter(t => wantMap(t._1) != ((t._2, t._3, t._4)))
+    assert(bad.isEmpty, s"first: ${bad.take(3).toSeq}")
+    // non-degenerate: the rounds actually moved centroids and populated >1 cluster
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
   test("tilePyramid: leaf mass = point count, every level conserves mass, parents aggregate children") {
     val df = pts.toSeq.toDF("pid", "lat", "lon")
     val pyr = ClusterOps.tilePyramid(df.select("lat", "lon"), leafZoom = 15, minZoom = 11)
