@@ -840,6 +840,100 @@ UNION ALL SELECT 12, tile_id, n FROM l12
 UNION ALL SELECT 11, tile_id, n FROM l11
 ORDER BY zoom, tile_id""",
 
+    // ---- mirror: global Moran's I over z14 tile counts ----------------------
+    // five exact BIGINT sufficient statistics (tiles, ordered 8-neighbor
+    // pairs, pairwise/count moments) + the identical double dag, micro-unit
+    // rounded — one output row
+    "q_geo_moran" ->
+      s"""WITH $imgCte,
+tiles AS (SELECT
+  14 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT)
+  AS tile_id, CAST(COUNT(*) AS BIGINT) AS n FROM imgs GROUP BY 1),
+off AS (SELECT a.du, b.dv FROM (VALUES (-1),(0),(1)) a(du), (VALUES (-1),(0),(1)) b(dv)
+        WHERE NOT (a.du = 0 AND b.dv = 0)),
+pa AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+         CAST(SUM(t.n * nb.n) AS BIGINT) AS p_sum,
+         CAST(SUM(t.n) AS BIGINT) AS si_sum
+  FROM tiles t, off o, tiles nb
+  WHERE nb.tile_id = t.tile_id + o.du * 67108864 + o.dv),
+ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles, CAST(SUM(n) AS BIGINT) AS s1_sum,
+              CAST(SUM(n * n) AS BIGINT) AS s2_sum FROM tiles)
+SELECT n_tiles, w_pairs, p_sum, si_sum, s1_sum, s2_sum,
+  CASE WHEN n_tiles > 1 AND w_pairs > 0 AND
+      CAST(s2_sum AS DOUBLE) - CAST(n_tiles AS DOUBLE)
+        * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE))
+        * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE)) > 0.0::DOUBLE
+    THEN CAST(ROUND(
+      (CAST(n_tiles AS DOUBLE) / CAST(w_pairs AS DOUBLE))
+      * (CAST(p_sum AS DOUBLE)
+         - 2.0::DOUBLE * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE)) * CAST(si_sum AS DOUBLE)
+         + CAST(w_pairs AS DOUBLE)
+           * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE))
+           * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE)))
+      / (CAST(s2_sum AS DOUBLE) - CAST(n_tiles AS DOUBLE)
+         * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE))
+         * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE)))
+      * 1000000.0::DOUBLE) AS BIGINT)
+    ELSE CAST(NULL AS BIGINT) END AS moran_micro
+FROM ta CROSS JOIN pa""",
+
+    // ---- mirror: per-tile canonical representative --------------------------
+    "q_tile_rep" ->
+      s"""WITH $imgCte,
+imp AS (
+  SELECT image_id, lat, lon,
+    ((CAST(substring(image_id, 4) AS BIGINT) * 48271 + 11) % 2147483647) * 2147483648
+    + ((CAST(substring(image_id, 4) AS BIGINT) * 69621 + 7) % 2147483647) AS phash
+  FROM imgs),
+t AS (SELECT image_id, phash,
+  15 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT)
+  AS tile_id FROM imp),
+r AS (SELECT tile_id, image_id, phash,
+      ROW_NUMBER() OVER (PARTITION BY tile_id ORDER BY phash, image_id) AS rk FROM t)
+SELECT tile_id, image_id, phash FROM r WHERE rk = 1 ORDER BY tile_id""",
+
+    // ---- mirror: geofence transitions over trajectories ----------------------
+    // the q_traj_length LCG walk machinery rebuilds every point in exact
+    // integer microdegrees; zone = the integer city CASE; LAG + change filter
+    "q_traj_geofence" -> {
+      val m = 2147483647L; val a = 48271L
+      val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong
+      val powers = (1 to 78)
+        .map(j => s"($j,${BigInt(a).modPow(BigInt(j), BigInt(m))})").mkString(",")
+      s"""WITH $gridCte,
+pw(j, apow) AS (VALUES $powers),
+keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0 FROM orders),
+deltas AS (
+  SELECT k, (j + 1) // 2 AS t, j % 2 = 1 AS is_lat,
+    ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d
+  FROM keys, pw),
+stepd AS (
+  SELECT k, t, SUM(CASE WHEN is_lat THEN d ELSE 0 END) AS dl,
+         SUM(CASE WHEN NOT is_lat THEN d ELSE 0 END) AS dn
+  FROM deltas GROUP BY k, t),
+cums AS (
+  SELECT k, t AS step,
+    SUM(dl) OVER (PARTITION BY k ORDER BY t) AS dlat,
+    SUM(dn) OVER (PARTITION BY k ORDER BY t) AS dlon
+  FROM stepd),
+upts AS (
+  SELECT k AS track_id, 0 AS step, (k % 1000) * 100 AS u, (k % 997) * 100 AS v FROM keys
+  UNION ALL
+  SELECT k, step, (k % 1000) * 100 + dlat, (k % 997) * 100 + dlon FROM cums),
+zs AS (SELECT track_id, step, $cityCase AS zone
+       FROM upts, (SELECT (g - 1) * 1000 AS s FROM p) sp),
+tr AS (SELECT track_id, step, zone,
+       LAG(zone) OVER (PARTITION BY track_id ORDER BY step) AS prev FROM zs)
+SELECT track_id, CAST(step AS INTEGER) AS step, prev AS from_zone, zone AS to_zone
+FROM tr WHERE prev IS NOT NULL AND prev <> zone
+ORDER BY track_id, step"""
+    },
+
     // ---- mirror: deterministic geo K-means ----------------------------------
     // the Lloyd recurrence unrolled: closed-form grid init c0, per-round
     // (distance, j) row_number argmin assignment, integer-division centroid

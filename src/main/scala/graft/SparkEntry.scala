@@ -540,6 +540,32 @@ object SparkEntry {
           leafZoom = 15, minZoom = 11)
         .orderBy("zoom", "tile_id")),
 
+    // global Moran's I over z14 tile counts: is the corpus's spatial
+    // density clustered/dispersed/random — five exact BIGINT sufficient
+    // statistics, one shared double dag (the global twin of q_geo_hotspots)
+    "q_geo_moran" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.moranI(
+        Pipeline.geoImages(s, dir).select(col("lat"), col("lon")), zoom = 14)),
+
+    // per-tile canonical representative (atlas/mosaic building block):
+    // lexicographic (phash, image_id) struct-min per occupied z15 tile
+    "q_tile_rep" -> ((s, dir) =>
+      graft.ops.ClusterOps.tileRepresentative(
+          Pipeline.geoImages(s, dir).select(
+            col("image_id"), col("phash"), col("lat"), col("lon")), zoom = 15)
+        .orderBy("tile_id")),
+
+    // geofence enter/exit events over GPS trajectories: per-step broadcast
+    // PIP zones, lag-window transition detection; the oracle rebuilds every
+    // walk point in exact integer microdegrees (the q_traj_length LCG
+    // machinery) and replays the same zone CASE + LAG
+    "q_traj_geofence" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      graft.ops.GeoStatsOps.geofenceTransitions(
+          Synth.tracks(s, dir), Synth.cityPolys(g))
+        .orderBy("track_id", "step")
+    }),
+
     // deterministic geo K-means (k=8, 3 Lloyd rounds, closed-form grid
     // init, exact integer µ° distance/means): the oracle unrolls the
     // identical recurrence — grid-init CTE, (d, j) row_number argmin,

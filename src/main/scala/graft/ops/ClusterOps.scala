@@ -119,6 +119,22 @@ object ClusterOps {
       .filter(col("rk") <= cap)
   }
 
+  /** Per-tile representative selection — the atlas/mosaic building block: for
+    * every occupied tile, ONE canonical image, chosen by lexicographic
+    * (phash, image_id) minimum (deterministic, engine-independent — no
+    * "first seen" scan-order dependence). One partial-aggregated groupBy
+    * carrying only (tile, phash, id); the struct-min combines map-side, so
+    * the shuffle is one candidate per tile per partition, never the corpus.
+    * Input: (image_id, phash, lat, lon). Output: (tile_id, image_id, phash).
+    */
+  def tileRepresentative(images: DataFrame, zoom: Int): DataFrame =
+    images
+      .select(fns.tile_id(col("lat"), col("lon"), zoom).as("tile_id"),
+        col("phash"), col("image_id"))
+      .groupBy(col("tile_id"))
+      .agg(min(struct(col("phash"), col("image_id"))).as("m"))
+      .select(col("tile_id"), col("m.image_id").as("image_id"), col("m.phash").as("phash"))
+
   /** Deterministic geo K-means (Lloyd 1957/1982, public) over integer
     * microdegree coordinates — the partitioner a geo corpus needs for
     * balanced shard assignment / IVF-style coarse quantization of locations.

@@ -86,6 +86,94 @@ object GeoStatsOps {
         expr("sum_b * 1000000 DIV n_px").as("mean_b_micro"))
   }
 
+  /** Global Moran's I (Moran, Biometrika 1950 — public): ONE spatial-
+    * autocorrelation statistic for the whole tile raster — "is density
+    * clustered, dispersed, or random" — the global complement of the local
+    * Gi* below. Binary 8-neighbor contiguity (self excluded), computed
+    * entirely from exact BIGINT sufficient statistics:
+    *
+    *   I = (N/W) · Σ_pairs (x_i−x̄)(x_j−x̄) / Σ_i (x_i−x̄)²
+    *     = (N/W) · (P − 2·x̄·Si + W·x̄²) / (S2 − N·x̄²)
+    *
+    * with N tiles, W ordered neighbor pairs, P = Σ n_i·n_j over pairs,
+    * Si = Σ n_i over pairs, S1/S2 the count moments — five integers and one
+    * fixed double dag, mirrored verbatim in the oracle.
+    *
+    * Scale shape: tile counts = one partial aggregate; pairs = the same
+    * 9-offset packed-id equi-join as Gi* (minus self); both reductions are
+    * distributed and only SIX scalars reach the driver (BM25 pattern),
+    * re-emitted as one literal row. Output: one row
+    * (n_tiles, w_pairs, p_sum, si_sum, s1_sum, s2_sum, moran_micro).
+    */
+  def moranI(points: DataFrame, zoom: Int): DataFrame = {
+    val tiles = points
+      .select(fns.tile_id(col("lat"), col("lon"), zoom).as("tile_id"))
+      .groupBy(col("tile_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // reused 3x: moments, probe side, neighbor side
+    val offArray = (for (du <- -1 to 1; dv <- -1 to 1 if du != 0 || dv != 0)
+      yield s"struct(CAST($du AS BIGINT) AS du, CAST($dv AS BIGINT) AS dv)")
+      .mkString("array(", ", ", ")")
+    val pairs = tiles
+      .select(col("n").as("ni"), col("tile_id"), explode(expr(offArray)).as("o"))
+      .select(col("ni"),
+        (col("tile_id") + col("o.du") * lit(67108864L) + col("o.dv")).as("nbr_id"))
+      .join(tiles.select(col("tile_id").as("nbr_id"), col("n").as("nj")), "nbr_id")
+    val pa = pairs.agg(count(lit(1)).as("wp"),
+      sum(col("ni") * col("nj")).as("p"), sum(col("ni")).as("si")).head()
+    val ta = tiles.agg(count(lit(1)).as("nt"),
+      sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2")).head()
+    points.sparkSession.range(1).select(
+        lit(ta.getLong(0)).as("n_tiles"), lit(pa.getLong(0)).as("w_pairs"),
+        lit(pa.getLong(1)).as("p_sum"), lit(pa.getLong(2)).as("si_sum"),
+        lit(ta.getLong(1)).as("s1_sum"), lit(ta.getLong(2)).as("s2_sum"))
+      .select(col("n_tiles"), col("w_pairs"), col("p_sum"), col("si_sum"),
+        col("s1_sum"), col("s2_sum"),
+        // ONE fixed double dag over exact BIGINTs — mirrored verbatim in SQL
+        expr("""CASE WHEN n_tiles > 1 AND w_pairs > 0 AND
+            CAST(s2_sum AS DOUBLE) - CAST(n_tiles AS DOUBLE)
+              * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE))
+              * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE)) > 0.0D
+          THEN CAST(ROUND(
+            (CAST(n_tiles AS DOUBLE) / CAST(w_pairs AS DOUBLE))
+            * (CAST(p_sum AS DOUBLE)
+               - 2.0D * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE)) * CAST(si_sum AS DOUBLE)
+               + CAST(w_pairs AS DOUBLE)
+                 * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE))
+                 * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE)))
+            / (CAST(s2_sum AS DOUBLE) - CAST(n_tiles AS DOUBLE)
+               * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE))
+               * (CAST(s1_sum AS DOUBLE)/CAST(n_tiles AS DOUBLE)))
+            * 1000000.0D) AS BIGINT)
+          ELSE CAST(NULL AS BIGINT) END""").as("moran_micro"))
+  }
+
+  /** Geofence enter/exit transitions over trajectories: explode each track
+    * to (step, point), assign the zone by broadcast point-in-polygon, and
+    * emit a row wherever consecutive steps change zone — the event stream a
+    * fleet/geo-analytics pipeline derives from raw GPS ("vehicle entered
+    * beta at step 17").
+    *
+    * Scale shape: the explode and PIP are map-side; ONE shuffle partitions
+    * by track for the lag window, whose per-track frame is the track length
+    * (bounded), carrying only (track_id, step, zone)-sized rows. Output:
+    * (track_id, step, from_zone, to_zone) for every transition.
+    */
+  def geofenceTransitions(tracks: DataFrame,
+      polys: Array[(String, Array[Array[Double]])],
+      defaultZone: String = "Unincorporated"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("track_id")).orderBy(col("step"))
+    tracks
+      .select(col("track_id"), posexplode(col("geometry")).as(Seq("step", "pt")))
+      .select(col("track_id"), col("step"),
+        fns.point_in_polygon_first(col("pt.lat"), col("pt.lon"), polys, defaultZone)
+          .as("zone"))
+      .withColumn("prev", lag(col("zone"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("zone"))
+      .select(col("track_id"), col("step"),
+        col("prev").as("from_zone"), col("zone").as("to_zone"))
+  }
+
   /** Getis-Ord Gi* hotspot detection over Web-Mercator tile counts: for each
     * occupied tile, the z-score of its 3×3-neighborhood point-count sum
     * against the global tile-count distribution (binary contiguity weights,

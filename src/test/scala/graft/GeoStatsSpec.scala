@@ -104,6 +104,82 @@ class GeoStatsSpec extends AnyFunSuite {
     assert(got.values.exists(_._3.exists(_ < 0)))
   }
 
+  test("moranI: matches the brute-force sufficient statistics and the identical dag") {
+    val pts = Pipeline.geoImages(spark, sf)
+      .select("lat", "lon").as[(Double, Double)].collect()
+    val zoomZ = 14
+    val tileOf = (lat: Double, lon: Double) =>
+      zoomZ.toLong * (1L << 52) +
+        graft.geom.Geom.tileX(lon, zoomZ) * (1L << 26) + graft.geom.Geom.tileY(lat, zoomZ)
+    val counts = pts.groupBy { case (la, lo) => tileOf(la, lo) }
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val nt = counts.size.toLong
+    val s1 = counts.values.sum
+    val s2 = counts.values.map(n => n * n).sum
+    var wp = 0L; var p = 0L; var si = 0L
+    for ((t, ni) <- counts; du <- -1L to 1L; dv <- -1L to 1L if du != 0 || dv != 0;
+         nj <- counts.get(t + du * (1L << 26) + dv)) {
+      wp += 1; p += ni * nj; si += ni
+    }
+    val xbar = s1.toDouble / nt.toDouble
+    val den = s2.toDouble - nt.toDouble * xbar * xbar
+    val want = math.round(
+      (nt.toDouble / wp.toDouble) *
+        (p.toDouble - 2.0 * xbar * si.toDouble + wp.toDouble * xbar * xbar) / den * 1000000.0)
+    val got = graft.ops.GeoStatsOps.moranI(
+        Pipeline.geoImages(spark, sf).select(col("lat"), col("lon")), zoomZ)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got === ((nt, wp, p, si, s1, s2, Some(want))))
+  }
+
+  test("tileRepresentative: exactly the lexicographic (phash, id) min per occupied tile") {
+    val rows = Pipeline.geoImages(spark, sf)
+      .select("image_id", "phash", "lat", "lon")
+      .as[(String, Long, Double, Double)].collect()
+    val tileOf = (lat: Double, lon: Double) =>
+      15L * (1L << 52) +
+        graft.geom.Geom.tileX(lon, 15) * (1L << 26) + graft.geom.Geom.tileY(lat, 15)
+    val want = rows.groupBy { case (_, _, la, lo) => tileOf(la, lo) }
+      .map { case (t, xs) =>
+        val m = xs.minBy(r => (r._2, r._1)); t -> ((m._1, m._2))
+      }
+    val got = graft.ops.ClusterOps.tileRepresentative(
+        Pipeline.geoImages(spark, sf).select(
+          col("image_id"), col("phash"), col("lat"), col("lon")), 15)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === want)
+  }
+
+  test("geofenceTransitions: matches per-track zone replay; enters and exits both occur") {
+    val (g, _, _) = Pipeline.prepared(spark, sf)
+    val s = (g - 1) * 1000L
+    def zone(u: Long, v: Long): String = {
+      def p(x: Long) = s * x / 100
+      if (u > p(10) && u <= p(35) && v > p(10) && v <= p(40)) "alpha"
+      else if (u > p(40) && u <= p(70) && v > p(50) && v <= p(90)) "beta"
+      else if ((u > p(70) && u <= p(95) && v > p(5) && v <= p(20)) ||
+               (u > p(70) && u <= p(80) && v > p(20) && v <= p(45))) "gamma"
+      else "Unincorporated"
+    }
+    val tracks = Synth.tracks(spark, sf)
+      .select(col("track_id"), col("geometry"))
+      .as[(Long, Seq[(Double, Double)])].collect()
+    val want = tracks.flatMap { case (tid, geom) =>
+      val zones = geom.map { case (la, lo) =>
+        zone(math.round((la - 37.0) * 1e6), math.round((lo + 122.0) * 1e6))
+      }
+      zones.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) if a != b => (tid, i + 1, a, b)
+      }
+    }.toSet
+    val got = graft.ops.GeoStatsOps.geofenceTransitions(
+        Synth.tracks(spark, sf), Synth.cityPolys(g))
+      .as[(Long, Int, String, String)].collect().toSet
+    assert(got === want)
+    assert(got.exists(_._4 != "Unincorporated")) // enters happen
+    assert(got.exists(_._3 != "Unincorporated")) // exits happen
+  }
+
   test("boundedDistances: hand-relaxed Bellman-Ford on a known graph, hop bound honored") {
     // 1 → 2 (w 10) → 3 (w 1); 1 → 3 (w 100); 3 → 5 (w 2); 4 never appears
     val e = Seq((1L, 2L, 10L), (2L, 3L, 1L), (1L, 3L, 100L), (3L, 5L, 2L))
