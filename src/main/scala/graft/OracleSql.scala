@@ -580,6 +580,187 @@ FROM segs9 WHERE s9 IS NOT NULL
 GROUP BY track_id ORDER BY track_id"""
     },
 
+    // coverage gap: brute-force NOT EXISTS over the h/v street lines (the
+    // Spark side is a buffered-covering cell anti-join; the 150.5 µ°
+    // threshold sits between the integer-µ° distances the world produces,
+    // so the two distance formulations cannot disagree at the boundary)
+    "q_image_coverage_gap" ->
+      s"""WITH $imgCte,
+cg_ways AS (
+  SELECT lat AS wlat, NULL::DOUBLE AS wlon, 'h' AS kind FROM rr
+  UNION ALL
+  SELECT NULL::DOUBLE, lon, 'v' FROM cc)
+SELECT i.image_id, i.u, i.v
+FROM imgs i
+WHERE NOT EXISTS (
+  SELECT 1 FROM cg_ways w
+  WHERE (CASE WHEN w.kind = 'h' THEN ABS(i.lat - w.wlat)
+              ELSE ABS(i.lon - w.wlon) END) <= 0.0001505::DOUBLE)
+ORDER BY i.image_id""",
+
+    // polyfill: lattice-enumerated res-3 cell centers classified by the
+    // integer-µ° zone CASE (the Spark side ray-casts the polygon rings;
+    // half-µ° edges make the two formulations provably agree)
+    "q_poly_polyfill" ->
+      s"""WITH $gridCte,
+latt AS (
+  SELECT s1.i AS ti, s2.i AS tj, s1.i * 1000 + 500 AS u, s2.i * 1000 + 500 AS v
+  FROM ser s1, ser s2),
+pf AS (
+  SELECT $cityCase AS zone, ti, tj
+  FROM latt, (SELECT (g - 1) * 1000 AS s FROM p) sp)
+SELECT zone,
+  (-122000 + tj + 20000000) * 100000000 + (37000 + ti + 20000000) AS cell
+FROM pf WHERE zone <> 'Unincorporated'
+ORDER BY zone, cell""",
+
+    // compact: the polyfill lattice grouped by res-2 parent; complete
+    // 10×10 blocks promote (HAVING COUNT(*)=100 + anti-join), everything
+    // else stays at res 3
+    "q_cells_compact" ->
+      s"""WITH $gridCte,
+latt AS (
+  SELECT s1.i AS ti, s2.i AS tj, s1.i * 1000 + 500 AS u, s2.i * 1000 + 500 AS v
+  FROM ser s1, ser s2),
+pf AS (
+  SELECT zone, ti, tj FROM (
+    SELECT $cityCase AS zone, ti, tj
+    FROM latt, (SELECT (g - 1) * 1000 AS s FROM p) sp)
+  WHERE zone <> 'Unincorporated'),
+fullp AS (
+  SELECT zone, ti // 10 AS tip, tj // 10 AS tjp
+  FROM pf GROUP BY zone, ti // 10, tj // 10
+  HAVING COUNT(*) = 100),
+kept AS (
+  SELECT f.zone, 3 AS res,
+    (-122000 + f.tj + 20000000) * 100000000 + (37000 + f.ti + 20000000) AS cell
+  FROM pf f
+  LEFT JOIN fullp fp
+    ON f.zone = fp.zone AND f.ti // 10 = fp.tip AND f.tj // 10 = fp.tjp
+  WHERE fp.zone IS NULL),
+parents AS (
+  SELECT zone, 2 AS res,
+    (-12200 + tjp + 20000000) * 100000000 + (3700 + tip + 20000000) AS cell
+  FROM fullp)
+SELECT zone, res, cell FROM kept
+UNION ALL SELECT zone, res, cell FROM parents
+ORDER BY zone, res, cell""",
+
+    // overlap areas: closed-form rect∩cell lengths in half-µ° (zone edges
+    // sit at half-µ°, cell edges at whole-µ°; products are exact quarter-µ°²
+    // integers), gamma as the sum of its two interior-disjoint rects — the
+    // Spark side must land on the same integers through the double-precision
+    // Sutherland–Hodgman + shoelace dag
+    "q_poly_cell_overlap" ->
+      s"""WITH $gridCte,
+latt AS (SELECT s1.i AS ti, s2.i AS tj FROM ser s1, ser s2),
+zrects AS (
+  SELECT 'alpha' AS zone, s*10//100 AS ulo, s*35//100 AS uhi,
+         s*10//100 AS vlo, s*40//100 AS vhi
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)
+  UNION ALL
+  SELECT 'beta', s*40//100, s*70//100, s*50//100, s*90//100
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)
+  UNION ALL
+  SELECT 'gamma', s*70//100, s*95//100, s*5//100, s*20//100
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)
+  UNION ALL
+  SELECT 'gamma', s*70//100, s*80//100, s*20//100, s*45//100
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)),
+ovl AS (
+  SELECT zone,
+    (-122000 + tj + 20000000) * 100000000 + (37000 + ti + 20000000) AS cell,
+    LEAST(2*(ti+1)*1000, 2*uhi + 1) - GREATEST(2*ti*1000, 2*ulo + 1) AS ou2,
+    LEAST(2*(tj+1)*1000, 2*vhi + 1) - GREATEST(2*tj*1000, 2*vlo + 1) AS ov2
+  FROM latt, zrects)
+SELECT zone, cell, CAST(SUM(ou2 * ov2) AS BIGINT) AS area_q4
+FROM ovl WHERE ou2 > 0 AND ov2 > 0
+GROUP BY zone, cell ORDER BY zone, cell""",
+
+    // IDW interpolation: brute-force radius join (the Spark side equi-joins
+    // a bounded cell disk); integer weights 1e12÷(1+d²) make every sum
+    // exact, HUGEINT intermediates collapse back to BIGINT
+    "q_geo_idw" ->
+      s"""WITH $imgCte,
+iv AS (
+  SELECT u, v,
+    (((o_orderkey * 48271 + 11) % 2147483647) * 2147483648
+      + ((o_orderkey * 69621 + 7) % 2147483647)) % 1000 AS value
+  FROM (SELECT o_orderkey,
+          CASE WHEN u0 % 500 = 0 THEN u0 + 13 ELSE u0 END AS u,
+          CASE WHEN v0 % 500 = 0 THEN v0 + 13 ELSE v0 END AS v
+        FROM (SELECT o_orderkey,
+                ((o_orderkey * 48271 + 11) % 2147483647) % ((p.g - 1) * 1000) AS u0,
+                ((o_orderkey * 69621 + 7) % 2147483647) % ((p.g - 1) * 1000) AS v0
+              FROM orders, p))),
+iprobes AS (
+  SELECT o_orderkey AS probe_id, (o_orderkey % 1000) * 100 AS pu,
+         (o_orderkey % 997) * 100 AS pv
+  FROM orders WHERE o_orderkey % 251 = 0),
+icand AS (
+  SELECT pr.probe_id, s.value,
+    (s.u - pr.pu) * (s.u - pr.pu) + (s.v - pr.pv) * (s.v - pr.pv) AS d2
+  FROM iprobes pr, iv s
+  WHERE (s.u - pr.pu) * (s.u - pr.pu) + (s.v - pr.pv) * (s.v - pr.pv) <= 4000000)
+SELECT probe_id, COUNT(*) AS n_samples,
+  CAST(SUM(1000000000000 // (1 + d2)) AS BIGINT) AS sum_w,
+  CAST(SUM(value * (1000000000000 // (1 + d2)))
+       // SUM(1000000000000 // (1 + d2)) AS BIGINT) AS idw_val
+FROM icand GROUP BY probe_id ORDER BY probe_id""",
+
+    // dwell detection: the q_traj_length LCG machinery rebuilds every walk
+    // point, then the identical displacement-round + gaps-and-islands
+    // window dag classifies and groups the slow runs
+    "q_traj_dwell" -> {
+      val m = 2147483647L; val a = 48271L
+      val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong
+      val powers = (1 to 78)
+        .map(j => s"($j,${BigInt(a).modPow(BigInt(j), BigInt(m))})").mkString(",")
+      s"""WITH pw(j, apow) AS (VALUES $powers),
+keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0 FROM orders),
+deltas AS (
+  SELECT k, (j + 1) // 2 AS t, j % 2 = 1 AS is_lat,
+    ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d
+  FROM keys, pw),
+stepd AS (
+  SELECT k, t, SUM(CASE WHEN is_lat THEN d ELSE 0 END) AS dl,
+         SUM(CASE WHEN NOT is_lat THEN d ELSE 0 END) AS dn
+  FROM deltas GROUP BY k, t),
+cums AS (
+  SELECT k, t AS step,
+    SUM(dl) OVER (PARTITION BY k ORDER BY t) AS dlat,
+    SUM(dn) OVER (PARTITION BY k ORDER BY t) AS dlon
+  FROM stepd),
+dwpts AS (
+  SELECT k AS track_id, 0 AS step,
+    (37000000 + (k % 1000) * 100) * 1e-6 AS lat,
+    (-122000000 + (k % 997) * 100) * 1e-6 AS lon
+  FROM keys
+  UNION ALL
+  SELECT k, step,
+    (37000000 + (k % 1000) * 100 + dlat) * 1e-6,
+    (-122000000 + (k % 997) * 100 + dlon) * 1e-6
+  FROM cums),
+dwdisp AS (
+  SELECT track_id, step,
+    CAST(ROUND((lat - LAG(lat) OVER w) * 1000000.0::DOUBLE) AS BIGINT) AS dlat,
+    CAST(ROUND((lon - LAG(lon) OVER w) * 1000000.0::DOUBLE) AS BIGINT) AS dlon
+  FROM dwpts WINDOW w AS (PARTITION BY track_id ORDER BY step)),
+dwslow AS (
+  SELECT track_id, step, (ABS(dlat) + ABS(dlon)) <= 800 AS slow
+  FROM dwdisp WHERE dlat IS NOT NULL),
+dwisl AS (
+  SELECT track_id, step, slow,
+    SUM(CASE WHEN slow THEN 0 ELSE 1 END)
+      OVER (PARTITION BY track_id ORDER BY step) AS island
+  FROM dwslow)
+SELECT track_id, CAST(MIN(step) AS INTEGER) AS start_step,
+  CAST(MAX(step) AS INTEGER) AS end_step, COUNT(*) AS n_steps
+FROM dwisl WHERE slow GROUP BY track_id, island
+HAVING COUNT(*) >= 3
+ORDER BY track_id, start_step"""
+    },
+
     // map-matching: CLOSED FORM — the walks are rebuilt from the affine-LCG
     // closed form s_j = a^j·s0 + c·(a^j-1)/(a-1) mod m (powers of a
     // embedded as a VALUES table, modular inverse precomputed), positions

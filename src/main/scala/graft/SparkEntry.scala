@@ -363,6 +363,76 @@ object SparkEntry {
         .orderBy("way_id")
     }),
 
+    // spatial coverage-gap ANTI-join (the inverse of q_image_way_join):
+    // images with NO street within ~15 m — one left_anti cell join with the
+    // distance refine in the join condition, completeness guaranteed by the
+    // buffered segment covering. Threshold 150.5 µ° sits strictly between
+    // the integer-µ° distances the synthetic world can produce, so the
+    // boundary is engine-unambiguous. Oracle: brute-force NOT EXISTS.
+    "q_image_coverage_gap" -> ((s, dir) => {
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      val streets = wayData.filter(col("way_id") < 2000000L)
+      graft.ops.GeoStatsOps.coverageGaps(
+          Pipeline.geoImages(s, dir), streets, res = 3, maxDistDeg = 0.0001505)
+        .select(col("image_id"), col("u"), col("v"))
+        .orderBy("image_id")
+    }),
+
+    // IDW (Shepard) interpolation with a 2000 µ° search radius over the
+    // image corpus, probed at deterministic track-origin points: integer
+    // weights 1e12÷(1+d²) make every partial sum exact, so the DuckDB
+    // brute-force mirror must match bit-for-bit; the Spark side generates
+    // candidates via a bounded cell-disk equi-join, never a theta join
+    "q_geo_idw" -> ((s, dir) => {
+      val probes = Synth.orders(s, dir)
+        .filter(col("o_orderkey") % 251 === 0)
+        .select(col("o_orderkey").as("probe_id"),
+          ((col("o_orderkey") % 1000) * 100).as("u"),
+          ((col("o_orderkey") % 997) * 100).as("v"))
+      val samples = Pipeline.geoImages(s, dir)
+        .select(col("u"), col("v"), (col("phash") % 1000).as("value"))
+      graft.ops.GeoStatsOps.idwInterpolate(probes, samples,
+          radiusMicroDeg = 2000L, res = 3)
+        .orderBy("probe_id")
+    }),
+
+    // POLYFILL (polygon → res-3 covering cells by center containment):
+    // map-side bbox-covering explode + ray-cast per candidate center; the
+    // oracle enumerates the lattice and replays the containment as integer
+    // µ° comparisons (edges at half-µ° make the boundary unambiguous)
+    "q_poly_polyfill" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      graft.ops.ZoneOps.polyfill(
+          Synth.boundariesDf(s, g).select(col("name").as("zone"), col("rings")),
+          res = 3)
+        .orderBy("zone", "cell")
+    }),
+
+    // COMPACT (H3-compact analog): complete 10×10 sibling blocks of the
+    // polyfill promote to their res-2 parent; the oracle re-derives the
+    // promotion with a HAVING COUNT(*)=100 group + anti-join
+    "q_cells_compact" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      graft.ops.ZoneOps.compact(
+          graft.ops.ZoneOps.polyfill(
+            Synth.boundariesDf(s, g).select(col("name").as("zone"), col("rings")),
+            res = 3),
+          res = 3, minRes = 2)
+        .orderBy("zone", "res", "cell")
+    }),
+
+    // AREA-WEIGHTED raster↔vector assignment: exact polygon∩cell overlap
+    // areas in quarter-µ°² via per-row Sutherland–Hodgman clip; the oracle
+    // computes the same areas closed-form in integer half-µ° arithmetic
+    // (gamma = two disjoint rects summed)
+    "q_poly_cell_overlap" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      graft.ops.ZoneOps.cellOverlap(
+          Synth.boundariesDf(s, g).select(col("name").as("zone"), col("rings")),
+          res = 3)
+        .orderBy("zone", "cell")
+    }),
+
     // polygon measures (planar shoelace area + closed-ring perimeter) as
     // pure array folds — Spark's aggregate() is a LEFT fold and DuckDB's
     // list_reduce is too, so the double sums are bit-identical without any
@@ -565,6 +635,15 @@ object SparkEntry {
           Synth.tracks(s, dir), Synth.cityPolys(g))
         .orderBy("track_id", "step")
     }),
+
+    // dwell (stay-segment) detection: maximal runs of ≥3 consecutive steps
+    // with Manhattan displacement ≤ 800 µ° — gaps-and-islands over the
+    // track windows; the oracle rebuilds every step delta from the LCG
+    // closed form and replays the identical window dag
+    "q_traj_dwell" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.dwellSegments(
+          Synth.tracks(s, dir), epsMicroDeg = 800L, minSteps = 3)
+        .orderBy("track_id", "start_step")),
 
     // deterministic geo K-means (k=8, 3 Lloyd rounds, closed-form grid
     // init, exact integer µ° distance/means): the oracle unrolls the

@@ -892,6 +892,16 @@ object fns {
       propagateNull = true))
   def point_in_polygon(lat: Column, lon: Column, rings: Column): Column =
     c(PointInPolygon(e(lat), e(lon), e(rings)))
+  /** polygon ∩ axis-aligned-rect area (Sutherland–Hodgman + shoelace) in
+    * squared degrees; StaticInvoke keeps the clip in whole-stage codegen. */
+  def clip_rect_area(rings: Column, latLo: Column, lonLo: Column,
+                     latHi: Column, lonHi: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[graft.geom.Geom.type],
+      DoubleType,
+      "clipRectAreaData",
+      Seq(e(rings), e(latLo), e(lonLo), e(latHi), e(lonHi)),
+      propagateNull = true))
   def point_in_polygon_first(lat: Column, lon: Column,
                              polys: Array[(String, Array[Array[Double]])], default: String): Column =
     c(PointInPolygonFirst(e(lat), e(lon), polys, default))

@@ -305,6 +305,94 @@ object Geom {
     inside
   }
 
+  /** Planar area of `rings` clipped to the axis-aligned rectangle
+    * [latLo,latHi]×[lonLo,lonHi], in squared degrees — Sutherland–Hodgman
+    * (CACM 1974, public) against the four rect half-planes, then the
+    * shoelace about the rect's own corner (translating first keeps every
+    * term at the clipped area's scale; the raw lon≈-122 products would
+    * cancel ~12 digits, same analysis as the q_poly_measures shoelace).
+    *
+    * Orientation-insensitive: each ring contributes |signed area|; holes are
+    * NOT supported (a hole ring would ADD its area). Rings are flat
+    * [lon,lat,...]. Axis-aligned subject edges never divide by zero: an
+    * edge parallel to a clip line cannot strictly cross it, so the
+    * interpolation below only runs with a nonzero denominator.
+    */
+  def clipRectArea(rings: Array[Array[Double]], latLo: Double, lonLo: Double,
+                   latHi: Double, lonHi: Double): Double = {
+    var total = 0.0
+    var r = 0
+    while (r < rings.length) {
+      total += math.abs(clipRingSigned(rings(r), latLo, lonLo, latHi, lonHi))
+      r += 1
+    }
+    total
+  }
+
+  /** Catalyst adapter (StaticInvoke target): rings as array<array<double>>. */
+  def clipRectAreaData(rings: org.apache.spark.sql.catalyst.util.ArrayData,
+                       latLo: Double, lonLo: Double,
+                       latHi: Double, lonHi: Double): Double = {
+    val rr = new Array[Array[Double]](rings.numElements())
+    var i = 0
+    while (i < rr.length) { rr(i) = rings.getArray(i).toDoubleArray(); i += 1 }
+    clipRectArea(rr, latLo, lonLo, latHi, lonHi)
+  }
+
+  private def clipRingSigned(ring: Array[Double], latLo: Double, lonLo: Double,
+                             latHi: Double, lonHi: Double): Double = {
+    val n0 = ring.length / 2
+    if (n0 < 3) return 0.0
+    // working buffers: clipping a convex window can add ≤1 vertex per edge
+    // per pass; n0 + 8 bounds all four passes
+    var xs = new Array[Double](n0); var ys = new Array[Double](n0)
+    var i = 0
+    while (i < n0) { xs(i) = ring(2 * i); ys(i) = ring(2 * i + 1); i += 1 }
+    var n = n0
+    // pass: keep side where sel(x,y) >= bound (or <= for hi): encode as
+    // axis (0=x,1=y), bound, keepGE
+    var pass = 0
+    while (pass < 4 && n > 0) {
+      val axis = if (pass < 2) 0 else 1
+      val bound = pass match {
+        case 0 => lonLo; case 1 => lonHi; case 2 => latLo; case _ => latHi
+      }
+      val keepGE = (pass % 2) == 0
+      val ox = new Array[Double](2 * n + 8); val oy = new Array[Double](2 * n + 8)
+      var m = 0
+      var j = 0
+      while (j < n) {
+        val k = if (j == 0) n - 1 else j - 1
+        val pc = if (axis == 0) xs(k) else ys(k)
+        val cc = if (axis == 0) xs(j) else ys(j)
+        val pin = if (keepGE) pc >= bound else pc <= bound
+        val cin = if (keepGE) cc >= bound else cc <= bound
+        if (cin != pin) { // edge crosses: emit intersection
+          val t = (bound - pc) / (cc - pc)
+          if (axis == 0) {
+            ox(m) = bound; oy(m) = ys(k) + t * (ys(j) - ys(k))
+          } else {
+            ox(m) = xs(k) + t * (xs(j) - xs(k)); oy(m) = bound
+          }
+          m += 1
+        }
+        if (cin) { ox(m) = xs(j); oy(m) = ys(j); m += 1 }
+        j += 1
+      }
+      xs = ox; ys = oy; n = m
+      pass += 1
+    }
+    if (n < 3) return 0.0
+    var area2 = 0.0
+    i = 0
+    while (i < n) {
+      val j = if (i == n - 1) 0 else i + 1
+      area2 += (xs(i) - lonLo) * (ys(j) - latLo) - (xs(j) - lonLo) * (ys(i) - latLo)
+      i += 1
+    }
+    area2 * 0.5
+  }
+
   /** Web-Mercator slippy tile X for lon at zoom z. */
   @inline def tileX(lon: Double, z: Int): Long = {
     val n = 1L << z

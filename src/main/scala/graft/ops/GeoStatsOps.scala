@@ -245,4 +245,127 @@ object GeoStatsOps {
             * 1000000.0D) AS BIGINT)
           ELSE CAST(NULL AS BIGINT) END""").as("z_micro"))
   }
+
+  /** Spatial coverage-gap ANTI-join: rows of `points` with NO way segment
+    * within `maxDistDeg` — the "which images are unmapped / which roads are
+    * uncovered" audit every geo corpus runs before training on proximity
+    * labels. The inverse of SpatialOps.imageWayCellJoin (J2+J10 composed).
+    *
+    * Scale shape: ONE left_anti equi-join on the cell key with the distance
+    * refine folded into the join condition — no candidate materialization,
+    * no distinct, no second shuffle. The segment index absorbs the distance
+    * buffer (segmentCells pads each segment bbox by maxDistDeg), which makes
+    * the anti-join COMPLETE: any point within maxDistDeg of a segment shares
+    * a cell with that segment's padded covering, so a point surviving the
+    * anti-join provably has no segment in range. Points are never
+    * replicated; the probe stays one row per point.
+    */
+  def coverageGaps(points: DataFrame, wayData: DataFrame, res: Int,
+                   maxDistDeg: Double): DataFrame = {
+    val segs = SpatialOps.segmentCells(wayData, res, maxDistDeg)
+      .select(col("cell").as("seg_cell"),
+        col("lat1"), col("lon1"), col("lat2"), col("lon2"))
+      .hint("SHUFFLE_HASH")
+    points
+      .withColumn("cell", fns.cell_encode(col("lat"), col("lon"), res))
+      .join(segs,
+        col("cell") === col("seg_cell") &&
+          fns.point_seg_dist(col("lat"), col("lon"), col("lat1"), col("lon1"),
+            col("lat2"), col("lon2")) <= maxDistDeg,
+        "left_anti")
+  }
+
+  /** Dwell (stay-segment) detection over GPS trajectories: maximal runs of
+    * ≥ `minSteps` consecutive steps whose per-step displacement is at most
+    * `epsMicroDeg` (Manhattan, integer microdegrees) — the "vehicle stopped
+    * here" / "user lingered" primitive of trajectory mining, and the
+    * gaps-and-islands pattern in its spatial form.
+    *
+    * Determinism contract: each step's displacement is recovered as an exact
+    * integer (ROUND(Δ·1e6) of the double coordinate difference — the deltas
+    * are integer microdegrees by construction, and the double error is ≪ 0.5
+    * µ°), so the slow/fast classification and the island boundaries are
+    * engine-exact; the oracle replays the identical window dag over the LCG
+    * closed form.
+    *
+    * Scale shape: map-side explode, ONE shuffle on track_id for the two
+    * track-local windows (frames bounded by track length), then a
+    * partial-aggregated groupBy per island. Only (track_id, step, 2 longs)
+    * survive the explode.
+    *
+    * Output: (track_id, start_step, end_step, n_steps) per dwell island.
+    */
+  def dwellSegments(tracks: DataFrame, epsMicroDeg: Long, minSteps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("track_id")).orderBy(col("step"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tracks
+      .select(col("track_id"), posexplode(col("geometry")).as(Seq("step", "pt")))
+      .withColumn("dlat",
+        expr("CAST(ROUND((pt.lat - LAG(pt.lat) OVER (PARTITION BY track_id ORDER BY step)) * 1e6) AS BIGINT)"))
+      .withColumn("dlon",
+        expr("CAST(ROUND((pt.lon - LAG(pt.lon) OVER (PARTITION BY track_id ORDER BY step)) * 1e6) AS BIGINT)"))
+      .filter(col("dlat").isNotNull)
+      .withColumn("slow", (abs(col("dlat")) + abs(col("dlon"))) <= epsMicroDeg)
+      // island id: count of FAST steps seen so far is constant inside a run
+      // of slow steps and bumps between runs
+      .withColumn("island", sum(when(col("slow"), 0L).otherwise(1L)).over(cum))
+      .filter(col("slow"))
+      .groupBy(col("track_id"), col("island"))
+      .agg(min(col("step")).as("start_step"), max(col("step")).as("end_step"),
+        count(lit(1)).as("n_steps"))
+      .filter(col("n_steps") >= minSteps)
+      .select(col("track_id"), col("start_step"), col("end_step"), col("n_steps"))
+  }
+
+  /** Inverse-distance-weighted (IDW) interpolation with a search radius:
+    * for each probe location, the weighted mean of `value` over all samples
+    * within `radiusMicroDeg`, weights 1e12 ÷ (1 + d²) with d² in squared
+    * integer microdegrees — Shepard's method (1968, public), quantized so
+    * every weight and partial sum is an exact integer and the result is
+    * partitioning/association/engine-invariant (no double accumulation).
+    *
+    * Scale shape: samples are keyed map-side by their single grid cell; each
+    * probe explodes a bounded cell disk covering the radius and equi-joins
+    * the sample index — candidate fan-out is O((2k+1)²) per probe with
+    * k = ⌈radius/cellSize⌉+1, never a theta join. One shuffle for the join
+    * (SHUFFLE_HASH: the sample index is planet-sized), one partial-aggregated
+    * groupBy per probe. Both inputs scale to billions of rows; skewed probe
+    * cells route through the same salting machinery as every cell join here.
+    *
+    * Input: probes (probe_id, u, v), samples (u, v, value) — u/v integer
+    * microdegree offsets in the corpus frame (exactness contract); `value`
+    * a bounded integer (|value·1e12·n| must fit a long — enforce upstream).
+    * Output: (probe_id, n_samples, sum_w, idw_val = ⌊Σv·w ÷ Σw⌋).
+    */
+  def idwInterpolate(probes: DataFrame, samples: DataFrame,
+                     radiusMicroDeg: Long, res: Int): DataFrame = {
+    require(res >= 0 && res <= 5, s"grid res out of range: $res")
+    val cellMicro = math.round(1e6 / graft.cells.GridCell.pow10(res))
+    val k = (radiusMicroDeg / cellMicro + 1L).toInt
+    val uDeg = (u: org.apache.spark.sql.Column) =>
+      lit(graft.synth.Synth.LAT0) + u.cast("double") * lit(1e-6)
+    val vDeg = (v: org.apache.spark.sql.Column) =>
+      lit(graft.synth.Synth.LON0) + v.cast("double") * lit(1e-6)
+    val samp = samples
+      .withColumn("s_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .select(col("s_cell"), col("u").as("su"), col("v").as("sv"), col("value"))
+      .hint("SHUFFLE_HASH")
+    probes
+      .withColumn("p_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .withColumn("cand_cell",
+        explode(fns.cell_disk(col("p_cell"), lit(k), res)))
+      .join(samp, col("cand_cell") === col("s_cell"))
+      .withColumn("d2",
+        (col("su") - col("u")) * (col("su") - col("u")) +
+          (col("sv") - col("v")) * (col("sv") - col("v")))
+      .filter(col("d2") <= lit(radiusMicroDeg * radiusMicroDeg))
+      .withColumn("wgt", expr("CAST(1000000000000 AS BIGINT) DIV (1 + d2)"))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_samples"), sum(col("wgt")).as("sum_w"),
+        sum(col("value") * col("wgt")).as("sum_vw"))
+      // integral DIV, not double /: Σv·w can exceed 2^53
+      .select(col("probe_id"), col("n_samples"), col("sum_w"),
+        expr("sum_vw DIV sum_w").as("idw_val"))
+  }
 }

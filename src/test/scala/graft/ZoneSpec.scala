@@ -1,0 +1,217 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+
+import graft.geom.Geom
+import graft.ops.{GeoStatsOps, ZoneOps}
+import graft.synth.Synth
+
+/** Zone/cell operators (polyfill, compact, overlap areas) + the spatial
+  * coverage-gap anti-join, dwell detection, and IDW interpolation — each
+  * against an independent in-JVM brute force (and JTS for the clip kernel).
+  */
+class ZoneSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  // ---- clip kernel vs JTS ------------------------------------------------
+
+  test("clipRectArea agrees with JTS intersection area (convex + concave + disjoint)") {
+    val gf = new GeometryFactory()
+    val rnd = new scala.util.Random(42)
+    def jtsArea(ring: Array[Double], latLo: Double, lonLo: Double,
+                latHi: Double, lonHi: Double): Double = {
+      val n = ring.length / 2
+      val coords = (0 until n).map(i => new Coordinate(ring(2 * i), ring(2 * i + 1)))
+      val poly = gf.createPolygon((coords :+ coords.head).toArray)
+      val rect = gf.createPolygon(Array(
+        new Coordinate(lonLo, latLo), new Coordinate(lonHi, latLo),
+        new Coordinate(lonHi, latHi), new Coordinate(lonLo, latHi),
+        new Coordinate(lonLo, latLo)))
+      // OverlayNGRobust: the legacy overlay throws TopologyException on
+      // slim sliver intersections even for valid inputs
+      org.locationtech.jts.operation.overlayng.OverlayNGRobust
+        .overlay(poly, rect, org.locationtech.jts.operation.overlayng.OverlayNG.INTERSECTION)
+        .getArea
+    }
+    // convex polygons: random points on a circle, angle-sorted
+    for (_ <- 1 to 60) {
+      val nv = 3 + rnd.nextInt(6)
+      // star-shaped around the origin: strictly increasing angles with a
+      // minimum gap (JTS's overlay cannot node near-degenerate slivers)
+      val angles = Array.tabulate(nv)(i =>
+        i * 2 * math.Pi / nv + rnd.nextDouble() * (2 * math.Pi / nv - 0.15))
+      val ring = angles.flatMap { a =>
+        val rad = 0.5 + rnd.nextDouble()
+        Array(math.cos(a) * rad, math.sin(a) * rad)
+      }
+      val (lonLo, latLo) = (rnd.nextDouble() * 2 - 1.5, rnd.nextDouble() * 2 - 1.5)
+      val (lonHi, latHi) = (lonLo + rnd.nextDouble() * 1.5, latLo + rnd.nextDouble() * 1.5)
+      val got = Geom.clipRectArea(Array(ring), latLo, lonLo, latHi, lonHi)
+      val want = jtsArea(ring, latLo, lonLo, latHi, lonHi)
+      assert(math.abs(got - want) < 1e-9, s"ring=${ring.mkString(",")}")
+    }
+    // the concave L-shaped gamma zone at test scale
+    val g = Synth.gridSize(spark, dir)
+    val gamma = Synth.cityPolys(g).find(_._1 == "gamma").get._2(0)
+    for (_ <- 1 to 60) {
+      val latLo = 37.0 + rnd.nextDouble() * 0.04
+      val lonLo = -122.0 + rnd.nextDouble() * 0.04
+      val (latHi, lonHi) = (latLo + rnd.nextDouble() * 0.02, lonLo + rnd.nextDouble() * 0.02)
+      val got = Geom.clipRectArea(Array(gamma), latLo, lonLo, latHi, lonHi)
+      val want = jtsArea(gamma, latLo, lonLo, latHi, lonHi)
+      assert(math.abs(got - want) < 1e-15)
+    }
+    // fully disjoint rect → 0
+    assert(Geom.clipRectArea(Array(Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0)), 5, 5, 6, 6) == 0.0)
+  }
+
+  // ---- polyfill + compact ------------------------------------------------
+
+  test("polyfill = brute-force center containment; compact partitions it exactly") {
+    import spark.implicits._
+    val g = Synth.gridSize(spark, dir)
+    val zones = Synth.boundariesDf(spark, g)
+      .select(col("name").as("zone"), col("rings"))
+    val pf = ZoneOps.polyfill(zones, res = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // brute force over the lattice with the same ray-cast kernel
+    val polys = Synth.cityPolys(g)
+    val want = (for {
+      (name, rings) <- polys.toSeq
+      ti <- 0 to 600; tj <- 0 to 600
+      cLat = (37000 + ti + 0.5) / 1000.0
+      cLon = (-122000 + tj + 0.5) / 1000.0
+      if Geom.pointInPolygon(cLat, cLon, rings)
+    } yield (name, graft.cells.GridCell.pack(-122000L + tj, 37000L + ti))).toSet
+    assert(pf == want)
+
+    // compact: the multi-res set must partition the polyfill exactly
+    val cp = ZoneOps.compact(ZoneOps.polyfill(zones, 3), 3, 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val expanded = cp.flatMap {
+      case (z, 3, cell) => Seq((z, cell))
+      case (z, 2, cell) =>
+        val lo = graft.cells.GridCell.unpackLonIdx(cell) * 10
+        val la = graft.cells.GridCell.unpackLatIdx(cell) * 10
+        for (a <- 0 until 10; b <- 0 until 10)
+          yield (z, graft.cells.GridCell.pack(lo + a, la + b))
+      case (_, r, _) => fail(s"unexpected res $r")
+    }.toSet
+    assert(expanded == pf)
+    assert(expanded.size == cp.flatMap {
+      case (_, 3, _) => Seq(1); case _ => Seq.fill(100)(1)
+    }.sum, "parents must not overlap kept cells")
+
+    // idempotence: no complete 10x10 block may remain at res 3
+    val keptByParent = cp.filter(_._2 == 3)
+      .groupBy(t => (t._1, graft.cells.GridCell.parent(t._3, 3, 2)))
+    assert(keptByParent.values.forall(_.length < 100))
+  }
+
+  test("cellOverlap areas are exact quarter-microdegree integers that sum to the zone area") {
+    val g = Synth.gridSize(spark, dir)
+    val zones = Synth.boundariesDf(spark, g)
+      .select(col("name").as("zone"), col("rings"))
+    val rows = ZoneOps.cellOverlap(zones, res = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val sums = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // whole-zone truth in quarter-µ°²: rect areas from the percent bounds
+    val s = (g - 1) * 1000L
+    def p(x: Int): Long = s * x / 100
+    def rectQ4(uLo: Long, uHi: Long, vLo: Long, vHi: Long): Long =
+      (2 * uHi - 2 * uLo) * (2 * vHi - 2 * vLo)
+    assert(sums("alpha") == rectQ4(p(10), p(35), p(10), p(40)))
+    assert(sums("beta") == rectQ4(p(40), p(70), p(50), p(90)))
+    assert(sums("gamma") ==
+      rectQ4(p(70), p(95), p(5), p(20)) + rectQ4(p(70), p(80), p(20), p(45)))
+  }
+
+  // ---- coverage gap ------------------------------------------------------
+
+  test("coverageGaps = brute-force 'no segment within maxDist'") {
+    val (_, _, wayData) = Pipeline.prepared(spark, dir)
+    val streets = wayData.filter(col("way_id") < 2000000L)
+    val images = Pipeline.geoImages(spark, dir)
+    val maxD = 0.0001505
+    val gaps = GeoStatsOps.coverageGaps(images, streets, res = 3, maxDistDeg = maxD)
+      .select("image_id").collect().map(_.getString(0)).toSet
+
+    val segs = streets.select(col("geometry")).collect().flatMap { r =>
+      val geoms = r.getSeq[org.apache.spark.sql.Row](0)
+      geoms.sliding(2).filter(_.length == 2).map(pair =>
+        (pair(0).getDouble(0), pair(0).getDouble(1),
+          pair(1).getDouble(0), pair(1).getDouble(1)))
+    }
+    val pts = images.select(col("image_id"), col("lat"), col("lon"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val want = pts.filter { case (_, la, lo) =>
+      !segs.exists(s => Geom.pointSegDist(la, lo, s._1, s._2, s._3, s._4) <= maxD)
+    }.map(_._1).toSet
+    assert(gaps == want)
+    assert(gaps.nonEmpty && gaps.size < pts.length)
+  }
+
+  // ---- dwell -------------------------------------------------------------
+
+  test("dwellSegments finds exactly the hand-built islands") {
+    import spark.implicits._
+    // displacements (µ°): steps 1..8 =
+    //   [big, small, small, small, big, small, small, big]
+    // → one island of 3 (steps 2-4) and one of 2 (steps 6-7)
+    val d = Seq(
+      (5000, 0), (300, 200), (-400, 100), (0, -500), (3000, -3000),
+      (100, 100), (-200, 300), (9000, 0))
+    val pts = d.scanLeft((1000000L, 2000000L)) { case ((u, v), (du, dv)) =>
+      (u + du, v + dv)
+    }
+    val geom = pts.map { case (u, v) => (u * 1e-6, v * 1e-6) }
+    val df = Seq((7L, geom)).toDF("track_id", "geometry")
+      .select(col("track_id"), expr(
+        "transform(geometry, p -> struct(p._1 AS lat, p._2 AS lon))").as("geometry"))
+    val got3 = GeoStatsOps.dwellSegments(df, epsMicroDeg = 800L, minSteps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got3 == Set((7L, 2, 4, 3L)))
+    val got2 = GeoStatsOps.dwellSegments(df, epsMicroDeg = 800L, minSteps = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got2 == Set((2, 4, 3L), (6, 7, 2L)))
+  }
+
+  // ---- IDW ---------------------------------------------------------------
+
+  test("idwInterpolate = brute-force radius-weighted mean (exact integers)") {
+    import spark.implicits._
+    val probes = Synth.orders(spark, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("probe_id"),
+        ((col("o_orderkey") % 1000) * 100).as("u"),
+        ((col("o_orderkey") % 997) * 100).as("v"))
+    val samples = Pipeline.geoImages(spark, dir)
+      .select(col("u"), col("v"), (col("phash") % 1000).as("value"))
+    val r = 2000L
+    val got = GeoStatsOps.idwInterpolate(probes, samples, r, res = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+
+    val ss = samples.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val pp = probes.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val want = pp.flatMap { case (pid, pu, pv) =>
+      val hits = ss.filter { case (su, sv, _) =>
+        (su - pu) * (su - pu) + (sv - pv) * (sv - pv) <= r * r
+      }
+      if (hits.isEmpty) None
+      else {
+        val ws = hits.map { case (su, sv, v) =>
+          val d2 = (su - pu) * (su - pu) + (sv - pv) * (sv - pv)
+          (1000000000000L / (1 + d2), v)
+        }
+        val sw = ws.map(_._1).sum
+        Some(pid -> (hits.length.toLong, sw, ws.map(w => w._1 * w._2).sum / sw))
+      }
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
