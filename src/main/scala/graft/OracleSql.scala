@@ -677,6 +677,46 @@ SELECT zone, cell, CAST(SUM(ou2 * ov2) AS BIGINT) AS area_q4
 FROM ovl WHERE ou2 > 0 AND ov2 > 0
 GROUP BY zone, cell ORDER BY zone, cell""",
 
+    // apportionment: the overlap-area matrix composed with integer per-cell
+    // image counts (latIdx = 37000 + u//1000 — exact integers; the double
+    // floor(lat*1000) cannot disagree because u is never ≡ 0 mod 500)
+    "q_zone_apportion" ->
+      s"""WITH $imgCte,
+latt AS (SELECT s1.i AS ti, s2.i AS tj FROM ser s1, ser s2),
+zrects AS (
+  SELECT 'alpha' AS zone, s*10//100 AS ulo, s*35//100 AS uhi,
+         s*10//100 AS vlo, s*40//100 AS vhi
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)
+  UNION ALL
+  SELECT 'beta', s*40//100, s*70//100, s*50//100, s*90//100
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)
+  UNION ALL
+  SELECT 'gamma', s*70//100, s*95//100, s*5//100, s*20//100
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)
+  UNION ALL
+  SELECT 'gamma', s*70//100, s*80//100, s*20//100, s*45//100
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)),
+aovl AS (
+  SELECT zone,
+    (-122000 + tj + 20000000) * 100000000 + (37000 + ti + 20000000) AS cell,
+    LEAST(2*(ti+1)*1000, 2*uhi + 1) - GREATEST(2*ti*1000, 2*ulo + 1) AS ou2,
+    LEAST(2*(tj+1)*1000, 2*vhi + 1) - GREATEST(2*tj*1000, 2*vlo + 1) AS ov2
+  FROM latt, zrects),
+wmat AS (
+  SELECT zone, cell, CAST(SUM(ou2 * ov2) AS BIGINT) AS area_q4
+  FROM aovl WHERE ou2 > 0 AND ov2 > 0 GROUP BY zone, cell),
+icounts AS (
+  SELECT (-122000 + v // 1000 + 20000000) * 100000000
+         + (37000 + u // 1000 + 20000000) AS cell,
+         COUNT(*) AS n_pts
+  FROM imgs GROUP BY 1)
+SELECT w.zone, COUNT(*) AS n_cells,
+  CAST(SUM(COALESCE(c.n_pts, 0) * w.area_q4) AS BIGINT) AS apportioned_q4,
+  CAST(CAST(SUM(COALESCE(c.n_pts, 0) * w.area_q4) AS BIGINT) * 1000000
+       // 4000000 AS BIGINT) AS est_count_micro
+FROM wmat w LEFT JOIN icounts c ON w.cell = c.cell
+GROUP BY w.zone ORDER BY w.zone""",
+
     // IDW interpolation: brute-force radius join (the Spark side equi-joins
     // a bounded cell disk); integer weights 1e12÷(1+d²) make every sum
     // exact, HUGEINT intermediates collapse back to BIGINT
@@ -1089,6 +1129,44 @@ SELECT tile_id, image_id, phash FROM r WHERE rk = 1 ORDER BY tile_id""",
       s"""WITH $gridCte,
 pw(j, apow) AS (VALUES $powers),
 keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0 FROM orders),
+deltas AS (
+  SELECT k, (j + 1) // 2 AS t, j % 2 = 1 AS is_lat,
+    ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d
+  FROM keys, pw),
+stepd AS (
+  SELECT k, t, SUM(CASE WHEN is_lat THEN d ELSE 0 END) AS dl,
+         SUM(CASE WHEN NOT is_lat THEN d ELSE 0 END) AS dn
+  FROM deltas GROUP BY k, t),
+cums AS (
+  SELECT k, t AS step,
+    SUM(dl) OVER (PARTITION BY k ORDER BY t) AS dlat,
+    SUM(dn) OVER (PARTITION BY k ORDER BY t) AS dlon
+  FROM stepd),
+upts AS (
+  SELECT k AS track_id, 0 AS step, (k % 1000) * 100 AS u, (k % 997) * 100 AS v FROM keys
+  UNION ALL
+  SELECT k, step, (k % 1000) * 100 + dlat, (k % 997) * 100 + dlon FROM cums),
+zs AS (SELECT track_id, step, $cityCase AS zone
+       FROM upts, (SELECT (g - 1) * 1000 AS s FROM p) sp),
+tr AS (SELECT track_id, step, zone,
+       LAG(zone) OVER (PARTITION BY track_id ORDER BY step) AS prev FROM zs)
+SELECT track_id, CAST(step AS INTEGER) AS step, prev AS from_zone, zone AS to_zone
+FROM tr WHERE prev IS NOT NULL AND prev <> zone
+ORDER BY track_id, step"""
+    },
+
+    // streaming geofence twin: the SAME lag-window truth as q_traj_geofence
+    // over the 1/5 replay slice — the streaming state machine must converge
+    // to exactly the batch transition rows
+    "q_stream_geofence" -> {
+      val m = 2147483647L; val a = 48271L
+      val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong
+      val powers = (1 to 78)
+        .map(j => s"($j,${BigInt(a).modPow(BigInt(j), BigInt(m))})").mkString(",")
+      s"""WITH $gridCte,
+pw(j, apow) AS (VALUES $powers),
+keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0
+         FROM orders WHERE o_orderkey % 5 = 0),
 deltas AS (
   SELECT k, (j + 1) // 2 AS t, j % 2 = 1 AS is_lat,
     ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d

@@ -433,6 +433,18 @@ object SparkEntry {
         .orderBy("zone", "cell")
     }),
 
+    // AREA-WEIGHTED APPORTIONMENT (dasymetric counting): per-cell image
+    // counts distributed over zones by overlap fraction — counts collapse
+    // per cell BEFORE the join, exact count·quarter-µ°² integers throughout
+    "q_zone_apportion" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      graft.ops.ZoneOps.apportion(
+          Pipeline.geoImages(s, dir).select(col("lat"), col("lon")),
+          Synth.boundariesDf(s, g).select(col("name").as("zone"), col("rings")),
+          res = 3)
+        .orderBy("zone")
+    }),
+
     // polygon measures (planar shoelace area + closed-ring perimeter) as
     // pure array folds — Spark's aggregate() is a LEFT fold and DuckDB's
     // list_reduce is too, so the double sums are bit-identical without any
@@ -1261,6 +1273,30 @@ object SparkEntry {
     // selection (QuantileOps) — the oracle recomputes each rank by
     // row_number over the sorted column, fully independent of the
     // histogram machinery
+    // streaming geofence twin: GPS points replay through the track-keyed
+    // flatMapGroupsWithState (state = ONE (step, zone) pair per track) and
+    // must land on the batch lag-window oracle rows; NoTimeout state, so
+    // processAllAvailable terminates (no ProcessingTimeTimeout spin)
+    "q_stream_geofence" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      val rows = Synth.tracks(s, dir)
+        .filter(col("track_id") % 5 === 0)
+        .select(col("track_id"), posexplode(col("geometry")).as(Seq("step", "pt")))
+        .select(col("track_id"), col("step"),
+          col("pt.lat").as("lat"), col("pt.lon").as("lon"))
+        .as[Streaming.GeoPt].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Streaming.GeoPt]
+      val q = Streaming.geofenceStream(s, mem.toDS(), Synth.cityPolys(g))
+        .writeStream.format("memory").queryName("graft_q_stream_geofence")
+        .outputMode("append").start()
+      try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+      s.table("graft_q_stream_geofence").orderBy("track_id", "step")
+    }),
+
     "q_quantiles_exact" -> ((s, dir) =>
       QuantileOps.exactQuantiles(
         s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice",

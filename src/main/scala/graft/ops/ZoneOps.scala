@@ -125,4 +125,38 @@ object ZoneOps {
       .filter(col("area_q4") > 0L)
       .select(col("zone"), col("cell"), col("area_q4"))
   }
+
+  /** AREA-WEIGHTED APPORTIONMENT: distribute a point corpus over zones by
+    * cell-overlap fraction — the dasymetric counterpart of exact PIP
+    * assignment (and the standard way to join aggregated raster counts to
+    * vector zones when per-point coordinates are already rolled up). For
+    * each zone: Σ over cells of n_points(cell) · area(zone∩cell), an exact
+    * integer in count·quarter-µ°²; `est_count_micro` divides out the cell
+    * area (integral DIV, still exact).
+    *
+    * Shape: points collapse to per-cell counts FIRST (one partial-aggregated
+    * groupBy — the join input is cell-sized, never corpus-sized), then ONE
+    * equi-join against the overlap weight matrix, then a zone-sized
+    * aggregate. At 10^12 points the expensive side is the first groupBy,
+    * which is the tile-pyramid cost profile.
+    */
+  def apportion(points: DataFrame, zones: DataFrame, res: Int): DataFrame = {
+    val p10 = pow10(res)
+    // cell area in quarter-µ°²: (2·cellMicro)² with cellMicro = 1e6/10^res
+    val cellAreaQ4 = {
+      val m = math.round(1e6 / p10)
+      4L * m * m
+    }
+    val counts = points
+      .withColumn("cell", fns.cell_encode(col("lat"), col("lon"), res))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_pts"))
+    cellOverlap(zones, res)
+      .join(counts, Seq("cell"), "left")
+      .withColumn("n_pts", coalesce(col("n_pts"), lit(0L)))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n_pts") * col("area_q4")).as("apportioned_q4"))
+      .withColumn("est_count_micro",
+        expr(s"(apportioned_q4 * 1000000) DIV $cellAreaQ4"))
+  }
 }

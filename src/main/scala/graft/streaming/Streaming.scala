@@ -87,6 +87,46 @@ object Streaming {
   case class DocIn(doc_id: Long, digest: String)
   case class DedupOut(doc_id: Long, digest: String, is_first: Boolean)
 
+  case class GeoPt(track_id: Long, step: Int, lat: Double, lon: Double)
+  case class FenceOut(track_id: Long, step: Int, from_zone: String, to_zone: String)
+
+  /** STREAMING GEOFENCE — the incremental twin of
+    * GeoStatsOps.geofenceTransitions: GPS points arrive as a stream, state
+    * per track is ONE (last_step, last_zone) pair (bounded regardless of
+    * track length), and a row is emitted the moment a track's zone changes
+    * — the live fleet-alerting form of the batch lag-window op.
+    *
+    * Zone assignment uses the same broadcast PreparedPolys kernel as the
+    * batch path (envelope prefilter + ray cast), serialized once into the
+    * state function. Points are ordered by step inside each micro-batch;
+    * an out-of-order step arriving AFTER a later step has been processed
+    * is dropped (documented late-data policy — the batch twin gate feeds
+    * in order, and a production feed would reorder upstream with an
+    * event-time watermark). */
+  def geofenceStream(spark: SparkSession, pts: Dataset[GeoPt],
+                     polys: Array[(String, Array[Array[Double]])],
+                     default: String = "Unincorporated"): Dataset[FenceOut] = {
+    import spark.implicits._
+    val prepared = new graft.geom.PreparedPolys(polys, default)
+    pts.groupByKey(_.track_id)
+      .flatMapGroupsWithState[(Int, String), FenceOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (track: Long, it: Iterator[GeoPt], state: GroupState[(Int, String)]) =>
+          var (lastStep, lastZone) = state.getOption.getOrElse((-1, null: String))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FenceOut]
+          it.toSeq.sortBy(_.step).foreach { p =>
+            if (p.step > lastStep) {
+              val z = prepared.first(p.lat, p.lon).toString
+              if (lastZone != null && z != lastZone)
+                out += FenceOut(track, p.step, lastZone, z)
+              lastStep = p.step; lastZone = z
+            }
+          }
+          state.update((lastStep, lastZone))
+          out.iterator
+      }
+  }
+
   /** STREAMING EXACT-DEDUP — the incremental twin of the curation
     * pipeline's dedup stage (TextOps.curate): keyed on the content digest,
     * the state per key is ONE long (the surviving doc_id), so state size is

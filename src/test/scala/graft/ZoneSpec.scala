@@ -180,6 +180,77 @@ class ZoneSpec extends AnyFunSuite {
     assert(got2 == Set((2, 4, 3L), (6, 7, 2L)))
   }
 
+  // ---- apportionment -----------------------------------------------------
+
+  test("apportion = per-cell counts composed with overlap weights; interior zone ≈ PIP count") {
+    val g = Synth.gridSize(spark, dir)
+    val zones = Synth.boundariesDf(spark, g)
+      .select(col("name").as("zone"), col("rings"))
+    val pts = Pipeline.geoImages(spark, dir).select(col("lat"), col("lon"))
+    val got = ZoneOps.apportion(pts, zones, res = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // independent composition: collected per-cell counts × collected weights
+    val w = ZoneOps.cellOverlap(zones, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n = pts.withColumn("cell", graft.exprs.fns.cell_encode(col("lat"), col("lon"), 3))
+      .groupBy("cell").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = w.groupBy(_._1).map { case (z, rows) =>
+      z -> (rows.length.toLong,
+        rows.map(r => n.getOrElse(r._2, 0L) * r._3).sum)
+    }
+    assert(got.keySet == Set("alpha", "beta", "gamma"))
+    for ((z, (nc, ap)) <- want) {
+      assert(got(z)._1 == nc && got(z)._2 == ap, z)
+      assert(got(z)._3 == ap * 1000000L / 4000000L, z)
+    }
+    // sanity: the dasymetric estimate lands near the exact PIP count
+    val pipCounts = graft.ops.SpatialOps.imageCity(
+        Pipeline.geoImages(spark, dir), Synth.cityPolys(g))
+      .groupBy("city").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (z <- Seq("alpha", "beta", "gamma")) {
+      val est = got(z)._3 / 1e6
+      val exact = pipCounts(z).toDouble
+      assert(math.abs(est - exact) / exact < 0.25, s"$z est=$est exact=$exact")
+    }
+  }
+
+  // ---- streaming geofence ------------------------------------------------
+
+  test("geofenceStream over a 2-batch replay = batch geofenceTransitions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val g = Synth.gridSize(spark, dir)
+    val tracks = Synth.tracks(spark, dir).filter(col("track_id") % 17 === 0)
+    val want = graft.ops.GeoStatsOps
+      .geofenceTransitions(tracks, Synth.cityPolys(g))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    val rows = tracks
+      .select(col("track_id"), posexplode(col("geometry")).as(Seq("step", "pt")))
+      .select(col("track_id"), col("step"),
+        col("pt.lat").as("lat"), col("pt.lon").as("lon"))
+      .as[graft.streaming.Streaming.GeoPt].collect()
+    // split MID-TRACK so cross-batch state carry (last step/zone) is exercised
+    val (b0, b1) = rows.partition(p => p.step < 17)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.Streaming.GeoPt]
+    val q = graft.streaming.Streaming
+      .geofenceStream(spark, mem.toDS(), Synth.cityPolys(g))
+      .writeStream.format("memory").queryName("zs_stream_geofence")
+      .outputMode("append").start()
+    try {
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("zs_stream_geofence")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   // ---- IDW ---------------------------------------------------------------
 
   test("idwInterpolate = brute-force radius-weighted mean (exact integers)") {
