@@ -1156,7 +1156,7 @@ ORDER BY track_id, step"""
     },
 
     // streaming geofence twin: the SAME lag-window truth as q_traj_geofence
-    // over the 1/5 replay slice — the streaming state machine must converge
+    // over the 1/11 replay slice — the streaming state machine must converge
     // to exactly the batch transition rows
     "q_stream_geofence" -> {
       val m = 2147483647L; val a = 48271L
@@ -1166,7 +1166,7 @@ ORDER BY track_id, step"""
       s"""WITH $gridCte,
 pw(j, apow) AS (VALUES $powers),
 keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0
-         FROM orders WHERE o_orderkey % 5 = 0),
+         FROM orders WHERE o_orderkey % 11 = 0),
 deltas AS (
   SELECT k, (j + 1) // 2 AS t, j % 2 = 1 AS is_lat,
     ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d

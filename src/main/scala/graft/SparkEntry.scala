@@ -1276,13 +1276,14 @@ object SparkEntry {
     // streaming geofence twin: GPS points replay through the track-keyed
     // flatMapGroupsWithState (state = ONE (step, zone) pair per track) and
     // must land on the batch lag-window oracle rows; NoTimeout state, so
-    // processAllAvailable terminates (no ProcessingTimeTimeout spin)
+    // processAllAvailable terminates (no ProcessingTimeTimeout spin).
+    // 1/11 slice bounds the replay-harness collect, not the operator.
     "q_stream_geofence" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val (g, _, _) = Pipeline.prepared(s, dir)
       val rows = Synth.tracks(s, dir)
-        .filter(col("track_id") % 5 === 0)
+        .filter(col("track_id") % 11 === 0)
         .select(col("track_id"), posexplode(col("geometry")).as(Seq("step", "pt")))
         .select(col("track_id"), col("step"),
           col("pt.lat").as("lat"), col("pt.lon").as("lon"))
