@@ -112,7 +112,7 @@ object SimOps {
       round(fns.cosine_sim(e, lit(ce)) * lit(1e9), 0).cast("long")
     // nearest centroid = max (cos9, -cid) struct → smallest cid on ties
     def listId(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val scored = array(cents.map { case (cid, ce) =>
+      val scored = array(cents.toIndexedSeq.map { case (cid, ce) =>
         struct(c9(e, ce).as("c9"), lit(-cid).as("ncid"))
       }: _*)
       -array_max(scored).getField("ncid")
@@ -124,7 +124,7 @@ object SimOps {
     val probeW = Window.partitionBy("q_id")
       .orderBy(col("sc.c9").desc, col("sc.cid"))
     val probes = qs
-      .select(col("q_id"), col("q_emb"), explode(array(cents.map { case (cid, ce) =>
+      .select(col("q_id"), col("q_emb"), explode(array(cents.toIndexedSeq.map { case (cid, ce) =>
         struct(c9(col("q_emb"), ce).as("c9"), lit(cid).as("cid"))
       }: _*)).as("sc"))
       .withColumn("prk", row_number().over(probeW))
