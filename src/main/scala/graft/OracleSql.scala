@@ -1021,6 +1021,42 @@ SELECT cnt.a_id AS pid, cnt.n_eps,
 FROM cnt LEFT JOIN comp ON cnt.a_id = comp.id LEFT JOIN bord ON cnt.a_id = bord.a_id
 ORDER BY pid""",
 
+    // cluster hull diameters: the SAME recursive-CTE DBSCAN closed form,
+    // then the O(n²) brute-force pairwise max per cluster — the Spark side
+    // must land on identical integers through its two-level hull reduction
+    "q_cluster_hull_diam" ->
+      s"""WITH RECURSIVE $imgCte,
+pts AS (SELECT CAST(substring(image_id, 4) AS BIGINT) AS pid, lat, lon, u, v FROM imgs),
+off AS (SELECT a.du, b.dv FROM (VALUES (-1),(0),(1)) a(du), (VALUES (-1),(0),(1)) b(dv)),
+prs AS (
+  SELECT a.pid AS a_id, b.pid AS b_id
+  FROM pts a, off o, pts b
+  WHERE b.u // 700 = a.u // 700 + o.du AND b.v // 700 = a.v // 700 + o.dv
+    AND 2*6371008.8*asin(least(1.0, sqrt(
+      sin(radians((b.lat - a.lat)/2))*sin(radians((b.lat - a.lat)/2)) +
+      cos(radians(a.lat))*cos(radians(b.lat))*sin(radians((b.lon - a.lon)/2))*sin(radians((b.lon - a.lon)/2))))) <= 60.0::DOUBLE),
+cnt AS (SELECT a_id, COUNT(*) AS n_eps FROM prs GROUP BY a_id),
+core AS (SELECT a_id AS id FROM cnt WHERE n_eps >= 4),
+ed AS (SELECT p.a_id AS a, p.b_id AS b FROM prs p
+       JOIN core c1 ON p.a_id = c1.id JOIN core c2 ON p.b_id = c2.id),
+reach(a, b) AS (SELECT a, b FROM ed UNION SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+comp AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+bord AS (SELECT p.a_id, MIN(c.cluster) AS nbr_cluster
+         FROM prs p JOIN comp c ON p.b_id = c.id WHERE p.a_id <> p.b_id GROUP BY p.a_id),
+mem AS (
+  SELECT cnt.a_id AS pid, COALESCE(comp.cluster, bord.nbr_cluster) AS cluster
+  FROM cnt LEFT JOIN comp ON cnt.a_id = comp.id LEFT JOIN bord ON cnt.a_id = bord.a_id
+  WHERE COALESCE(comp.cluster, bord.nbr_cluster) IS NOT NULL),
+nm AS (SELECT cluster, COUNT(*) AS n_members FROM mem GROUP BY cluster),
+dd AS (SELECT m1.cluster,
+         MAX((p1.u - p2.u)*(p1.u - p2.u) + (p1.v - p2.v)*(p1.v - p2.v)) AS diam2
+       FROM mem m1 JOIN pts p1 ON m1.pid = p1.pid
+            JOIN mem m2 ON m2.cluster = m1.cluster
+            JOIN pts p2 ON m2.pid = p2.pid
+       GROUP BY m1.cluster)
+SELECT nm.cluster, nm.n_members, dd.diam2
+FROM nm JOIN dd USING (cluster) ORDER BY cluster""",
+
     // ---- mirror: per-tile capped sampling -----------------------------------
     "q_geo_cap_sample" ->
       s"""WITH $imgCte,

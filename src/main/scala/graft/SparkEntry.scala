@@ -604,6 +604,24 @@ object SparkEntry {
           epsMeters = 60.0, minPts = 4)
         .orderBy("pid")),
 
+    // per-cluster convex-hull extent summary: exact squared diameters of
+    // the DBSCAN clusters via the TWO-LEVEL hull (salted partial hulls →
+    // merge), diameter computed on hull vertices only — the oracle
+    // brute-forces the O(n²) pairwise max in SQL over the same
+    // recursive-CTE clusters, so the hull reduction is oracle-proven
+    "q_cluster_hull_diam" -> ((s, dir) => {
+      val pts = Pipeline.geoImages(s, dir).select(
+        expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+        col("lat"), col("lon"), col("u"), col("v"))
+      val db = graft.ops.ClusterOps.dbscan(
+          pts.select(col("pid"), col("lat"), col("lon")), epsMeters = 60.0, minPts = 4)
+        .filter(col("cluster").isNotNull).select(col("pid"), col("cluster"))
+      graft.ops.ClusterOps.clusterHullStats(
+          db.join(pts.select(col("pid"), col("u"), col("v")), Seq("pid")))
+        .select(col("cluster"), col("n_members"), col("diam2"))
+        .orderBy("cluster")
+    }),
+
     // per-tile capped sampling (spatial de-biasing): dense tiles keep at
     // most `cap` images by deterministic Knuth-hash priority
     "q_geo_cap_sample" -> ((s, dir) =>

@@ -892,6 +892,26 @@ object fns {
       propagateNull = true))
   def point_in_polygon(lat: Column, lon: Column, rings: Column): Column =
     c(PointInPolygon(e(lat), e(lon), e(rings)))
+  private val uvPairType =
+    ArrayType(StructType(Seq(
+      StructField("u", LongType, nullable = false),
+      StructField("v", LongType, nullable = false))), containsNull = false)
+  /** convex hull of integer-µ° (u,v) points (monotone chain) — per-GROUP
+    * kernel over collect_list output. */
+  def convex_hull_uv(pts: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[graft.geom.Hull.type], uvPairType, "hullData",
+      Seq(e(pts)), propagateNull = true))
+  /** exact squared diameter (µ°²) of a (u,v) point set via its hull. */
+  def hull_diam2(pts: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[graft.geom.Hull.type], LongType, "diam2Data",
+      Seq(e(pts)), propagateNull = true))
+  /** TWICE the hull area (exact integer µ°²) of a (u,v) point set. */
+  def hull_area2(pts: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[graft.geom.Hull.type], LongType, "area2Data",
+      Seq(e(pts)), propagateNull = true))
   /** polygon ∩ axis-aligned-rect area (Sutherland–Hodgman + shoelace) in
     * squared degrees; StaticInvoke keeps the clip in whole-stage codegen. */
   def clip_rect_area(rings: Column, latLo: Column, lonLo: Column,

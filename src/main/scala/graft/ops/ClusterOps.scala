@@ -219,4 +219,38 @@ object ClusterOps {
     }.take(leafZoom - minZoom + 1).toSeq
     levels.reduce(_.unionByName(_))
   }
+
+  /** Per-cluster CONVEX-HULL summary: for every spatial cluster, the exact
+    * squared diameter (µ°²), hull vertex count, and twice the hull area
+    * (µ°², shoelace over integer coords) — the footprint/extent statistics
+    * of cluster summarization (atlas thumbnails, extent filters, anomaly
+    * flags). Input: (cluster, u, v) member points in integer µ°.
+    *
+    * Scale shape — the TWO-LEVEL hull: members first group by
+    * (cluster, salt) into bounded partial hulls (hull(union) =
+    * hull(union of hulls), so partial hulls lose nothing), then the tiny
+    * partial-hull vertex unions merge per cluster. No single task ever
+    * materializes a mega-cluster's full member list — the same
+    * salt-then-merge shape as every skew treatment here. The diameter is
+    * computed on hull vertices only (the farthest pair is attained there):
+    * O(h²) over a handful of vertices, never O(n²) over members — and the
+    * driver gate brute-forces that O(n²) max in SQL, so the hull reduction
+    * is oracle-proven, not just unit-tested.
+    */
+  def clusterHullStats(members: DataFrame, nSalts: Int = 16): DataFrame = {
+    val partial = members
+      .withColumn("salt", pmod(xxhash64(col("u"), col("v")), lit(nSalts.toLong)))
+      .groupBy(col("cluster"), col("salt"))
+      .agg(count(lit(1)).as("n_part"),
+        fns.convex_hull_uv(
+          collect_list(struct(col("u").as("u"), col("v").as("v")))).as("hull"))
+    partial
+      .groupBy(col("cluster"))
+      .agg(sum(col("n_part")).as("n_members"),
+        flatten(collect_list(col("hull"))).as("cand"))
+      .select(col("cluster"), col("n_members"),
+        size(fns.convex_hull_uv(col("cand"))).as("n_hull"),
+        fns.hull_diam2(col("cand")).as("diam2"),
+        fns.hull_area2(col("cand")).as("area2"))
+  }
 }

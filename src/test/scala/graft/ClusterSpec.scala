@@ -157,4 +157,58 @@ class ClusterSpec extends AnyFunSuite {
     // coarser levels genuinely merge tiles
     assert(byZoom(11).length < byZoom(15).length)
   }
+
+  test("Hull.hull = JTS convex hull; diam2/area2 exact vs brute force") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 80) {
+      val n = 1 + rnd.nextInt(40)
+      val us = Array.fill(n)(rnd.nextInt(2000).toLong)
+      val vs = Array.fill(n)(rnd.nextInt(2000).toLong)
+      val (hu, hv) = graft.geom.Hull.hull(us, vs)
+      // hull vertex set == JTS hull vertex set (JTS also drops collinear)
+      val jts = gf.createMultiPointFromCoords(
+        us.indices.map(i => new Coordinate(us(i).toDouble, vs(i).toDouble)).toArray)
+        .convexHull()
+      val jtsSet = jts.getCoordinates.map(c => (c.x.toLong, c.y.toLong)).toSet
+      val gotSet = hu.indices.map(i => (hu(i), hv(i))).toSet
+      assert(gotSet == jtsSet, s"trial $trial")
+      // diameter on hull == brute force over ALL points
+      val bf = (for (i <- 0 until n; j <- i until n) yield {
+        val du = us(i) - us(j); val dv = vs(i) - vs(j); du * du + dv * dv
+      }).max
+      assert(graft.geom.Hull.diam2(hu, hv) == bf, s"trial $trial diam")
+      // area parity with JTS (hull area is exact integer/2 on lattice pts)
+      assert(graft.geom.Hull.area2(hu, hv) == math.round(jts.getArea * 2), s"trial $trial area")
+    }
+    // degenerate: single point, duplicates, collinear
+    assert(graft.geom.Hull.hull(Array(5L), Array(7L))._1.toSeq == Seq(5L))
+    val (cu, cv) = graft.geom.Hull.hull(Array(0L, 1L, 2L, 1L), Array(0L, 1L, 2L, 1L))
+    assert(cu.toSeq.sorted == Seq(0L, 2L) && cv.toSeq.sorted == Seq(0L, 2L))
+    assert(graft.geom.Hull.diam2(cu, cv) == 8L)
+    assert(graft.geom.Hull.area2(cu, cv) == 0L)
+  }
+
+  test("clusterHullStats two-level (salted) path = direct single-group truth") {
+    val rnd = new scala.util.Random(13)
+    val members = (for (c <- 1 to 5; _ <- 1 to (20 + rnd.nextInt(200))) yield
+      (c.toLong, rnd.nextInt(5000).toLong, rnd.nextInt(5000).toLong))
+    val df = members.toDF("cluster", "u", "v")
+    val got = ClusterOps.clusterHullStats(df, nSalts = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    for ((c, rows) <- members.groupBy(_._1)) {
+      val us = rows.map(_._2).toArray; val vs = rows.map(_._3).toArray
+      val (hu, hv) = graft.geom.Hull.hull(us, vs)
+      val bf = (for (i <- us.indices; j <- us.indices) yield {
+        val du = us(i) - us(j); val dv = vs(i) - vs(j); du * du + dv * dv
+      }).max
+      val (nm, nh, d2, a2) = got(c)
+      assert(nm == rows.length)
+      assert(nh == hu.length)
+      assert(d2 == bf)
+      assert(a2 == graft.geom.Hull.area2(hu, hv))
+    }
+  }
 }
