@@ -1057,6 +1057,58 @@ dd AS (SELECT m1.cluster,
 SELECT nm.cluster, nm.n_members, dd.diam2
 FROM nm JOIN dd USING (cluster) ORDER BY cluster""",
 
+    // cluster-extent × zone intersection join: the SAME DBSCAN closed form,
+    // per-cluster bbox from member MIN/MAX, then all cluster×zone overlaps
+    // brute-forced closed-form in half-µ° integers (extent edges whole-µ°,
+    // zone edges half-µ°; gamma = its two interior-disjoint rects summed)
+    "q_cluster_zone_join" ->
+      s"""WITH RECURSIVE $imgCte,
+pts AS (SELECT CAST(substring(image_id, 4) AS BIGINT) AS pid, lat, lon, u, v FROM imgs),
+off AS (SELECT a.du, b.dv FROM (VALUES (-1),(0),(1)) a(du), (VALUES (-1),(0),(1)) b(dv)),
+prs AS (
+  SELECT a.pid AS a_id, b.pid AS b_id
+  FROM pts a, off o, pts b
+  WHERE b.u // 700 = a.u // 700 + o.du AND b.v // 700 = a.v // 700 + o.dv
+    AND 2*6371008.8*asin(least(1.0, sqrt(
+      sin(radians((b.lat - a.lat)/2))*sin(radians((b.lat - a.lat)/2)) +
+      cos(radians(a.lat))*cos(radians(b.lat))*sin(radians((b.lon - a.lon)/2))*sin(radians((b.lon - a.lon)/2))))) <= 60.0::DOUBLE),
+cnt AS (SELECT a_id, COUNT(*) AS n_eps FROM prs GROUP BY a_id),
+core AS (SELECT a_id AS id FROM cnt WHERE n_eps >= 4),
+ed AS (SELECT p.a_id AS a, p.b_id AS b FROM prs p
+       JOIN core c1 ON p.a_id = c1.id JOIN core c2 ON p.b_id = c2.id),
+reach(a, b) AS (SELECT a, b FROM ed UNION SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+comp AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+bord AS (SELECT p.a_id, MIN(c.cluster) AS nbr_cluster
+         FROM prs p JOIN comp c ON p.b_id = c.id WHERE p.a_id <> p.b_id GROUP BY p.a_id),
+mem AS (
+  SELECT cnt.a_id AS pid, COALESCE(comp.cluster, bord.nbr_cluster) AS cluster
+  FROM cnt LEFT JOIN comp ON cnt.a_id = comp.id LEFT JOIN bord ON cnt.a_id = bord.a_id
+  WHERE COALESCE(comp.cluster, bord.nbr_cluster) IS NOT NULL),
+bb AS (SELECT m.cluster, MIN(p.u) AS bulo, MAX(p.u) AS buhi,
+              MIN(p.v) AS bvlo, MAX(p.v) AS bvhi
+       FROM mem m JOIN pts p ON m.pid = p.pid GROUP BY m.cluster),
+jzr AS (
+  SELECT 'alpha' AS zone, s*10//100 AS ulo, s*35//100 AS uhi,
+         s*10//100 AS vlo, s*40//100 AS vhi
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)
+  UNION ALL
+  SELECT 'beta', s*40//100, s*70//100, s*50//100, s*90//100
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)
+  UNION ALL
+  SELECT 'gamma', s*70//100, s*95//100, s*5//100, s*20//100
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)
+  UNION ALL
+  SELECT 'gamma', s*70//100, s*80//100, s*20//100, s*45//100
+  FROM (SELECT (g - 1) * 1000 AS s FROM p)),
+jov AS (
+  SELECT bb.cluster, jzr.zone,
+    GREATEST(0, LEAST(2*bb.buhi, 2*jzr.uhi + 1) - GREATEST(2*bb.bulo, 2*jzr.ulo + 1))
+    * GREATEST(0, LEAST(2*bb.bvhi, 2*jzr.vhi + 1) - GREATEST(2*bb.bvlo, 2*jzr.vlo + 1)) AS q4
+  FROM bb, jzr)
+SELECT cluster, zone, CAST(SUM(q4) AS BIGINT) AS overlap_q4
+FROM jov GROUP BY cluster, zone HAVING SUM(q4) > 0
+ORDER BY cluster, zone""",
+
     // ---- mirror: per-tile capped sampling -----------------------------------
     "q_geo_cap_sample" ->
       s"""WITH $imgCte,

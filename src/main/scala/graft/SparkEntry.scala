@@ -622,6 +622,29 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    // POLYGON×POLYGON intersection join (both sides tables, neither
+    // broadcast): DBSCAN cluster extents × city zones via shared covering
+    // cells + exact clip refine; the oracle brute-forces all cluster×zone
+    // rect overlaps closed-form in half-µ° integers
+    "q_cluster_zone_join" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      val pts = Pipeline.geoImages(s, dir).select(
+        expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+        col("lat"), col("lon"), col("u"), col("v"))
+      val db = graft.ops.ClusterOps.dbscan(
+          pts.select(col("pid"), col("lat"), col("lon")), epsMeters = 60.0, minPts = 4)
+        .filter(col("cluster").isNotNull).select(col("pid"), col("cluster"))
+      val extents = db.join(pts.select(col("pid"), col("u"), col("v")), Seq("pid"))
+        .groupBy(col("cluster").as("id"))
+        .agg(min(col("u")).as("uLo"), max(col("u")).as("uHi"),
+          min(col("v")).as("vLo"), max(col("v")).as("vHi"))
+      graft.ops.ZoneOps.extentZoneJoin(extents,
+          Synth.boundariesDf(s, g).select(col("name").as("zone"), col("rings")),
+          res = 3)
+        .select(col("id").as("cluster"), col("zone"), col("overlap_q4"))
+        .orderBy("cluster", "zone")
+    }),
+
     // per-tile capped sampling (spatial de-biasing): dense tiles keep at
     // most `cap` images by deterministic Knuth-hash priority
     "q_geo_cap_sample" -> ((s, dir) =>

@@ -126,6 +126,54 @@ object ZoneOps {
       .select(col("zone"), col("cell"), col("area_q4"))
   }
 
+  /** POLYGON × POLYGON (extent) INTERSECTION JOIN — both sides are TABLES,
+    * neither broadcast: the missing two-sided spatial join (every other
+    * join here has points on one side or driver-prepared polygons). The
+    * pattern is the raster/interval approximation of polygon joins
+    * (Raster Intervals, SIGMOD 2023; Raptor, VLDB 2019 — public):
+    * candidates come from a shared covering cell at res `res` — COMPLETE,
+    * because any positive-area overlap contains a point whose cell both
+    * coverings include — then ONE exact Sutherland–Hodgman refine per
+    * surviving pair.
+    *
+    * Sides: `extents` = axis-aligned boxes (id, uLo, uHi, vLo, vHi —
+    * integer µ° in the corpus frame, e.g. cluster/footprint bounding
+    * boxes); `zones` = arbitrary polygons (zone, rings). Output:
+    * (id, zone, overlap_q4) for pairs with positive overlap, exact
+    * quarter-µ°² integers (extent edges whole-µ°, zone edges half-µ°).
+    *
+    * Scale shape: both sides explode their bbox covering map-side, the
+    * candidate join is a SHUFFLE_HASH equi-join on the cell, pairs dedup
+    * with ONE dropDuplicates, and the refine is a per-row codegen'd static
+    * call. At 10⁶ polygons × 10⁶ extents nothing is broadcast and nothing
+    * is quadratic; res trades candidate fan-out against refine count.
+    */
+  def extentZoneJoin(extents: DataFrame, zones: DataFrame, res: Int): DataFrame = {
+    val uDeg = (u: Column) =>
+      lit(graft.synth.Synth.LAT0) + u.cast("double") * lit(1e-6)
+    val vDeg = (v: Column) =>
+      lit(graft.synth.Synth.LON0) + v.cast("double") * lit(1e-6)
+    val a = extents.withColumn("cell", explode(fns.cells_covering(
+      uDeg(col("uLo")), vDeg(col("vLo")), uDeg(col("uHi")), vDeg(col("vHi")), res)))
+    val b = zones
+      .withColumn("zf_flat", flatten(col("rings")))
+      .withColumn("zf_lats", expr(
+        "transform(sequence(0, size(zf_flat) DIV 2 - 1), i -> zf_flat[2*i+1])"))
+      .withColumn("zf_lons", expr(
+        "transform(sequence(0, size(zf_flat) DIV 2 - 1), i -> zf_flat[2*i])"))
+      .withColumn("cell", explode(fns.cells_covering(
+        array_min(col("zf_lats")), array_min(col("zf_lons")),
+        array_max(col("zf_lats")), array_max(col("zf_lons")), res)))
+      .select(col("zone"), col("rings"), col("cell"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("cell"))
+      .dropDuplicates("id", "zone")
+      .withColumn("overlap_q4", round(fns.clip_rect_area(col("rings"),
+        uDeg(col("uLo")), vDeg(col("vLo")), uDeg(col("uHi")), vDeg(col("vHi")))
+        * lit(4.0e12)).cast("long"))
+      .filter(col("overlap_q4") > 0L)
+      .select(col("id"), col("zone"), col("overlap_q4"))
+  }
+
   /** AREA-WEIGHTED APPORTIONMENT: distribute a point corpus over zones by
     * cell-overlap fraction — the dasymetric counterpart of exact PIP
     * assignment (and the standard way to join aggregated raster counts to

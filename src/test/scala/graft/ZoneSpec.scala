@@ -130,6 +130,40 @@ class ZoneSpec extends AnyFunSuite {
       rectQ4(p(70), p(95), p(5), p(20)) + rectQ4(p(70), p(80), p(20), p(45)))
   }
 
+  // ---- extent × zone intersection join ------------------------------------
+
+  test("extentZoneJoin = brute-force rect∩polygon over random extents") {
+    import spark.implicits._
+    val g = Synth.gridSize(spark, dir)
+    val zones = Synth.boundariesDf(spark, g)
+      .select(col("name").as("zone"), col("rings"))
+    val s = (g - 1) * 1000L
+    val rnd = new scala.util.Random(99)
+    // random extents: some tiny, some zone-sized, some spanning everything
+    val exts = (1 to 120).map { i =>
+      val uLo = rnd.nextInt(s.toInt).toLong; val vLo = rnd.nextInt(s.toInt).toLong
+      val w = rnd.nextInt(if (i % 3 == 0) s.toInt else 3000) + 1
+      (i.toLong, uLo, math.min(s, uLo + w), vLo, math.min(s, vLo + w))
+    }
+    val got = graft.ops.ZoneOps.extentZoneJoin(
+        exts.toDF("id", "uLo", "uHi", "vLo", "vHi"), zones, res = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // brute force: closed-form half-µ° overlap vs every zone rect
+    def p(x: Int): Long = s * x / 100
+    val rects = Seq(
+      ("alpha", p(10), p(35), p(10), p(40)), ("beta", p(40), p(70), p(50), p(90)),
+      ("gamma", p(70), p(95), p(5), p(20)), ("gamma", p(70), p(80), p(20), p(45)))
+    val want = (for {
+      (id, uLo, uHi, vLo, vHi) <- exts
+      (z, ru0, ru1, rv0, rv1) <- rects
+      ou = math.max(0L, math.min(2 * uHi, 2 * ru1 + 1) - math.max(2 * uLo, 2 * ru0 + 1))
+      ov = math.max(0L, math.min(2 * vHi, 2 * rv1 + 1) - math.max(2 * vLo, 2 * rv0 + 1))
+    } yield ((id, z), ou * ov)).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).filter(_._2 > 0L).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   // ---- coverage gap ------------------------------------------------------
 
   test("coverageGaps = brute-force 'no segment within maxDist'") {
