@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -16,8 +15,11 @@ import graft.geom.Geom
 /** Catalyst-native expressions (SURVEY.md §2.11): the geometric / cell
   * primitives the reference takes from @turf/turf and its string-keyed grid
   * (`/root/reference/js/gpsBins.js:60-63`), re-expressed as codegen-friendly
-  * Spark expressions. Hot scalar paths implement doGenCode via static calls
-  * into graft.geom/graft.cells; array-shaped ones use CodegenFallback.
+  * Spark expressions. EVERY expression here is whole-stage-codegen'd —
+  * scalar and array-shaped alike compile to static calls into
+  * graft.geom/graft.cells/companion kernels (round-4: the last
+  * CodegenFallbacks were converted; a fallback in a Project splits the
+  * codegen span and re-evaluates children interpreted).
   */
 
 /** cell id of (lat, lon) at grid resolution `res` (decimal digits).
@@ -71,16 +73,22 @@ object CellsCovering {
 /** cells at Chebyshev distance ≤ k of `cell` (kNN ring expansion, SURVEY
   * J7); `res` (static) sizes the antimeridian longitude wrap. */
 case class CellDisk(cell: Expression, k: Expression, res: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   require(res >= 0 && res <= 5, s"grid res out of range [0,5]: $res")
   override def left: Expression = cell
   override def right: Expression = k
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(c: Any, kk: Any): Any =
-    new GenericArrayData(GridCell.disk(c.asInstanceOf[Long], kk.asInstanceOf[Int], res))
+    CellDisk.diskData(c.asInstanceOf[Long], kk.asInstanceOf[Int], res)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, kk) => s"graft.exprs.CellDisk.diskData($c, $kk, $res)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(cell = l, k = r)
+}
+object CellDisk {
+  def diskData(cell: Long, k: Int, res: Int): ArrayData =
+    new GenericArrayData(GridCell.disk(cell, k, res))
 }
 
 /** Rectangular cell disk (lon half-width, lat half-width) — the covering
@@ -91,7 +99,7 @@ case class CellDisk(cell: Expression, k: Expression, res: Int)
   * side's cells (GridCell.diskRect). */
 case class CellDiskRect(cell: Expression, kLon: Expression, kLat: Expression,
                         res: Int)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   require(res >= 0 && res <= 5, s"grid res out of range [0,5]: $res")
   override def first: Expression = cell
   override def second: Expression = kLon
@@ -99,11 +107,18 @@ case class CellDiskRect(cell: Expression, kLon: Expression, kLat: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(c: Any, kx: Any, ky: Any): Any =
-    new GenericArrayData(GridCell.diskRect(
-      c.asInstanceOf[Long], kx.asInstanceOf[Int], ky.asInstanceOf[Int], res))
+    CellDiskRect.diskRectData(
+      c.asInstanceOf[Long], kx.asInstanceOf[Int], ky.asInstanceOf[Int], res)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, kx, ky) => s"graft.exprs.CellDiskRect.diskRectData($c, $kx, $ky, $res)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(cell = f, kLon = s, kLat = t)
+}
+object CellDiskRect {
+  def diskRectData(cell: Long, kLon: Int, kLat: Int, res: Int): ArrayData =
+    new GenericArrayData(GridCell.diskRect(cell, kLon, kLat, res))
 }
 
 /** S2 cell id (level 0-30) of a lat/lon — from-scratch S2 (graft.cells.S2). */
@@ -349,18 +364,25 @@ object SimplifyPolyline {
   * divergence is documented and the oracle mirrors ours).
   */
 case class PointPolylineDist(lat: Expression, lon: Expression, line: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = lat
   override def second: Expression = lon
   override def third: Expression = line
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any, l: Any): Any =
-    Geom.pointPolylineDist(a.asInstanceOf[Double], b.asInstanceOf[Double],
-      SegmentsIntersect.toFlat(l.asInstanceOf[ArrayData]))
+    PointPolylineDist.distData(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      l.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, l) => s"graft.exprs.PointPolylineDist.distData($a, $b, $l)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(lat = f, lon = s, line = t)
+}
+object PointPolylineDist {
+  def distData(lat: Double, lon: Double, line: ArrayData): Double =
+    Geom.pointPolylineDist(lat, lon, SegmentsIntersect.toFlat(line))
 }
 
 /** Ray-casting point-in-polygon against a PREPARED polygon list bound at plan
@@ -394,25 +416,29 @@ case class PointInPolygonFirst(lat: Expression, lon: Expression,
 /** General point-in-polygon test: rings column as array<array<double>>
   * (flat [lon,lat,...] per ring, outer ring first). */
 case class PointInPolygon(lat: Expression, lon: Expression, rings: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = lat
   override def second: Expression = lon
   override def third: Expression = rings
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(a: Any, b: Any, r: Any): Any = {
-    val arr = r.asInstanceOf[ArrayData]
-    val rr = new Array[Array[Double]](arr.numElements())
-    var i = 0
-    while (i < rr.length) {
-      rr(i) = arr.getArray(i).toDoubleArray()
-      i += 1
-    }
-    Geom.pointInPolygon(a.asInstanceOf[Double], b.asInstanceOf[Double], rr)
-  }
+  override protected def nullSafeEval(a: Any, b: Any, r: Any): Any =
+    PointInPolygon.inData(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, r) => s"graft.exprs.PointInPolygon.inData($a, $b, $r)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(lat = f, lon = s, rings = t)
+}
+object PointInPolygon {
+  def inData(lat: Double, lon: Double, arr: ArrayData): Boolean = {
+    val rr = new Array[Array[Double]](arr.numElements())
+    var i = 0
+    while (i < rr.length) { rr(i) = arr.getArray(i).toDoubleArray(); i += 1 }
+    Geom.pointInPolygon(lat, lon, rr)
+  }
 }
 
 /** F2 `clean` (geo.js:674-691): remove the FIRST `_<digit>` occurrence (JS
@@ -420,16 +446,17 @@ case class PointInPolygon(lat: Expression, lon: Expression, rings: Expression)
   * Spark's regexp_replace replaces all matches, hence this expression.
   */
 case class CleanStreetKey(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    UTF8String.fromString(CleanStreetKey.clean(s))
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    CleanStreetKey.cleanU(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.exprs.CleanStreetKey.cleanU($v)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 object CleanStreetKey {
+  def cleanU(u: UTF8String): UTF8String = UTF8String.fromString(clean(u.toString))
   private val firstSuffix = java.util.regex.Pattern.compile("_[0-9]")
   def clean(s: String): String = {
     val m = firstSuffix.matcher(s)
@@ -443,12 +470,18 @@ object CleanStreetKey {
   * murmur-style mix of (token bytes hash, seed i).
   */
 case class MinHashSig(tokens: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def child: Expression = tokens
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashSig.sigData(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.exprs.MinHashSig.sigData($v, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(tokens = c)
+}
+object MinHashSig {
+  def sigData(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -464,17 +497,22 @@ case class MinHashSig(tokens: Expression, k: Int)
     }
     new GenericArrayData(sig)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(tokens = c)
 }
 
 /** 64-bit SimHash over a token array (Charikar 2002). */
 case class SimHash64(tokens: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def child: Expression = tokens
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(v: Any): Any =
+    SimHash64.hashData(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.exprs.SimHash64.hashData($v)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(tokens = c)
+}
+object SimHash64 {
+  def hashData(arr: ArrayData): Long = {
     val n = arr.numElements()
     val acc = new Array[Int](64)
     var i = 0
@@ -495,7 +533,6 @@ case class SimHash64(tokens: Expression)
     }
     out
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(tokens = c)
 }
 
 /** Karp-Rabin rolling-hash document fingerprint: min of rolling hashes of
@@ -503,12 +540,19 @@ case class SimHash64(tokens: Expression)
   * et al. 2003).
   */
 case class RollingMinHash(text: Expression, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def child: Expression = text
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  override protected def nullSafeEval(v: Any): Any =
+    RollingMinHash.hashText(v.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.exprs.RollingMinHash.hashText($v, $window)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(text = c)
+}
+object RollingMinHash {
+  def hashText(u: UTF8String, window: Int): Long = {
+    val bytes = u.getBytes
     if (bytes.length < window) return Hashing.bytesHash(bytes)
     val B = 1000000007L
     var pow = 1L
@@ -527,7 +571,6 @@ case class RollingMinHash(text: Expression, window: Int)
     }
     best
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(text = c)
 }
 
 /** One linear-referencing step WITHIN a way (X2, reference offset.js:170-244):
@@ -541,7 +584,7 @@ case class RollingMinHash(text: Expression, window: Int)
   */
 case class WalkWithinWay(nodes: Expression, flat: Expression,
                          nodeId: Expression, meters: Expression)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression {
   override def first: Expression = nodes
   override def second: Expression = flat
   override def third: Expression = nodeId
@@ -553,19 +596,27 @@ case class WalkWithinWay(nodes: Expression, flat: Expression,
     StructField("term", LongType, nullable = true),
     StructField("rem", DoubleType, nullable = true)))
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(nv: Any, fv: Any, idv: Any, mv: Any): Any = {
-    val nodes = nv.asInstanceOf[ArrayData].toLongArray()
-    val flat = fv.asInstanceOf[ArrayData].toDoubleArray()
+  override protected def nullSafeEval(nv: Any, fv: Any, idv: Any, mv: Any): Any =
+    WalkWithinWay.walkData(nv.asInstanceOf[ArrayData], fv.asInstanceOf[ArrayData],
+      idv.asInstanceOf[Long], mv.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (n, f, id, m) => s"graft.exprs.WalkWithinWay.walkData($n, $f, $id, $m)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(nodes = f, flat = s, nodeId = t, meters = q)
+}
+object WalkWithinWay {
+  def walkData(nv: ArrayData, fv: ArrayData, id: Long, meters: Double): InternalRow = {
+    val nodes = nv.toLongArray()
+    val flat = fv.toDoubleArray()
     val out = new Array[Double](4)
-    Geom.walkWithin(nodes, flat, idv.asInstanceOf[Long], mv.asInstanceOf[Double], out) match {
+    Geom.walkWithin(nodes, flat, id, meters, out) match {
       case 0 => InternalRow(0, out(0), out(1), null, null)
       case 1 => InternalRow(1, null, null, nodes(out(2).toInt), out(3))
       case _ => InternalRow(2, null, null, null, null)
     }
   }
-  override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
-    copy(nodes = f, flat = s, nodeId = t, meters = q)
 }
 
 /** Cosine similarity of two float vectors (array<float>), computed in double.
@@ -772,14 +823,27 @@ object GeomEval {
   * instance and is reused across all rows of all partitions. */
 case class MultiPatternMatch(text: Expression, regexes: Array[String],
                              negates: Array[Boolean])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(regexes.length == negates.length)
-  @transient private lazy val compiled = regexes.map(java.util.regex.Pattern.compile)
+  @transient private lazy val cp = new CompiledPatterns(regexes, negates)
   override def child: Expression = text
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(v: Any): Any =
+    cp.matches(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("patterns", cp, "graft.exprs.CompiledPatterns")
+    defineCodeGen(ctx, ev, v => s"$ref.matches($v)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(text = c)
+}
+/** compile-once pattern bank bound into generated code as a reference
+  * object (the PointInPolygonFirst prepared-polys pattern). */
+final class CompiledPatterns(regexes: Array[String], negates: Array[Boolean])
+    extends Serializable {
+  @transient private lazy val compiled = regexes.map(java.util.regex.Pattern.compile)
+  def matches(u: UTF8String): ArrayData = {
+    val s = u.toString
     val out = new scala.collection.mutable.ArrayBuffer[Any](4)
     var i = 0
     while (i < compiled.length) {
@@ -788,7 +852,6 @@ case class MultiPatternMatch(text: Expression, regexes: Array[String],
     }
     new GenericArrayData(out.toArray)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(text = c)
 }
 
 /** F13 gmapUrl (reference offset.js:133-137): the exact padded
