@@ -959,6 +959,8 @@ object fns {
     ArrayType(StructType(Seq(
       StructField("u", LongType, nullable = false),
       StructField("v", LongType, nullable = false))), containsNull = false)
+  /** the hull (u,v) element type, shared with the SQL function registry. */
+  def uvPairTypePublic: DataType = uvPairType
   /** convex hull of integer-µ° (u,v) points (monotone chain) — per-GROUP
     * kernel over collect_list output. */
   def convex_hull_uv(pts: Column): Column =

@@ -76,6 +76,32 @@ object GraftFunctions {
       a => RollingMinHash(a(0), intLit("graft_rolling_min_hash", a(1), 2)) },
     entry("graft_cosine_sim", "cosine similarity of two float vectors", 2) {
       a => CosineSim(a(0), a(1)) },
+    entry("graft_point_in_polygon",
+      "ray-cast containment against a rings column (array<array<double>>, flat [lon,lat,...])", 3) {
+      a => PointInPolygon(a(0), a(1), a(2)) },
+    entry("graft_point_polyline_dist",
+      "min planar distance (degrees) from a point to an array<struct<lat,lon>> polyline", 3) {
+      a => PointPolylineDist(a(0), a(1), a(2)) },
+    entry("graft_clip_rect_area",
+      "polygon ∩ axis-aligned-rect area (deg²): rings, latLo, lonLo, latHi, lonHi", 5) {
+      a => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[graft.geom.Geom.type], DoubleType, "clipRectAreaData", a,
+        propagateNull = true) },
+    entry("graft_convex_hull_uv",
+      "convex hull (monotone chain) of array<struct<u:bigint,v:bigint>> points", 1) {
+      a => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[graft.geom.Hull.type], fns.uvPairTypePublic, "hullData", a,
+        propagateNull = true) },
+    entry("graft_hull_diam2",
+      "exact squared diameter of a (u,v) point set via its hull", 1) {
+      a => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[graft.geom.Hull.type], org.apache.spark.sql.types.LongType,
+        "diam2Data", a, propagateNull = true) },
+    entry("graft_hull_area2",
+      "twice the convex-hull area of a (u,v) point set (exact integer)", 1) {
+      a => org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[graft.geom.Hull.type], org.apache.spark.sql.types.LongType,
+        "area2Data", a, propagateNull = true) },
     // aggregate: the registry builder returns the AggregateFunction itself;
     // the analyzer wraps it in an AggregateExpression like any built-in agg
     entry("graft_hll_distinct", "HyperLogLog distinct estimate (2^p registers)", 2) {

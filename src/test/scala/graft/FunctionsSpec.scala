@@ -155,4 +155,51 @@ class FunctionsSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [geohash_encode"), plan)
   }
+
+  test("geometry-kernel SQL functions: PIP, polyline dist, clip area, hull family") {
+    GraftPlans.enable(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_point_in_polygon(0.5D, 0.5D,
+        |    array(array(0.0D,0.0D, 1.0D,0.0D, 1.0D,1.0D, 0.0D,1.0D))) AS inside,
+        |  graft_point_in_polygon(1.5D, 0.5D,
+        |    array(array(0.0D,0.0D, 1.0D,0.0D, 1.0D,1.0D, 0.0D,1.0D))) AS outside,
+        |  graft_point_polyline_dist(0.0D, 0.5D,
+        |    array(struct(1.0D AS lat, 0.0D AS lon), struct(1.0D AS lat, 1.0D AS lon))) AS pld,
+        |  graft_clip_rect_area(
+        |    array(array(0.0D,0.0D, 2.0D,0.0D, 2.0D,2.0D, 0.0D,2.0D)),
+        |    1.0D, 1.0D, 3.0D, 3.0D) AS clip,
+        |  graft_hull_diam2(array(struct(0L AS u, 0L AS v), struct(3L AS u, 4L AS v),
+        |    struct(1L AS u, 1L AS v))) AS d2,
+        |  graft_hull_area2(array(struct(0L AS u, 0L AS v), struct(2L AS u, 0L AS v),
+        |    struct(0L AS u, 2L AS v))) AS a2,
+        |  size(graft_convex_hull_uv(array(struct(0L AS u, 0L AS v),
+        |    struct(2L AS u, 0L AS v), struct(0L AS u, 2L AS v), struct(1L AS u, 1L AS v)))) AS nh
+        |""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 1.0) // [1,2]×[1,2] overlap of the 2×2 square
+    assert(r.getLong(4) == 25L)
+    assert(r.getLong(5) == 4L)
+    assert(r.getInt(6) == 3) // interior point dropped
+  }
+
+  test("no graft Catalyst expression falls back from whole-stage codegen") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val exprClasses: Seq[Class[_]] = Seq(
+      classOf[graft.exprs.CellEncode], classOf[graft.exprs.CellsCovering],
+      classOf[graft.exprs.CellDisk], classOf[graft.exprs.CellDiskRect],
+      classOf[graft.exprs.CellParent], classOf[graft.exprs.S2CellEncode],
+      classOf[graft.exprs.Hex7CellEncode], classOf[graft.exprs.TileId],
+      classOf[graft.exprs.GeohashEncode], classOf[graft.exprs.Haversine],
+      classOf[graft.exprs.SegmentsIntersect], classOf[graft.exprs.SimplifyPolyline],
+      classOf[graft.exprs.PointPolylineDist], classOf[graft.exprs.PointInPolygon],
+      classOf[graft.exprs.PointInPolygonFirst], classOf[graft.exprs.CleanStreetKey],
+      classOf[graft.exprs.MinHashSig], classOf[graft.exprs.SimHash64],
+      classOf[graft.exprs.RollingMinHash], classOf[graft.exprs.MultiPatternMatch],
+      classOf[graft.exprs.WalkWithinWay], classOf[graft.exprs.CosineSim])
+    for (c <- exprClasses)
+      assert(!classOf[CodegenFallback].isAssignableFrom(c),
+        s"${c.getSimpleName} is CodegenFallback — it splits whole-stage codegen")
+  }
 }
