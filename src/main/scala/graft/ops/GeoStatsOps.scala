@@ -339,14 +339,16 @@ object GeoStatsOps {
     * Output: (probe_id, n_samples, sum_w, idw_val = ⌊Σv·w ÷ Σw⌋).
     */
   def idwInterpolate(probes: DataFrame, samples: DataFrame,
-                     radiusMicroDeg: Long, res: Int): DataFrame = {
+                     radiusMicroDeg: Long, res: Int,
+                     frameLat0: Double = graft.synth.Synth.LAT0,
+                     frameLon0: Double = graft.synth.Synth.LON0): DataFrame = {
     require(res >= 0 && res <= 5, s"grid res out of range: $res")
     val cellMicro = math.round(1e6 / graft.cells.GridCell.pow10(res))
     val k = (radiusMicroDeg / cellMicro + 1L).toInt
     val uDeg = (u: org.apache.spark.sql.Column) =>
-      lit(graft.synth.Synth.LAT0) + u.cast("double") * lit(1e-6)
+      lit(frameLat0) + u.cast("double") * lit(1e-6)
     val vDeg = (v: org.apache.spark.sql.Column) =>
-      lit(graft.synth.Synth.LON0) + v.cast("double") * lit(1e-6)
+      lit(frameLon0) + v.cast("double") * lit(1e-6)
     val samp = samples
       .withColumn("s_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
       .select(col("s_cell"), col("u").as("su"), col("v").as("sv"), col("value"))

@@ -148,11 +148,11 @@ object ZoneOps {
     * call. At 10⁶ polygons × 10⁶ extents nothing is broadcast and nothing
     * is quadratic; res trades candidate fan-out against refine count.
     */
-  def extentZoneJoin(extents: DataFrame, zones: DataFrame, res: Int): DataFrame = {
-    val uDeg = (u: Column) =>
-      lit(graft.synth.Synth.LAT0) + u.cast("double") * lit(1e-6)
-    val vDeg = (v: Column) =>
-      lit(graft.synth.Synth.LON0) + v.cast("double") * lit(1e-6)
+  def extentZoneJoin(extents: DataFrame, zones: DataFrame, res: Int,
+                     frameLat0: Double = graft.synth.Synth.LAT0,
+                     frameLon0: Double = graft.synth.Synth.LON0): DataFrame = {
+    val uDeg = (u: Column) => lit(frameLat0) + u.cast("double") * lit(1e-6)
+    val vDeg = (v: Column) => lit(frameLon0) + v.cast("double") * lit(1e-6)
     val a = extents.withColumn("cell", explode(fns.cells_covering(
       uDeg(col("uLo")), vDeg(col("vLo")), uDeg(col("uHi")), vDeg(col("vHi")), res)))
     val b = zones
