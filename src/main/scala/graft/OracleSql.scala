@@ -1021,6 +1021,40 @@ SELECT cnt.a_id AS pid, cnt.n_eps,
 FROM cnt LEFT JOIN comp ON cnt.a_id = comp.id LEFT JOIN bord ON cnt.a_id = bord.a_id
 ORDER BY pid""",
 
+    // quadtree compaction: the same tile arithmetic as q_geo_cap_sample at
+    // z16, then three unrolled promote-complete-quads levels
+    "q_tiles_compact" ->
+      s"""WITH $imgCte,
+t16 AS (SELECT DISTINCT
+  16 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 65536.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI())
+       / 2.0::DOUBLE * 65536.0::DOUBLE) AS BIGINT) AS cell
+  FROM imgs),
+p16 AS (SELECT cell, (cell // 4503599627370496 - 1) * 4503599627370496
+  + ((cell % 4503599627370496) // 67108864 // 2) * 67108864
+  + (cell % 67108864) // 2 AS parent FROM t16),
+f16 AS (SELECT parent FROM p16 GROUP BY parent HAVING COUNT(*) = 4),
+k16 AS (SELECT 16 AS zoom, p.cell FROM p16 p
+        LEFT JOIN f16 f ON p.parent = f.parent WHERE f.parent IS NULL),
+p15 AS (SELECT parent AS cell, (parent // 4503599627370496 - 1) * 4503599627370496
+  + ((parent % 4503599627370496) // 67108864 // 2) * 67108864
+  + (parent % 67108864) // 2 AS parent FROM f16),
+f15 AS (SELECT parent FROM p15 GROUP BY parent HAVING COUNT(*) = 4),
+k15 AS (SELECT 15 AS zoom, p.cell FROM p15 p
+        LEFT JOIN f15 f ON p.parent = f.parent WHERE f.parent IS NULL),
+p14 AS (SELECT parent AS cell, (parent // 4503599627370496 - 1) * 4503599627370496
+  + ((parent % 4503599627370496) // 67108864 // 2) * 67108864
+  + (parent % 67108864) // 2 AS parent FROM f15),
+f14 AS (SELECT parent FROM p14 GROUP BY parent HAVING COUNT(*) = 4),
+k14 AS (SELECT 14 AS zoom, p.cell FROM p14 p
+        LEFT JOIN f14 f ON p.parent = f.parent WHERE f.parent IS NULL),
+k13 AS (SELECT 13 AS zoom, parent AS cell FROM f14)
+SELECT zoom, cell AS tile_id FROM (
+  SELECT * FROM k16 UNION ALL SELECT * FROM k15
+  UNION ALL SELECT * FROM k14 UNION ALL SELECT * FROM k13)
+ORDER BY zoom, tile_id""",
+
     // cluster hull diameters: the SAME recursive-CTE DBSCAN closed form,
     // then the O(n²) brute-force pairwise max per cluster — the Spark side
     // must land on identical integers through its two-level hull reduction

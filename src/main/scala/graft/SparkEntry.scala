@@ -604,6 +604,19 @@ object SparkEntry {
           epsMeters = 60.0, minPts = 4)
         .orderBy("pid")),
 
+    // quadtree (Web-Mercator tile) compaction — the generic compactBy
+    // engine at aperture 4: occupied z16 image tiles promote through
+    // complete quads down to z13; the oracle unrolls all three levels as
+    // HAVING COUNT(*)=4 CTEs over the same closed-form tile arithmetic
+    "q_tiles_compact" -> ((s, dir) => {
+      val leaves = Pipeline.geoImages(s, dir)
+        .select(graft.exprs.fns.tile_id(col("lat"), col("lon"), 16).as("cell"))
+        .distinct().withColumn("zone", lit("all"))
+      graft.ops.ZoneOps.compactTiles(leaves, zoom = 16, minZoom = 13)
+        .select(col("res").as("zoom"), col("cell").as("tile_id"))
+        .orderBy("zoom", "tile_id")
+    }),
+
     // per-cluster convex-hull extent summary: exact squared diameters of
     // the DBSCAN clusters via the TWO-LEVEL hull (salted partial hulls →
     // merge), diameter computed on hull vertices only — the oracle

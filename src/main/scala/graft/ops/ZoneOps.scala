@@ -72,25 +72,72 @@ object ZoneOps {
     * cost is dominated by the first level; res−minRes is small and driver-
     * bounded, the X1 fixpoint pattern without the data-dependent rounds.
     */
-  def compact(cells: DataFrame, res: Int, minRes: Int): DataFrame = {
+  def compact(cells: DataFrame, res: Int, minRes: Int): DataFrame =
+    compactBy(cells, res, minRes, 100, (c, r) => fns.cell_parent(c, r, r - 1))
+
+  /** GENERIC compaction over ANY cell hierarchy: promote every complete
+    * group of `childCount` siblings to its parent, from `res` down to
+    * `minRes`. `parentOf(cell, r)` maps a level-r id to its level-(r-1)
+    * parent. Instances: decimal grid (aperture 100, `compact`), Web-Mercator
+    * quadtree tiles (aperture 4, `compactTiles`), S2 (aperture 4,
+    * `compactS2`), Hex7 (aperture 7, `compactHex7`) — H3's compact() shape
+    * once per index family, one shuffle per level, shrinking data.
+    *
+    * Id-algebra contract: promotion requires ALL childCount child IDS
+    * present — exact set semantics for space-partitioning hierarchies
+    * (grid/quadtree/S2); for aperture-7 hexagons the id-set union is the
+    * standard H3 compact semantics even though child hexes overhang the
+    * parent boundary. */
+  def compactBy(cells: DataFrame, res: Int, minRes: Int, childCount: Int,
+                parentOf: (Column, Int) => Column): DataFrame = {
     require(minRes >= 0 && minRes < res, s"need 0 <= minRes < res, got $minRes/$res")
+    require(childCount >= 2, s"childCount must be >= 2: $childCount")
     var out: DataFrame = null
     var cur = cells.select(col("zone"), col("cell"))
     var r = res
     while (r > minRes) {
       val w = Window.partitionBy(col("zone"), col("parent"))
       val tagged = cur
-        .withColumn("parent", fns.cell_parent(col("cell"), r, r - 1))
+        .withColumn("parent", parentOf(col("cell"), r))
         .withColumn("nc", count(lit(1)).over(w))
-      val kept = tagged.filter(col("nc") < 100)
+      val kept = tagged.filter(col("nc") < childCount)
         .select(col("zone"), lit(r).as("res"), col("cell"))
       out = if (out == null) kept else out.unionByName(kept)
-      cur = tagged.filter(col("nc") === 100)
+      cur = tagged.filter(col("nc") === childCount)
         .select(col("zone"), col("parent").as("cell")).distinct()
       r -= 1
     }
     out.unionByName(cur.select(col("zone"), lit(minRes).as("res"), col("cell")))
   }
+
+  /** quadtree (Web-Mercator tile) compaction — packed tile id layout
+    * zoom·2⁵² + x·2²⁶ + y (the tilePyramid rollup arithmetic). */
+  def compactTiles(cells: DataFrame, zoom: Int, minZoom: Int): DataFrame =
+    compactBy(cells, zoom, minZoom, 4, (_, _) =>
+      // parent: zoom-1, x DIV 2, y DIV 2 — integral DIVs on the packed
+      // layout zoom·2⁵² + x·2²⁶ + y (the tilePyramid rollup arithmetic)
+      expr("""(cell DIV 4503599627370496L - 1) * 4503599627370496L
+             + (((cell % 4503599627370496L) DIV 67108864) DIV 2) * 67108864L
+             + (cell % 67108864) DIV 2"""))
+
+  /** S2 compaction (aperture 4): parent id via the standard lsb algebra
+    * (clear everything below the parent's lsb, then set it). */
+  def compactS2(cells: DataFrame, level: Int, minLevel: Int): DataFrame =
+    compactBy(cells, level, minLevel, 4, (_, l) => {
+      val lsbp = 1L << (2 * (graft.cells.S2.MaxLevel - (l - 1)))
+      expr(s"(cell & ${-lsbp}L) | ${lsbp}L")
+    })
+
+  /** Hex7 compaction (aperture 7): parent via the digit algebra. */
+  def compactHex7(cells: DataFrame, res: Int, minRes: Int): DataFrame =
+    compactBy(cells, res, minRes, 7, (c, r) =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[graft.cells.Hex7.type],
+          org.apache.spark.sql.types.LongType, "parent",
+          Seq(org.apache.spark.sql.graft.ColumnBridge.expression(c),
+            org.apache.spark.sql.catalyst.expressions.Literal(r - 1)),
+          propagateNull = true)))
 
   /** OVERLAP AREAS: for every res-`res` cell touching a zone's polygon, the
     * exact area of polygon∩cell — the weight matrix of area-weighted

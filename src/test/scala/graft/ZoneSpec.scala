@@ -130,6 +130,53 @@ class ZoneSpec extends AnyFunSuite {
       rectQ4(p(70), p(95), p(5), p(20)) + rectQ4(p(70), p(80), p(20), p(45)))
   }
 
+  // ---- generic compaction over S2 / Hex7 / quadtree hierarchies -----------
+
+  test("compactS2 partitions the input exactly (expand = original, no complete quads left)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // clustered points so complete quads exist at level 12
+    val pts = (1 to 4000).map { _ =>
+      (37.0 + rnd.nextInt(50) * 1e-4 + rnd.nextDouble() * 1e-4,
+        -122.0 + rnd.nextInt(50) * 1e-4 + rnd.nextDouble() * 1e-4)
+    }
+    val lvl = 18 // ~38 m cells: the 0.005-degree cloud floods whole quads
+    val cellsIn = pts.map(p => graft.cells.S2.fromLatLonAtLevel(p._1, p._2, lvl)).toSet
+    val df = cellsIn.toSeq.toDF("cell").withColumn("zone", lit("z"))
+    val out = graft.ops.ZoneOps.compactS2(df, lvl, lvl - 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.exists(_._1 < lvl), "no promotion happened — weak test input")
+    // expand each output back to its level-lvl descendants via the lsb algebra
+    def children(id: Long): Seq[Long] = {
+      val lsb = id & -id
+      val lc = lsb >> 2
+      (0 to 3).map(k => id - lsb + (2 * k + 1) * lc)
+    }
+    def expand(id: Long, l: Int): Seq[Long] =
+      if (l == lvl) Seq(id) else children(id).flatMap(expand(_, l + 1))
+    val expanded = out.flatMap { case (l, id) => expand(id, l) }
+    assert(expanded.length == expanded.toSet.size, "outputs overlap")
+    assert(expanded.toSet == cellsIn, "expand(compact(x)) != x")
+    // idempotence: no complete sibling quad remains among kept leaves
+    val keptByParent = out.filter(_._1 == lvl)
+      .groupBy(t => graft.cells.S2.parentAtLevel(t._2, lvl - 1))
+    assert(keptByParent.values.forall(_.length < 4))
+  }
+
+  test("compactHex7: a full child set promotes, a 6/7 set does not") {
+    import spark.implicits._
+    val res = 8
+    val parents = Seq(
+      graft.cells.Hex7.latLngToCell(37.01, -122.01, res - 1),
+      graft.cells.Hex7.latLngToCell(37.30, -121.70, res - 1))
+    val full = graft.cells.Hex7.children(parents(0)).toSeq
+    val partial = graft.cells.Hex7.children(parents(1)).toSeq.drop(1) // 6 of 7
+    val df = (full ++ partial).toDF("cell").withColumn("zone", lit("z"))
+    val out = graft.ops.ZoneOps.compactHex7(df, res, res - 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(out == (partial.map((res, _)).toSet + ((res - 1, parents(0)))))
+  }
+
   // ---- extent × zone intersection join ------------------------------------
 
   test("extentZoneJoin = brute-force rect∩polygon over random extents") {
