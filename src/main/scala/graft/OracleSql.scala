@@ -63,6 +63,21 @@ GROUP BY w.way_id, w.name ORDER BY w.way_id"""
     OR (u BETWEEN s*70//100 + 1 AND s*80//100 AND v BETWEEN s*20//100 + 1 AND s*45//100) THEN 'gamma'
   ELSE 'Unincorporated' END"""
 
+  /** polyfill lattice closed form (shared by q_poly_polyfill and the
+    * q_cells_uncompact round-trip gate). */
+  private lazy val polyfillSql =
+    s"""WITH $gridCte,
+latt AS (
+  SELECT s1.i AS ti, s2.i AS tj, s1.i * 1000 + 500 AS u, s2.i * 1000 + 500 AS v
+  FROM ser s1, ser s2),
+pf AS (
+  SELECT $cityCase AS zone, ti, tj
+  FROM latt, (SELECT (g - 1) * 1000 AS s FROM p) sp)
+SELECT zone,
+  (-122000 + tj + 20000000) * 100000000 + (37000 + ti + 20000000) AS cell
+FROM pf WHERE zone <> 'Unincorporated'
+ORDER BY zone, cell"""
+
   /** closed-form expected rows of the topological pipeline (columns:
     * streets, raw, lat, lon, node_id, way_ids). */
   private val topoBody =
@@ -601,18 +616,11 @@ ORDER BY i.image_id""",
     // polyfill: lattice-enumerated res-3 cell centers classified by the
     // integer-µ° zone CASE (the Spark side ray-casts the polygon rings;
     // half-µ° edges make the two formulations provably agree)
-    "q_poly_polyfill" ->
-      s"""WITH $gridCte,
-latt AS (
-  SELECT s1.i AS ti, s2.i AS tj, s1.i * 1000 + 500 AS u, s2.i * 1000 + 500 AS v
-  FROM ser s1, ser s2),
-pf AS (
-  SELECT $cityCase AS zone, ti, tj
-  FROM latt, (SELECT (g - 1) * 1000 AS s FROM p) sp)
-SELECT zone,
-  (-122000 + tj + 20000000) * 100000000 + (37000 + ti + 20000000) AS cell
-FROM pf WHERE zone <> 'Unincorporated'
-ORDER BY zone, cell""",
+    "q_poly_polyfill" -> polyfillSql,
+
+    // uncompact(compact(polyfill)) must be row-identical to the polyfill —
+    // the SAME lattice oracle gates the round trip
+    "q_cells_uncompact" -> polyfillSql,
 
     // compact: the polyfill lattice grouped by res-2 parent; complete
     // 10×10 blocks promote (HAVING COUNT(*)=100 + anti-join), everything

@@ -604,6 +604,18 @@ object SparkEntry {
           epsMeters = 60.0, minPts = 4)
         .orderBy("pid")),
 
+    // UNCOMPACT (the compact inverse): expanding the compacted covering
+    // must reproduce the uniform polyfill EXACTLY — gated on the very same
+    // lattice oracle as q_poly_polyfill
+    "q_cells_uncompact" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      val zones = Synth.boundariesDf(s, g).select(col("name").as("zone"), col("rings"))
+      graft.ops.ZoneOps.uncompact(
+          graft.ops.ZoneOps.compact(graft.ops.ZoneOps.polyfill(zones, 3), 3, 2),
+          targetRes = 3, minRes = 2)
+        .orderBy("zone", "cell")
+    }),
+
     // quadtree (Web-Mercator tile) compaction — the generic compactBy
     // engine at aperture 4: occupied z16 image tiles promote through
     // complete quads down to z13; the oracle unrolls all three levels as

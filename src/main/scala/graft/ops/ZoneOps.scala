@@ -128,6 +128,38 @@ object ZoneOps {
       expr(s"(cell & ${-lsbp}L) | ${lsbp}L")
     })
 
+  /** UNCOMPACT (H3's uncompact): expand a multi-res covering back to a
+    * uniform resolution — the inverse of compact, generic over the same
+    * hierarchies via `childrenOf(cell, r)` returning the level-(r+1) child
+    * ids. Map-side explode per level, no shuffle; output size is the
+    * covering's uniform-res cardinality.
+    */
+  def uncompactBy(cells: DataFrame, targetRes: Int, minRes: Int,
+                  childrenOf: (Column, Int) => Column): DataFrame = {
+    require(minRes <= targetRes, s"need minRes <= targetRes: $minRes/$targetRes")
+    val cur = cells.select(col("zone"), col("res"), col("cell"))
+    var done = cur.filter(col("res") === targetRes)
+    var remaining = cur.filter(col("res") < targetRes)
+    var r = minRes
+    while (r < targetRes) { // one explode pass per level actually present
+      remaining = remaining
+        .withColumn("cell", explode(childrenOf(col("cell"), r)))
+        .withColumn("res", col("res") + 1)
+      done = done.unionByName(remaining.filter(col("res") === targetRes))
+      remaining = remaining.filter(col("res") < targetRes)
+      r += 1
+    }
+    done.select(col("zone"), col("cell"))
+  }
+
+  /** decimal-grid uncompact (aperture 100). */
+  def uncompact(cells: DataFrame, targetRes: Int, minRes: Int): DataFrame =
+    uncompactBy(cells, targetRes, minRes, (_, _) => expr(
+      s"""transform(sequence(0, 99), i ->
+            ((cell DIV ${GridCell.SCALE} - ${GridCell.OFF}) * 10 + i DIV 10 + ${GridCell.OFF})
+              * ${GridCell.SCALE}
+            + ((cell % ${GridCell.SCALE} - ${GridCell.OFF}) * 10 + i % 10 + ${GridCell.OFF}))"""))
+
   /** Hex7 compaction (aperture 7): parent via the digit algebra. */
   def compactHex7(cells: DataFrame, res: Int, minRes: Int): DataFrame =
     compactBy(cells, res, minRes, 7, (c, r) =>
