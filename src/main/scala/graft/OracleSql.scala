@@ -1742,6 +1742,144 @@ SELECT k, fmt, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
   CAST(SUM((z // 65536) % 256) AS BIGINT) AS sum_b
 FROM fin GROUP BY k, fmt, w, h ORDER BY k""",
 
+    // cross-codec exact dedup: DuckDB rebuilds every lossless image's
+    // position-weighted pixel digest from o_orderkey (splitmix closed form,
+    // channel c at flat position P = (y·w+x)·3+c contributes
+    // (P+1)(P+7)(v+17)), plants the k%7 bmp→png re-encodes as second rows
+    // with the SAME digest, and groups — Spark must decode the real bytes of
+    // BOTH codecs to identical digests for each group to pair up.
+    "q_image_dedup_pixel" ->
+      """WITH img AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+         (o_orderkey * 69621 + 7) % 2147483647 AS h2
+  FROM orders WHERE o_orderkey % 5 <> 3),
+dims AS (
+  SELECT k, CASE WHEN k % 5 = 1 THEN 'png' ELSE 'bmp' END AS fmt,
+         8 + h1 % 8 AS w, 8 + h2 % 8 AS h,
+         (h1 * 2147483648 + h2)::HUGEINT AS ph
+  FROM img),
+xs AS (SELECT i AS x FROM generate_series(0, 15) t(i)),
+ys AS (SELECT i AS y FROM generate_series(0, 15) t(i)),
+px AS (
+  SELECT k, fmt, w, h, x, y,
+    (ph + x * 11400714819323198485::HUGEINT
+        + y * 13787848793156543929::HUGEINT)
+      % 18446744073709551616::HUGEINT AS z0
+  FROM dims, xs, ys WHERE x < w AND y < h),
+m1 AS (
+  SELECT k, fmt, w, h, x, y,
+    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1
+  FROM (SELECT k, fmt, w, h, x, y, xor(z0, z0 >> 30) AS x1 FROM px)),
+m2 AS (
+  SELECT k, fmt, w, h, x, y,
+    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
+  FROM (SELECT k, fmt, w, h, x, y, xor(z1, z1 >> 27) AS x2 FROM m1)),
+fin AS (SELECT k, fmt, w, h, (y * w + x) * 3 AS p0, xor(z2, z2 >> 31) AS z
+        FROM m2),
+dig AS (
+  SELECT k, fmt, w, h,
+    CAST(SUM((p0 + 1) * (p0 + 7) * (z % 256 + 17)
+           + (p0 + 2) * (p0 + 8) * ((z // 256) % 256 + 17)
+           + (p0 + 3) * (p0 + 9) * ((z // 65536) % 256 + 17)) AS BIGINT)
+      AS digest
+  FROM fin GROUP BY k, fmt, w, h),
+rws AS (
+  SELECT 'img' || k AS image_id, fmt, w, h, digest FROM dig
+  UNION ALL
+  SELECT 'img' || k || '_re', 'png', w, h, digest FROM dig
+  WHERE k % 7 = 0 AND fmt = 'bmp')
+SELECT MIN(image_id) AS keep_id, COUNT(*) AS n_copies,
+  CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  array_to_string(list_sort(list_distinct(list(fmt))), ',') AS fmts,
+  digest
+FROM rws GROUP BY digest, w, h HAVING COUNT(*) > 1 ORDER BY keep_id""",
+
+    // augmentation digests: the same splitmix rebuild, with hflip/rot180
+    // expressed as a position REMAP (p0 recomputed from mirrored x/y) —
+    // Spark physically rearranges decoded bytes, DuckDB re-weights the
+    // closed-form pixels; both must land on the same integer.
+    "q_image_augment" ->
+      """WITH img AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+         (o_orderkey * 69621 + 7) % 2147483647 AS h2
+  FROM orders WHERE o_orderkey % 29 = 0 AND o_orderkey % 5 <> 3),
+dims AS (
+  SELECT k, CASE WHEN k % 5 = 1 THEN 'png' ELSE 'bmp' END AS fmt,
+         8 + h1 % 8 AS w, 8 + h2 % 8 AS h,
+         (h1 * 2147483648 + h2)::HUGEINT AS ph
+  FROM img),
+xs AS (SELECT i AS x FROM generate_series(0, 15) t(i)),
+ys AS (SELECT i AS y FROM generate_series(0, 15) t(i)),
+px AS (
+  SELECT k, fmt, w, h, x, y,
+    (ph + x * 11400714819323198485::HUGEINT
+        + y * 13787848793156543929::HUGEINT)
+      % 18446744073709551616::HUGEINT AS z0
+  FROM dims, xs, ys WHERE x < w AND y < h),
+m1 AS (
+  SELECT k, fmt, w, h, x, y,
+    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1
+  FROM (SELECT k, fmt, w, h, x, y, xor(z0, z0 >> 30) AS x1 FROM px)),
+m2 AS (
+  SELECT k, fmt, w, h, x, y,
+    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
+  FROM (SELECT k, fmt, w, h, x, y, xor(z1, z1 >> 27) AS x2 FROM m1)),
+fin AS (SELECT k, fmt, w, h, x, y, xor(z2, z2 >> 31) AS z FROM m2),
+augs AS (SELECT 'hflip' AS aug UNION ALL SELECT 'rot180'),
+terms AS (
+  SELECT k, fmt, w, h, aug,
+    CASE WHEN aug = 'hflip' THEN (y * w + (w - 1 - x)) * 3
+         ELSE ((h - 1 - y) * w + (w - 1 - x)) * 3 END AS p0,
+    z
+  FROM fin, augs)
+SELECT k, fmt, aug, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  CAST(SUM((p0 + 1) * (p0 + 7) * (z % 256 + 17)
+         + (p0 + 2) * (p0 + 8) * ((z // 256) % 256 + 17)
+         + (p0 + 3) * (p0 + 9) * ((z // 65536) % 256 + 17)) AS BIGINT)
+    AS digest
+FROM terms GROUP BY k, fmt, aug, w, h ORDER BY k, aug""",
+
+    // spatially-local shard packing: the identical integer window chop
+    // (cum-before DIV budget within 5000-µdeg cells) rerun over the
+    // closed-form geotags and dims — weight is the decoded size w·h·3.
+    "q_image_shard_pack" ->
+      s"""WITH $gridCte,
+geo AS (
+  SELECT k, h1, h2,
+    CASE WHEN u0 % 500 = 0 THEN u0 + 13 ELSE u0 END AS u,
+    CASE WHEN v0 % 500 = 0 THEN v0 + 13 ELSE v0 END AS v
+  FROM (
+    SELECT o_orderkey AS k,
+           (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+           (o_orderkey * 69621 + 7) % 2147483647 AS h2,
+           ((o_orderkey * 48271 + 11) % 2147483647) % ((p.g - 1) * 1000) AS u0,
+           ((o_orderkey * 69621 + 7) % 2147483647) % ((p.g - 1) * 1000) AS v0
+    FROM orders, p)),
+cells AS (
+  SELECT k, (u // 5000) * 100000 + (v // 5000) AS cell,
+         (8 + h1 % 8) * (8 + h2 % 8) * 3 AS sz
+  FROM geo),
+c AS (
+  SELECT k, cell, sz,
+    SUM(sz) OVER (PARTITION BY cell ORDER BY k
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cells)
+SELECT CAST(cell AS BIGINT) AS cell,
+  CAST((cum - sz) // 4096 AS BIGINT) AS shard,
+  COUNT(*) AS n_images, CAST(SUM(sz) AS BIGINT) AS px_bytes,
+  MIN(k) AS first_k, MAX(k) AS last_k
+FROM c GROUP BY cell, shard ORDER BY cell, shard""",
+
     // fixed-window token chunking: list_slice mirrors Spark's slice (both
     // 1-based, both clamp); fixed 0..63 series + filter stands in for the
     // lateral generate_series DuckDB 1.0 lacks

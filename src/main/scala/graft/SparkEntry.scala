@@ -1062,6 +1062,58 @@ object SparkEntry {
         expr("bit_xor(xxhash64(image_id, pix_sum))").as("fp"))
     }),
 
+    // cross-codec exact dedup, TRUE SQL oracle: every lossless bmp with
+    // k % 7 == 0 is re-encoded as PNG (same pixels, entirely different
+    // bytes) and planted back into the corpus; the groups keyed on the
+    // decoded-pixel digest must pair each original with exactly its
+    // re-encode. DuckDB re-derives every digest from o_orderkey alone
+    // (splitmix pixel rebuild → position-weighted sum), so a decode bug in
+    // EITHER codec (channel swap, row order, off-by-one) splits a group
+    // and breaks the match.
+    "q_image_dedup_pixel" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val base = Synth.images(s, dir, g0).filter(col("fmt") =!= "jpeg")
+      val encPng = udf((phash: Long, w: Int, h: Int) =>
+        graft.synth.Codec.encodeFor("png", phash, w, h))
+      val planted = base
+        .filter(expr("CAST(substr(image_id, 4, 20) AS BIGINT) % 7 = 0") &&
+          col("fmt") === "bmp")
+        .select(concat(col("image_id"), lit("_re")).as("image_id"),
+          encPng(col("phash"), col("w"), col("h")).as("bytes"),
+          col("w"), col("h"), lit("png").as("fmt"), col("caption"), col("phash"))
+      ImageOps.pixelDedupGroups(s, base.unionByName(planted))
+        .select("keep_id", "n_copies", "w", "h", "fmts", "digest")
+        .orderBy("keep_id")
+    }),
+
+    // deterministic augmentations (hflip / rot180), TRUE SQL oracle: Spark
+    // physically rearranges the decoded bytes and digests the result; DuckDB
+    // independently rebuilds the digest from the splitmix closed form with
+    // the augmentation expressed as a position REMAP — two different
+    // derivations of the same integer, per image per augmentation.
+    "q_image_augment" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val imgs = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 29 === 0 && col("fmt") =!= "jpeg")
+      ImageOps.augmentDigests(s, imgs, Seq("hflip", "rot180"))
+        .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
+          col("fmt"), col("aug"), col("w"), col("h"), col("digest"))
+        .orderBy("k", "aug")
+    }),
+
+    // spatially-local shard packing (webdataset-style export): size-bounded
+    // shards within 5000-µdeg cells, weight = decoded size w·h·3. The
+    // oracle reruns the identical integer window arithmetic over the
+    // closed-form geotags and dims.
+    "q_image_shard_pack" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      ImageOps.shardPack(
+          Synth.withGeotag(Synth.images(s, dir, g0, withBytes = false), g0),
+          cellMicro = 5000L, budgetBytes = 4096L)
+        .orderBy("cell", "shard")
+    }),
+
     // ---- audio: multimodal columns (REAL wav decode, JDK-parser-oracled) --
     // integer aggregate per sample-rate group: sums of per-clip exact integer
     // features pin every decoded PCM sample against the committed oracle

@@ -204,6 +204,122 @@ object ImageOps {
       }.toDF("video_id", "frame_idx", "frame_bytes")
   }
 
+  /** Position-weighted exact pixel digest over a flat RGB array: sum of
+    * (p+1)·(p+7)·(v+17) across byte positions p. Order-insensitive in the
+    * algebra (a plain sum) but position-SENSITIVE through the weights, so
+    * any pixel move/swap/channel-shuffle changes it; bounded by ~8.5e10 for
+    * the ≤15×15 corpus, so plain Long arithmetic with no wrap — and exactly
+    * re-derivable in DuckDB HUGEINT SQL from the splitmix synthesis closed
+    * form (the same first-principles machinery as q_image_decode_sample). */
+  def pixelDigest(rgb: Array[Byte]): Long = {
+    var d = 0L
+    var i = 0
+    while (i < rgb.length) {
+      val p = i.toLong
+      d += (p + 1L) * (p + 7L) * ((rgb(i) & 0xff) + 17L)
+      i += 1
+    }
+    d
+  }
+
+  /** Deterministic pixel-space augmentations (training-data variants):
+    * horizontal flip and 180° rotation. Pure index permutations — the
+    * augmented array is physically rebuilt (not just re-weighted), so the
+    * digest of the output catches real rearrangement bugs. */
+  def augmentPixels(rgb: Array[Byte], w: Int, h: Int, aug: String): Array[Byte] = {
+    val out = new Array[Byte](rgb.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val nx = aug match { case "hflip" | "rot180" => w - 1 - x; case _ => x }
+        val ny = aug match { case "rot180" => h - 1 - y; case _ => y }
+        val si = (y * w + x) * 3
+        val di = (ny * w + nx) * 3
+        out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Per-image digests of augmented pixels, one row per (image, aug).
+    * Decode + augment + digest all happen map-side in one partition-batched
+    * pass; only (id, fmt, aug, w, h, digest) ever leaves the executor —
+    * at 100 TB the augmented bytes are never shuffled, never collected. */
+  def augmentDigests(spark: SparkSession, images: DataFrame,
+      augs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val augsArr = augs.toArray
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).toSeq.flatMap { case (rgb, w, h) =>
+            augsArr.map { a =>
+              (id, fmt, a, w, h, pixelDigest(augmentPixels(rgb, w, h, a)))
+            }
+          }
+        }
+      }.toDF("image_id", "fmt", "aug", "w", "h", "digest")
+  }
+
+  /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
+    * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
+    * of the same pixels land in the same group even though their bytes (and
+    * so any byte-hash) differ. Digest is computed map-side during decode;
+    * only narrow (id, fmt, w, h, digest) rows reach the one shuffle
+    * (groupBy 8-byte digest), the payload never travels — the same shape
+    * that makes exact text dedup survive 100 TB. Undecodable rows are
+    * dropped (they cannot have content-equal twins). */
+  def pixelDedupGroups(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    val digests = images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            (id, fmt, w, h, pixelDigest(rgb))
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "digest")
+    digests.groupBy("digest", "w", "h")
+      .agg(min(col("image_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        concat_ws(",", sort_array(collect_set(col("fmt")))).as("fmts"))
+      .filter(col("n_copies") > 1)
+  }
+
+  /** Spatially-local training-shard packing (webdataset-style export): images
+    * are grouped into size-bounded shards WITHIN a spatial cell, so a shard's
+    * contents are geographically coherent and the packing needs no global
+    * sort — one shuffle on the cell key, a window within each cell. Shard
+    * boundary rule is the integer chop used by sequence packing
+    * (TextOps.packSequences): shard = floor(bytes-before / budget). Weight is
+    * the DECODED size w·h·3 (the training-relevant cost), closed-form from
+    * the schema — the payload is never read. Input must carry u, v microdeg
+    * offsets (Synth.withGeotag shape). */
+  def shardPack(images: DataFrame, cellMicro: Long, budgetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cellMicro > 0 && budgetBytes > 0)
+    val sized = images
+      .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+      .withColumn("cell",
+        expr(s"(u DIV $cellMicro) * 100000 + (v DIV $cellMicro)"))
+      .withColumn("sz", col("w").cast("long") * col("h").cast("long") * 3L)
+    val win = Window.partitionBy("cell").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized
+      .withColumn("cum", sum(col("sz")).over(win))
+      .withColumn("shard", expr(s"(cum - sz) DIV $budgetBytes"))
+      .groupBy("cell", "shard")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("sz")).as("px_bytes"),
+        min(col("k")).as("first_k"),
+        max(col("k")).as("last_k"))
+  }
+
   /** pixel-level PSNR between two byte payloads of the same fmt/size
     * (verification path per input_hint: ≥40 dB for lossy, ∞/exact for BMP). */
   def psnr(a: Array[Byte], b: Array[Byte]): Double = {
