@@ -927,6 +927,21 @@ SELECT image_id, $cityCase AS city
 FROM imgs, (SELECT (g - 1) * 1000 AS s FROM p) sp
 ORDER BY image_id""",
 
+    // geo-privacy scrubbing: the same integer coarsening CASE over the
+    // closed-form geotags — in-zone u/v snap to 10000-µdeg cell centers,
+    // out-of-zone pass through
+    "q_image_geo_scrub" ->
+      s"""WITH $imgCte,
+sc AS (
+  SELECT image_id, u, v, $cityCase AS city
+  FROM imgs, (SELECT (g - 1) * 1000 AS s FROM p) sp)
+SELECT image_id, city,
+  CASE WHEN city <> 'Unincorporated' THEN (u // 10000) * 10000 + 5000
+       ELSE u END AS u_out,
+  CASE WHEN city <> 'Unincorporated' THEN (v // 10000) * 10000 + 5000
+       ELSE v END AS v_out
+FROM sc ORDER BY image_id""",
+
     // same oracle as q_image_city: the cell-indexed distributed-polygon
     // join (the million-polygon scale path) must be row-identical to the
     // broadcast-prepared path
@@ -1636,6 +1651,57 @@ ranked AS (SELECT q_id, doc_id, score9,
 SELECT q_id, rk, doc_id, score9 FROM ranked WHERE rk <= 10
 ORDER BY q_id, rk""",
 
+    // hybrid text+vector retrieval: the proven bm25 and cosine legs rerun
+    // verbatim (queries = held-out docs, self-hits excluded, top-20 each),
+    // fused by integer reciprocal rank Σ floor(1e9/(60+rk))
+    "q_doc_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+qs AS (SELECT doc_id AS q_id, text AS q_text FROM documents WHERE doc_id % 100 = 0),
+qt AS (SELECT DISTINCT q_id, tok FROM
+        (SELECT q_id, unnest(string_split(q_text, ' ')) AS tok FROM qs)),
+contrib AS (
+  SELECT q.q_id, t.doc_id,
+    CAST(ROUND(
+      LN(1.0::DOUBLE + (st.n - CAST(d.df AS DOUBLE) + 0.5::DOUBLE)
+                       / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE))
+      * (CAST(t.tf AS DOUBLE)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * CAST(l.dl AS DOUBLE) / st.avgdl)))
+      * 1000000000.0::DOUBLE) AS BIGINT) AS term9
+  FROM qt q JOIN tf t USING (tok) JOIN dl l USING (doc_id)
+       JOIN dfreq d USING (tok), st),
+scored AS (SELECT q_id, doc_id, CAST(SUM(term9) AS BIGINT) AS score9
+           FROM contrib GROUP BY q_id, doc_id),
+txtr AS (SELECT q_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score9 DESC, doc_id) AS rk_t
+         FROM scored WHERE doc_id <> q_id),
+txt AS (SELECT q_id, doc_id, rk_t FROM txtr WHERE rk_t <= 20),
+qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+       FROM embeddings WHERE vec_id % 100 = 0),
+vc AS (
+  SELECT q.q_id, e.vec_id AS doc_id,
+    CAST(ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+  FROM qv q, embeddings e WHERE q.q_id <> e.vec_id),
+vr AS (SELECT q_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, doc_id) AS rk_v
+       FROM vc),
+vec AS (SELECT q_id, doc_id, rk_v FROM vr WHERE rk_v <= 20),
+fused AS (
+  SELECT COALESCE(t.q_id, v.q_id) AS q_id, COALESCE(t.doc_id, v.doc_id) AS doc_id,
+    COALESCE(1000000000 // (60 + t.rk_t), 0) + COALESCE(1000000000 // (60 + v.rk_v), 0) AS rrf9,
+    t.rk_t AS rk_t, v.rk_v AS rk_v
+  FROM txt t FULL OUTER JOIN vec v ON t.q_id = v.q_id AND t.doc_id = v.doc_id),
+ranked AS (SELECT q_id, doc_id, rrf9, rk_t, rk_v,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf9 DESC, doc_id) AS rk
+           FROM fused)
+SELECT q_id, rk, doc_id, rrf9, rk_t, rk_v FROM ranked WHERE rk <= 10
+ORDER BY q_id, rk""",
+
     "q_doc_vocab_topn" ->
       """WITH counts AS (
   SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -2272,6 +2338,31 @@ SELECT a.image_id AS id1, b.image_id AS id2,
 FROM all_imgs a JOIN all_imgs b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
 ORDER BY id1, id2""",
+
+    // phash components: the brute-force ≤3-hamming pair graph closed with a
+    // recursive CTE (same construction as q_doc_dedup_components) —
+    // component = min image_id, survivor = the minimum itself
+    "q_image_phash_components" ->
+      """WITH RECURSIVE base AS (
+  SELECT 'img' || o_orderkey AS image_id,
+    ((o_orderkey * 48271 + 11) % 2147483647) * 2147483648
+      + ((o_orderkey * 69621 + 7) % 2147483647) AS phash
+  FROM orders),
+all_imgs AS (
+  SELECT image_id, phash FROM base
+  UNION ALL
+  SELECT image_id || '_d', xor(phash, 5) FROM base WHERE phash % 64 = 0),
+pr AS (
+  SELECT a.image_id AS id1, b.image_id AS id2
+  FROM all_imgs a JOIN all_imgs b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+ed AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr
+       UNION SELECT id1, id1 FROM pr UNION SELECT id2, id2 FROM pr),
+reach(a, b) AS (SELECT a, b FROM ed
+                UNION SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+comp AS (SELECT a AS image_id, min(b) AS component FROM reach GROUP BY a)
+SELECT image_id, component, image_id = component AS is_survivor
+FROM comp ORDER BY image_id""",
 
     // ---- events ------------------------------------------------------------
     // value is summed as integer micro-units (floor(value*1e6) is the same

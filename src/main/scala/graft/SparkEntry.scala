@@ -906,6 +906,15 @@ object SparkEntry {
       TextOps.bm25TopK(Synth.documents(s, dir), qs, 10).orderBy("q_id", "rk")
     }),
 
+    // hybrid text+vector retrieval, reciprocal-rank fusion in integer
+    // micro-units: held-out query docs (doc_id % 100 == 0) ranked by BM25
+    // AND by embedding cosine, fused as Σ floor(1e9/(60+rk)); the oracle
+    // re-derives both legs (the proven bm25/cosine SQL) and the fusion
+    "q_doc_hybrid_rrf" -> ((s, dir) =>
+      SimOps.hybridRrf(Synth.documents(s, dir), Synth.embeddings(s, dir),
+          qMod = 100L, kPer = 20, k = 10)
+        .orderBy("q_id", "rk")),
+
     // HLL distinct-token sketch per language (custom TypedImperativeAggregate;
     // max-merge ⇒ identical result under any partitioning ⇒ pinnable). The
     // exact count(distinct) rides along so the pin itself documents the
@@ -1100,6 +1109,32 @@ object SparkEntry {
         .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
           col("fmt"), col("aug"), col("w"), col("h"), col("digest"))
         .orderBy("k", "aug")
+    }),
+
+    // phash near-dup COMPONENTS (pairs → clusters → survivor): the image
+    // twin of q_doc_dedup_components, composing the banded hamming join
+    // with the large/small-star connected components; the oracle closes the
+    // brute-force pair graph with a recursive CTE
+    "q_image_phash_components" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val base = Synth.images(s, dir, g0, withBytes = false)
+        .select(col("image_id"), col("phash"))
+      val planted = base.filter(col("phash") % 64 === 0)
+        .select(concat(col("image_id"), lit("_d")).as("image_id"),
+          col("phash").bitwiseXOR(lit(5L)).as("phash"))
+      graft.ops.GraphOps.dedupClusters(
+          ImageOps.phashNearDups(base.unionByName(planted), maxHam = 3))
+        .select(col("id").as("image_id"), col("component"), col("is_survivor"))
+        .orderBy("image_id")
+    }),
+
+    // geo-privacy scrubbing: in-zone geotags coarsen to 10000-µdeg cell
+    // centers (spatial k-anonymity), out-of-zone pass through — the same
+    // integer CASE rerun by the oracle over the closed-form geotags
+    "q_image_geo_scrub" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      SpatialOps.geoScrub(Pipeline.geoImages(s, dir), Synth.cityPolys(g0))
+        .orderBy("image_id")
     }),
 
     // spatially-local shard packing (webdataset-style export): size-bounded

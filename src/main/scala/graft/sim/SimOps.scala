@@ -273,4 +273,42 @@ object SimOps {
       .filter(col("cos") >= cosMin)
       .select("id1", "id2", "cos")
   }
+
+  /** Hybrid text+vector retrieval with reciprocal-rank fusion (Cormack,
+    * Clarke, Büttcher SIGIR'09 — the standard hybrid-search combiner):
+    * each held-out query doc (doc_id % qMod == 0) is ranked against the
+    * corpus BOTH by BM25 over its text and by embedding cosine, and the two
+    * rankings fuse as rrf = Σ 1/(60 + rank) — here in exact integer
+    * micro-units (floor(1e9/(60+rk))) so the fused ordering is
+    * engine-reproducible and partitioning-invariant.
+    *
+    * Scale shape: the query set broadcasts in both legs (BM25's qt join and
+    * bruteForceTopK's query side), each leg keeps only (q_id, doc_id, rank)
+    * — kPer rows per query — and the fusion joins those two narrow lists.
+    * The vector leg is the brute-force baseline; at corpus scale swap in
+    * lshTopK/ivfTopK (same output shape) without touching the fusion. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, qMod: Long,
+                kPer: Int = 20, k: Int = 10): DataFrame = {
+    import graft.text.TextOps
+    val queries = docs.filter(col("doc_id") % qMod === 0)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    // kPer+1 then drop the self-hit: the remainder is exactly the top-kPer
+    // excluding self (removing one element never reorders the rest)
+    val textAll = TextOps.bm25TopK(docs, queries, kPer + 1)
+      .filter(col("doc_id") =!= col("q_id"))
+    val wt = Window.partitionBy("q_id").orderBy(col("score9").desc, col("doc_id"))
+    val txt = textAll.withColumn("rk_t", row_number().over(wt))
+      .filter(col("rk_t") <= kPer)
+      .select(col("q_id"), col("doc_id"), col("rk_t"))
+    val vec = bruteForceTopK(embeddings, col("vec_id") % qMod === 0, kPer)
+      .select(col("q_id"), col("neighbor").as("doc_id"), col("rk").as("rk_v"))
+    val fused = txt.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf9",
+        coalesce(expr("1000000000 DIV (60 + rk_t)"), lit(0L)) +
+        coalesce(expr("1000000000 DIV (60 + rk_v)"), lit(0L)))
+    val wf = Window.partitionBy("q_id").orderBy(col("rrf9").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(wf)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("doc_id"), col("rrf9"),
+        col("rk_t"), col("rk_v"))
+  }
 }

@@ -82,6 +82,63 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_images")).sum === imgs.count())
   }
 
+  test("phash components: a planted chain merges into ONE component with one survivor") {
+    // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
+    // plus an isolated far image that must NOT join
+    val imgs = Seq(
+      ("a", 1024L), ("b", 1024L ^ 1L), ("c", 1024L ^ 3L),
+      ("z", 0x0f0f0f0f0f0f0f0fL)
+    ).toDF("image_id", "phash")
+    val comp = graft.ops.GraphOps.dedupClusters(
+      graft.ops.ImageOps.phashNearDups(imgs, maxHam = 3))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(comp.keySet === Set("a", "b", "c")) // z has no pairs → absent
+    assert(comp.values.map(_._1).toSet === Set("a"))
+    assert(comp.count(_._2._2) === 1 && comp("a")._2)
+  }
+
+  test("geoScrub: in-zone geotags snap to cell centers, out-of-zone pass through") {
+    val g = 16
+    val geo = Synth.withGeotag(
+      Synth.images(spark, sf, g, withBytes = false), g)
+    val out = graft.ops.SpatialOps.geoScrub(geo, Synth.cityPolys(g), cellMicro = 10000L)
+      .join(geo.select("image_id", "u", "v"), "image_id").collect()
+    assert(out.nonEmpty)
+    var scrubbed = 0
+    out.foreach { r =>
+      val (city, uo, vo, u, v) = (r.getAs[String]("city"), r.getAs[Long]("u_out"),
+        r.getAs[Long]("v_out"), r.getAs[Long]("u"), r.getAs[Long]("v"))
+      if (city != "Unincorporated") {
+        scrubbed += 1
+        assert(uo % 10000L === 5000L && vo % 10000L === 5000L, s"$city not snapped")
+        assert(math.abs(uo - u) <= 5000L && math.abs(vo - v) <= 5000L, "moved out of cell")
+      } else assert(uo === u && vo === v, "rural geotag must not move")
+    }
+    assert(scrubbed > 0, "test corpus must contain in-zone images")
+  }
+
+  test("hybridRrf: doc in both legs outranks a doc in one leg at equal single-leg rank") {
+    val out = graft.sim.SimOps.hybridRrf(
+      Synth.documents(spark, sf), Synth.embeddings(spark, sf),
+      qMod = 100L, kPer = 20, k = 10).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (rrf9, rkT, rkV) = (r.getAs[Long]("rrf9"),
+        Option(r.getAs[Any]("rk_t")), Option(r.getAs[Any]("rk_v")))
+      // rrf9 recomputes from the leg ranks
+      val expect = rkT.map(t => 1000000000L / (60L + t.asInstanceOf[Int])).getOrElse(0L) +
+        rkV.map(v => 1000000000L / (60L + v.asInstanceOf[Int])).getOrElse(0L)
+      assert(rrf9 === expect)
+      assert(rkT.nonEmpty || rkV.nonEmpty)
+    }
+    // within each query, fused ranking is by rrf9 desc
+    out.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Long]("rrf9")).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true })
+    }
+  }
+
   test("augmentDigests: digest equals digest of physically flipped source pixels") {
     val imgs = Seq(
       ("x1", "bmp", Codec.encodeFor("bmp", 424242L, 7, 5)),
