@@ -1865,6 +1865,53 @@ SELECT MIN(image_id) AS keep_id, COUNT(*) AS n_copies,
   digest
 FROM rws GROUP BY digest, w, h HAVING COUNT(*) > 1 ORDER BY keep_id""",
 
+    // image quality gate: Σv and Σv² per sampled lossless image rebuilt
+    // from the splitmix closed form; variance numerator and the keep
+    // threshold rerun in exact integers
+    "q_image_quality" ->
+      """WITH img AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+         (o_orderkey * 69621 + 7) % 2147483647 AS h2
+  FROM orders WHERE o_orderkey % 17 = 0 AND o_orderkey % 5 <> 3),
+dims AS (
+  SELECT k, CASE WHEN k % 5 = 1 THEN 'png' ELSE 'bmp' END AS fmt,
+         8 + h1 % 8 AS w, 8 + h2 % 8 AS h,
+         (h1 * 2147483648 + h2)::HUGEINT AS ph
+  FROM img),
+xs AS (SELECT i AS x FROM generate_series(0, 15) t(i)),
+ys AS (SELECT i AS y FROM generate_series(0, 15) t(i)),
+px AS (
+  SELECT k, fmt, w, h,
+    (ph + x * 11400714819323198485::HUGEINT
+        + y * 13787848793156543929::HUGEINT)
+      % 18446744073709551616::HUGEINT AS z0
+  FROM dims, xs, ys WHERE x < w AND y < h),
+m1 AS (
+  SELECT k, fmt, w, h,
+    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1
+  FROM (SELECT k, fmt, w, h, xor(z0, z0 >> 30) AS x1 FROM px)),
+m2 AS (
+  SELECT k, fmt, w, h,
+    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
+  FROM (SELECT k, fmt, w, h, xor(z1, z1 >> 27) AS x2 FROM m1)),
+fin AS (SELECT k, fmt, w, h, xor(z2, z2 >> 31) AS z FROM m2),
+sums AS (
+  SELECT k, fmt, w, h,
+    SUM(z % 256 + (z // 256) % 256 + (z // 65536) % 256) AS s1,
+    SUM((z % 256) * (z % 256) + ((z // 256) % 256) * ((z // 256) % 256)
+        + ((z // 65536) % 256) * ((z // 65536) % 256)) AS s2
+  FROM fin GROUP BY k, fmt, w, h)
+SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  CAST(s1 AS BIGINT) AS sum_v,
+  CAST(3 * w * h * s2 - s1 * s1 AS BIGINT) AS var_num,
+  (3 * w * h * s2 - s1 * s1) >= 5400 * (3 * w * h)::HUGEINT * (3 * w * h) AS keep
+FROM sums ORDER BY k""",
+
     // augmentation digests: the same splitmix rebuild, with hflip/rot180
     // expressed as a position REMAP (p0 recomputed from mirrored x/y) —
     // Spark physically rearranges decoded bytes, DuckDB re-weights the

@@ -1111,6 +1111,22 @@ object SparkEntry {
         .orderBy("k", "aug")
     }),
 
+    // image quality gate: per-image exact integer variance numerator
+    // n·Σv² − (Σv)² over decoded channel values (low-contrast filter) —
+    // DuckDB rebuilds Σv and Σv² per image from the splitmix closed form
+    // and reruns the same integer threshold, so keep/drop is bit-decided
+    "q_image_quality" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val imgs = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 17 === 0 && col("fmt") =!= "jpeg")
+      ImageOps.qualityStats(s, imgs, minVar = 5400L)
+        .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
+          col("fmt"), col("w"), col("h"), col("sum_v"), col("var_num"),
+          col("keep"))
+        .orderBy("k")
+    }),
+
     // phash near-dup COMPONENTS (pairs → clusters → survivor): the image
     // twin of q_doc_dedup_components, composing the banded hamming join
     // with the large/small-star connected components; the oracle closes the

@@ -265,6 +265,33 @@ object ImageOps {
       }.toDF("image_id", "fmt", "aug", "w", "h", "digest")
   }
 
+  /** Image quality gate (low-contrast / blank-image filter, a standard
+    * multimodal-curation pass): per-image channel-value sum and EXACT
+    * integer variance numerator n·Σv² − (Σv)², so keep/drop thresholds are
+    * engine-reproducible with zero float drift (keep ⇔ var_num ≥ minVar·n²,
+    * i.e. population variance ≥ minVar in value² units). Bounded: n ≤ 675,
+    * v ≤ 255 ⇒ n·Σv² < 2^35 — plain Long math, SQL-rebuildable from the
+    * splitmix closed form. All map-side; bytes never shuffle. */
+  def qualityStats(spark: SparkSession, images: DataFrame,
+                   minVar: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            var s1 = 0L; var s2 = 0L; var i = 0
+            while (i < rgb.length) {
+              val v = (rgb(i) & 0xff).toLong; s1 += v; s2 += v * v; i += 1
+            }
+            val n = rgb.length.toLong
+            val varNum = n * s2 - s1 * s1
+            (id, fmt, w, h, s1, varNum, varNum >= minVar * n * n)
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "sum_v", "var_num", "keep")
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

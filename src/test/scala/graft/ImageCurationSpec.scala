@@ -82,6 +82,27 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_images")).sum === imgs.count())
   }
 
+  test("qualityStats: exact integer variance, flat image drops, noise image keeps") {
+    // flat gray image: variance 0 → drop at any positive threshold
+    val flat = Bmp.encode(Array.fill(6 * 4 * 3)(100.toByte), 6, 4)
+    // splitmix noise: variance ≈ 5461 ≫ 1000
+    val noise = Codec.encodeFor("png", 999L, 6, 4)
+    val got = ImageOps.qualityStats(spark,
+        Seq(("flat", "bmp", flat), ("noise", "png", noise))
+          .toDF("image_id", "fmt", "bytes"), minVar = 1000L)
+      .collect().map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("sum_v"), r.getAs[Long]("var_num"), r.getAs[Boolean]("keep"))).toMap
+    assert(got("flat") === ((6L * 4 * 3 * 100, 0L, false)))
+    val (s1, vn, keep) = got("noise")
+    // recompute var_num from the known source pixels
+    val rgb = Bmp.pixels(999L, 6, 4)
+    val vs = rgb.map(_ & 0xff)
+    val n = vs.length.toLong
+    assert(s1 === vs.map(_.toLong).sum)
+    assert(vn === n * vs.map(v => v.toLong * v).sum - s1 * s1)
+    assert(keep === (vn >= 1000L * n * n))
+  }
+
   test("phash components: a planted chain merges into ONE component with one survivor") {
     // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
     // plus an isolated far image that must NOT join

@@ -10,7 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - q_emb_topk: exact ANN ground truth (corpus × broadcast query set);
   *   - q_emb_pq_topk: the ADC scan (8-byte codes × broadcast per-query
   *     lookup tables) — all-pairs over codes IS the PQ algorithm, and the
-  *     big side contributes 8 bytes/row.
+  *     big side contributes 8 bytes/row;
+  *   - q_doc_hybrid_rrf: its vector leg IS the q_emb_topk baseline
+  *     (documented in SimOps.hybridRrf: lshTopK/ivfTopK swap in at scale
+  *     with the same output shape, leaving the fusion untouched).
   * Any new operator that accidentally plans a cartesian (e.g. a join whose
   * equi-key got lost in a refactor) fails here before it ships.
   */
@@ -18,7 +21,7 @@ class PlanHygieneSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private val allPairsByDesign = Set("q_emb_topk", "q_emb_pq_topk")
+  private val allPairsByDesign = Set("q_emb_topk", "q_emb_pq_topk", "q_doc_hybrid_rrf")
 
   test("no registered query plans a cartesian or nested-loop join (whitelist: brute-force baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
