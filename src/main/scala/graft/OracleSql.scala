@@ -2386,6 +2386,25 @@ FROM all_imgs a JOIN all_imgs b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
 ORDER BY id1, id2""",
 
+    // optimizer-rule twin: the naive theta-join rewritten by
+    // HammingJoinRewrite must equal the brute-force pair set — same oracle
+    // construction as q_image_phash_dups
+    "q_rule_hamming_join" ->
+      """WITH base AS (
+  SELECT 'img' || o_orderkey AS image_id,
+    ((o_orderkey * 48271 + 11) % 2147483647) * 2147483648
+      + ((o_orderkey * 69621 + 7) % 2147483647) AS phash
+  FROM orders),
+all_imgs AS (
+  SELECT image_id, phash FROM base
+  UNION ALL
+  SELECT image_id || '_d', xor(phash, 5) FROM base WHERE phash % 64 = 0)
+SELECT a.image_id AS id1, b.image_id AS id2,
+  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM all_imgs a JOIN all_imgs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+ORDER BY id1, id2""",
+
     // phash components: the brute-force ≤3-hamming pair graph closed with a
     // recursive CTE (same construction as q_doc_dedup_components) —
     // component = min image_id, survivor = the minimum itself

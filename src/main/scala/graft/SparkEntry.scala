@@ -588,6 +588,28 @@ object SparkEntry {
         .orderBy("image_id", "lm_id")
     }),
 
+    // optimizer-rule twin of q_image_phash_dups: the query is the NAIVE
+    // Hamming theta-join (bit_count(xor) <= 3 — a BroadcastNestedLoopJoin
+    // without the rule); HammingJoinRewrite re-plans it as the 4×16-bit
+    // band-blocked equi-join with a first-matching-band conjunct, and the
+    // rowset must equal the brute-force oracle exactly
+    "q_rule_hamming_join" -> ((s, dir) => {
+      graft.plans.GraftPlans.enable(s)
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val base = Synth.images(s, dir, g0, withBytes = false)
+        .select(col("image_id"), col("phash"))
+      val all = base.unionByName(base.filter(col("phash") % 64 === 0)
+        .select(concat(col("image_id"), lit("_d")).as("image_id"),
+          col("phash").bitwiseXOR(lit(5L)).as("phash")))
+      val l = all.select(col("image_id").as("id1"), col("phash").as("p1"))
+      val r = all.select(col("image_id").as("id2"), col("phash").as("p2"))
+      l.join(r, col("id1") < col("id2") &&
+          bit_count(col("p1").bitwiseXOR(col("p2"))) <= lit(3))
+        .select(col("id1"), col("id2"),
+          bit_count(col("p1").bitwiseXOR(col("p2"))).cast("int").as("hamming"))
+        .orderBy("id1", "id2")
+    }),
+
     // ---- spatial clustering + spatial curation --------------------------
     // DBSCAN over the geotagged image corpus: ε-pairs via the SAME
     // DistanceJoinRewrite cell join as q_rule_distance_join, core points by

@@ -168,6 +168,7 @@ object DistanceJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DistanceJoinRewrite)
+    ext.injectOptimizerRule(_ => HammingJoinRewrite)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }
@@ -179,8 +180,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftPlans {
   def enable(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(DistanceJoinRewrite))
-      spark.experimental.extraOptimizations = cur :+ DistanceJoinRewrite
+    val add = Seq(DistanceJoinRewrite, HammingJoinRewrite).filterNot(cur.contains)
+    if (add.nonEmpty)
+      spark.experimental.extraOptimizations = cur ++ add
     org.apache.spark.sql.graft.FunctionBridge.register(spark, GraftFunctions.all)
   }
 }

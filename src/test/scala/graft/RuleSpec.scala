@@ -191,4 +191,77 @@ class RuleSpec extends AnyFunSuite {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  // ---- HammingJoinRewrite ------------------------------------------------
+
+  private def withoutHam[A](body: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_ == graft.plans.HammingJoinRewrite)
+    try body
+    finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def hamJoin(all: DataFrame, maxHam: Int = 3): DataFrame = {
+    val l = all.select(col("image_id").as("id1"), col("phash").as("p1"))
+    val r = all.select(col("image_id").as("id2"), col("phash").as("p2"))
+    l.join(r, col("id1") < col("id2") &&
+        bit_count(col("p1").bitwiseXOR(col("p2"))) <= lit(maxHam))
+      .select("id1", "id2")
+  }
+
+  private def hamCorpus(n: Int): (DataFrame, Set[(String, String)]) = {
+    import spark.implicits._
+    val base = (0L until n.toLong).map(i => (f"a$i%05d", i * 0x9E3779B97F4A7C15L))
+    val twins = base.filter(_._2 % 8 == 0)
+      .map { case (id, p) => (id + "_d", p ^ 9L) } // hamming 2
+    val all = base ++ twins
+    val expect = (for {
+      (i1, p1) <- all; (i2, p2) <- all
+      if i1 < i2 && java.lang.Long.bitCount(p1 ^ p2) <= 3
+    } yield (i1, i2)).toSet
+    (all.toDF("image_id", "phash"), expect)
+  }
+
+  test("hamming rewrite: banded hash-join plan, exact pair set, each pair ONCE") {
+    val (df, expect) = hamCorpus(400)
+    assert(expect.nonEmpty)
+    GraftPlans.enable(spark)
+    val j = hamJoin(df)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "rule must replace the nested loop")
+    assert(plan.contains("_graft_band"), "banded explode missing from plan")
+    val rows = j.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length === rows.toSet.size,
+      "first-matching-band must emit each pair exactly once")
+    assert(rows.toSet === expect)
+    // without the rule the same query is the nested loop (sanity: the plan
+    // assertion above is meaningful)
+    withoutHam {
+      assert(hamJoin(df).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("hamming rewrite: distance-0 twin pairs (strict < form) survive exactly once") {
+    import spark.implicits._
+    val df = (Seq(("x1", 42L), ("x2", 42L), ("y1", 7L)))
+      .toDF("image_id", "phash")
+    GraftPlans.enable(spark)
+    val rows = hamJoin(df, maxHam = 0).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(("x1", "x2")))
+  }
+
+  test("hamming rule does not fire when an equi-key already exists") {
+    val (df, _) = hamCorpus(50)
+    GraftPlans.enable(spark)
+    val l = df.select(col("image_id").as("id1"), col("phash").as("p1"),
+      (col("phash") % 2).as("g1"))
+    val r = df.select(col("image_id").as("id2"), col("phash").as("p2"),
+      (col("phash") % 2).as("g2"))
+    val j = l.join(r, col("g1") === col("g2") && col("id1") < col("id2") &&
+      bit_count(col("p1").bitwiseXOR(col("p2"))) <= lit(3))
+    assert(!j.queryExecution.optimizedPlan.toString.contains("_graft_band"))
+  }
 }
