@@ -47,8 +47,17 @@ object ImageOps {
       col("image_id").as("id1"), col("phash").as("p1"))
     val r = banded.select(col("band"), col("bucket"),
       col("image_id").as("id2"), col("phash").as("p2"))
-    l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
+    // first-matching-band: a pair sharing several intact bands would emit
+    // once per shared band; keeping it only at the LOWEST shared band makes
+    // each pair emit exactly once WITHOUT a dropDuplicates shuffle (the same
+    // conjunct plans/HammingJoinRewrite synthesizes)
+    def bkt(p: org.apache.spark.sql.Column, b: Int) =
+      shiftright(p, b * 16).bitwiseAND(lit(65535L))
+    val firstMatch = (0 until 4).map { b =>
+      (0 until b).map(i => bkt(col("p1"), i) =!= bkt(col("p2"), i))
+        .foldLeft(col("band") === b)(_ && _)
+    }.reduce(_ || _)
+    l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2") && firstMatch)
       .withColumn("hamming", bit_count(col("p1").bitwiseXOR(col("p2"))))
       .filter(col("hamming") <= maxHam)
       .select("id1", "id2", "hamming")
