@@ -1962,6 +1962,38 @@ SELECT k, fmt, aug, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
     AS digest
 FROM terms GROUP BY k, fmt, aug, w, h ORDER BY k, aug""",
 
+    // shard manifest: the identical chop + mod-budget offsets over
+    // closed-form geotags, with record lengths re-derived from the BMP
+    // size formula (Spark uses length(bytes) — the match pins them equal)
+    "q_image_shard_manifest" ->
+      s"""WITH $gridCte,
+geo AS (
+  SELECT k, h1, h2,
+    CASE WHEN u0 % 500 = 0 THEN u0 + 13 ELSE u0 END AS u,
+    CASE WHEN v0 % 500 = 0 THEN v0 + 13 ELSE v0 END AS v
+  FROM (
+    SELECT o_orderkey AS k,
+           (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+           (o_orderkey * 69621 + 7) % 2147483647 AS h2,
+           ((o_orderkey * 48271 + 11) % 2147483647) % ((p.g - 1) * 1000) AS u0,
+           ((o_orderkey * 69621 + 7) % 2147483647) % ((p.g - 1) * 1000) AS v0
+    FROM orders, p)
+  WHERE k % 5 NOT IN (1, 3)),
+cells AS (
+  SELECT k, (u // 5000) * 100000 + (v // 5000) AS cell,
+         54 + ((3 * (8 + h1 % 8) + 3) // 4 * 4) * (8 + h2 % 8) AS len
+  FROM geo),
+c AS (
+  SELECT k, cell, len,
+    SUM(len) OVER (PARTITION BY cell ORDER BY k
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cells)
+SELECT k, CAST(cell AS BIGINT) AS cell,
+  CAST((cum - len) // 4096 AS BIGINT) AS shard,
+  CAST((cum - len) % 4096 AS BIGINT) AS "offset",
+  CAST(len AS BIGINT) AS len
+FROM c ORDER BY k""",
+
     // spatially-local shard packing: the identical integer window chop
     // (cum-before DIV budget within 5000-µdeg cells) rerun over the
     // closed-form geotags and dims — weight is the decoded size w·h·3.

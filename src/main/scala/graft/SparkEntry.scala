@@ -1187,6 +1187,18 @@ object SparkEntry {
         .orderBy("cell", "shard")
     }),
 
+    // shard manifest (export index): per record the (cell, shard, offset,
+    // len) a reader slices with; REAL byte lengths on the Spark side, the
+    // BMP size formula 54 + ((3w+3) DIV 4 · 4)·h on the oracle side — the
+    // match proves the encoded sizes equal the closed form record by record
+    "q_image_shard_manifest" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val bmps = Synth.withGeotag(Synth.images(s, dir, g0), g0)
+        .filter(col("fmt") === "bmp")
+      ImageOps.shardManifest(bmps, cellMicro = 5000L, budgetBytes = 4096L)
+        .orderBy("k")
+    }),
+
     // ---- audio: multimodal columns (REAL wav decode, JDK-parser-oracled) --
     // integer aggregate per sample-rate group: sums of per-clip exact integer
     // features pin every decoded PCM sample against the committed oracle

@@ -126,6 +126,33 @@ object ImageOps {
       }.toDF("image_id", "fmt", "thumb", "decode_ok")
   }
 
+  /** Shard MANIFEST for the export stage: per record, the (cell, shard,
+    * offset, length) a reader needs to slice it back out of the
+    * concatenated shard blob (webdataset/tar-style index). The chop rule
+    * (shard = bytes-before DIV budget) gives bytes-before ∈
+    * [shard·budget, (shard+1)·budget), so offset ≡ bytes-before mod budget
+    * — ONE window over the cell partitioning computes shard and offset
+    * together; no second (cell, shard) exchange, no global sort. Lengths
+    * are the REAL payload sizes (length(bytes)); the oracle re-derives them
+    * from the BMP size formula 54 + ((3w+3) DIV 4 · 4)·h, so the manifest
+    * doubles as a check that encoded sizes match the closed form. */
+  def shardManifest(images: DataFrame, cellMicro: Long, budgetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cellMicro > 0 && budgetBytes > 0)
+    val sized = images
+      .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+      .withColumn("cell",
+        expr(s"(u DIV $cellMicro) * 100000 + (v DIV $cellMicro)"))
+      .withColumn("len", length(col("bytes")).cast("long"))
+    val win = Window.partitionBy("cell").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized
+      .withColumn("cum", sum(col("len")).over(win))
+      .withColumn("shard", expr(s"(cum - len) DIV $budgetBytes"))
+      .withColumn("offset", expr(s"(cum - len) % $budgetBytes"))
+      .select("k", "cell", "shard", "offset", "len")
+  }
+
   /** Per-row decoded-pixel verification vs the synthesis-time source pattern
     * (the input_hint contract: "decoded-pixel allclose — PSNR≥40dB for lossy
     * formats — plus caption equality"). Lossless rows must match bit-exactly

@@ -160,6 +160,38 @@ class ImageCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("shardManifest: offsets tile each shard blob contiguously; lens are real byte sizes") {
+    val g = 16
+    val bmps = Synth.withGeotag(Synth.images(spark, sf, g), g)
+      .filter(col("fmt") === "bmp")
+    val man = ImageOps.shardManifest(bmps, cellMicro = 5000L, budgetBytes = 4096L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("cell"),
+        r.getAs[Long]("shard"), r.getAs[Long]("offset"), r.getAs[Long]("len")))
+    assert(man.nonEmpty)
+    // within a (cell, shard), sorted by k: each record starts where the
+    // previous one ends (a reader can slice the blob with offset/len alone)
+    man.groupBy(t => (t._2, t._3)).values.foreach { recs =>
+      val sorted = recs.sortBy(_._1)
+      sorted.head match { case (_, _, shard, off, _) =>
+        if (shard == 0L) assert(off === 0L) // first shard of a cell starts at 0
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, o1, l1), (_, _, _, o2, _)) => assert(o2 === o1 + l1)
+        case _ =>
+      }
+      // every record's chop invariant: offset < budget
+      sorted.foreach { case (_, _, _, off, _) => assert(off < 4096L) }
+    }
+    // len is the real encoded size (matches the BMP formula)
+    val byK = bmps.select(col("image_id"), col("w"), col("h")).collect()
+      .map(r => r.getString(0).stripPrefix("img").toLong ->
+        (r.getInt(1), r.getInt(2))).toMap
+    man.foreach { case (k, _, _, _, len) =>
+      val (w, h) = byK(k)
+      assert(len === graft.synth.Bmp.encodedSize(w, h).toLong)
+    }
+  }
+
   test("augmentDigests: digest equals digest of physically flipped source pixels") {
     val imgs = Seq(
       ("x1", "bmp", Codec.encodeFor("bmp", 424242L, 7, 5)),

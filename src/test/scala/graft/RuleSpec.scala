@@ -253,6 +253,19 @@ class RuleSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(("x1", "x2")))
   }
 
+  test("hamming rewrite fires through the SQL surface too") {
+    val (df, expect) = hamCorpus(120)
+    GraftPlans.enable(spark)
+    df.createOrReplaceTempView("ham_imgs")
+    val j = spark.sql(
+      """SELECT a.image_id AS id1, b.image_id AS id2
+        |FROM ham_imgs a JOIN ham_imgs b
+        |  ON a.image_id < b.image_id
+        | AND bit_count(a.phash ^ b.phash) <= 3""".stripMargin)
+    assert(j.queryExecution.optimizedPlan.toString.contains("_graft_band"))
+    assert(j.collect().map(r => (r.getString(0), r.getString(1))).toSet === expect)
+  }
+
   test("hamming rule does not fire when an equi-key already exists") {
     val (df, _) = hamCorpus(50)
     GraftPlans.enable(spark)
