@@ -2614,6 +2614,18 @@ ranked AS (
     ROW_NUMBER() OVER (ORDER BY r.revenue DESC, c.c_custkey) AS rk
   FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey)
 SELECT c_custkey, c_name, revenue, n_orders, rk
-FROM ranked WHERE rk <= 20 ORDER BY rk"""
+FROM ranked WHERE rk <= 20 ORDER BY rk""",
+
+    // the bloom-pruned join is row-identical to the plain join by
+    // construction (no false negatives; the exact join removes false
+    // positives) — so the oracle IS the plain join
+    "q_join_bloom_prune" ->
+      """SELECT l.l_returnflag,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""
   )
 }

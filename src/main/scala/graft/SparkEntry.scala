@@ -1548,6 +1548,22 @@ object SparkEntry {
         .withColumn("rk", row_number().over(
           Window.orderBy(col("revenue").desc, col("c_custkey"))))
         .orderBy("rk")
+    }),
+
+    // Bloom semi-join reduction: the large side (lineitem) is pruned at the
+    // scan by a Bloom filter of the selective small side's keys BEFORE the
+    // join exchange — no false negatives, so the result is row-identical to
+    // the plain join the oracle runs. Per-row cents are rounded before the
+    // sum so both engines add identical integers in any order.
+    "q_join_bloom_prune" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val sel = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      JoinOps.bloomPrunedJoin(li, sel, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * lit(100), 0).cast("long")).as("revenue_cents"))
+        .orderBy("l_returnflag")
     })
   )
 

@@ -249,6 +249,150 @@ case class CmsMinCount(child: Expression, sketch: Array[Long], d: Int, w: Int)
     copy(child = c)
 }
 
+/** Bloom filter (Bloom, CACM 1970 — public construction) as a native
+  * Catalyst `TypedImperativeAggregate`: the buffer is an m-bit array packed
+  * into longs, update sets k bits chosen by double hashing (Kirsch &
+  * Mitzenmacher 2006: h_i = h1 + i·h2), merge is bitwise OR. OR is
+  * commutative, associative and idempotent, so — like the HLL above — the
+  * built filter is EXACTLY the same under any partitioning or retry.
+  *
+  * Purpose at 100 TB: semi-join reduction. Build the filter over the SMALL
+  * join side's keys (one aggregate, constant-size state per map task), probe
+  * it on the LARGE side BEFORE the join's exchange — rows whose key cannot
+  * be in the small side never enter the shuffle. No false negatives, so the
+  * subsequent exact join returns exactly the plain-join result; false
+  * positives (rate ≈ (1 - e^{-kn/m})^k) only cost wasted shuffle bytes.
+  * This is the same mechanism as Spark's own runtime bloom-pushdown
+  * (InjectRuntimeFilter), expressed as an explicit, oracle-checkable
+  * operator. */
+case class BloomAgg(child: Expression, bits: Int, k: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(bits >= 64 && (bits & (bits - 1)) == 0,
+    s"bits must be a power of two >= 64, got $bits")
+  require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg requires a STRING, BIGINT or INT input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) BloomOps.add(buf, k, BloomOps.baseHash(v))
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BloomAgg =
+    copy(child = c)
+}
+
+/** Static kernels shared by the Bloom aggregate (insert) and the membership
+  * probe (lookup) — both sides MUST hash identically or the no-false-
+  * negative guarantee (and therefore join exactness) breaks. */
+object BloomOps {
+  def baseHash(v: Any): Long = v match {
+    case s: UTF8String => Hashing.utf8Hash(s)
+    case l: Long       => l
+    case i: Int        => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"bloom: unsupported input ${other.getClass}")
+  }
+  /** bit index of hash i: double hashing over the splitmix mixes (h2 forced
+    * odd so the stride is coprime with the power-of-two width). */
+  private def bitOf(base: Long, i: Int, mask: Long): Int = {
+    val h1 = Hashing.mix(base, 0)
+    val h2 = Hashing.mix(base, 1) | 1L
+    ((h1 + i.toLong * h2) & mask).toInt
+  }
+  def add(words: Array[Long], k: Int, base: Long): Unit = {
+    val mask = words.length.toLong * 64L - 1L
+    var i = 0
+    while (i < k) {
+      val b = bitOf(base, i, mask)
+      words(b >>> 6) |= (1L << (b & 63))
+      i += 1
+    }
+  }
+  def contains(words: Array[Long], k: Int, base: Long): Boolean = {
+    val mask = words.length.toLong * 64L - 1L
+    var i = 0
+    while (i < k) {
+      val b = bitOf(base, i, mask)
+      if ((words(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+  // codegen entry points (monomorphic per child type)
+  def containsLong(words: Array[Long], k: Int, v: Long): Boolean =
+    contains(words, k, v)
+  def containsUtf8(words: Array[Long], k: Int, v: UTF8String): Boolean =
+    contains(words, k, Hashing.utf8Hash(v))
+}
+
+/** Membership probe against a plan-time Bloom filter (the merged global
+  * filter rides the expression as a reference object). This is the per-row
+  * hot op of the semi-join reduction — it runs on EVERY large-side row
+  * before the shuffle, so it stays inside whole-stage codegen. */
+case class BloomContains(child: Expression, words: Array[Long], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_contains"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains requires a STRING, BIGINT or INT input, got ${other.sql}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    BloomOps.contains(words, k, BloomOps.baseHash(v))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, v => s"graft.exprs.BloomOps.containsUtf8($ref, $k, $v)")
+      case _ =>
+        defineCodeGen(ctx, ev, v => s"graft.exprs.BloomOps.containsLong($ref, $k, (long)$v)")
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): BloomContains =
+    copy(child = c)
+}
+
 object sketches {
   /** HLL distinct-count estimate of `col` (string or integral), 2^p
     * registers. Deterministic under any partitioning → pinnable. */
@@ -266,4 +410,16 @@ object sketches {
   def cms_min_count(col: Column, sketch: Array[Long], d: Int, w: Int): Column =
     ColumnBridge.column(
       CmsMinCount(ColumnBridge.expression(col), sketch, d, w))
+
+  /** Bloom filter of `col` (string or integral) as array<bigint> of packed
+    * bit words. Deterministic under any partitioning (merge = bitwise OR). */
+  def bloom_agg(col: Column, bits: Int = 1 << 20, k: Int = 5): Column =
+    ColumnBridge.column(
+      BloomAgg(ColumnBridge.expression(col), bits, k).toAggregateExpression())
+
+  /** Membership probe of `col` against a built filter — true for every
+    * inserted key (no false negatives), possibly true for others. */
+  def bloom_contains(col: Column, words: Array[Long], k: Int = 5): Column =
+    ColumnBridge.column(
+      BloomContains(ColumnBridge.expression(col), words, k))
 }

@@ -128,4 +128,43 @@ class SketchSpec extends AnyFunSuite {
       df.agg(sketches.cms_sketch(col("d"))).collect())
     assert(e.getMessage.toLowerCase.contains("cms_sketch"))
   }
+
+  test("bloom: no false negatives, bounded false-positive rate, partition-invariant") {
+    val keys = spark.range(10000).select((col("id") * 7 + 3).as("k"))
+    def build(parts: Int): Array[Long] =
+      keys.repartition(parts)
+        .agg(sketches.bloom_agg(col("k"), bits = 1 << 17, k = 5))
+        .head().getSeq[Long](0).toArray
+    val w1 = build(1)
+    val w32 = build(32)
+    assert(w1.toSeq == w32.toSeq, "filter must be identical under any partitioning")
+    // every inserted key is found
+    val missed = keys.filter(!sketches.bloom_contains(col("k"), w1, 5)).count()
+    assert(missed == 0L, s"$missed false negatives")
+    // probes from a disjoint key space mostly miss (m/n ≈ 13 bits/key,
+    // k = 5 → theoretical fp ≈ 1.4%; allow 5%)
+    val probes = spark.range(10000).select((col("id") * 7 + 4).as("k"))
+    val fp = probes.filter(sketches.bloom_contains(col("k"), w1, 5)).count()
+    assert(fp < 500, s"false-positive count $fp out of 10000")
+  }
+
+  test("bloom: string keys hash identically on insert and probe") {
+    val df = spark.range(2000).select(concat(lit("doc_"), col("id")).as("s"))
+    val w = df.agg(sketches.bloom_agg(col("s"), bits = 1 << 15, k = 5))
+      .head().getSeq[Long](0).toArray
+    assert(df.filter(!sketches.bloom_contains(col("s"), w, 5)).count() == 0L)
+  }
+
+  test("bloomPrunedJoin is row-identical to the plain join") {
+    val large = spark.range(50000).select(
+      (col("id") % 4096).as("k"), col("id").as("payload"))
+    val small = spark.range(300).select(
+      (col("id") * 13 % 4096).as("sk"), col("id").as("tag"))
+    val pruned = graft.ops.JoinOps.bloomPrunedJoin(large, small, "k", "sk")
+      .select("k", "payload", "sk", "tag")
+    val plain = large.join(small, col("k") === col("sk"))
+      .select("k", "payload", "sk", "tag")
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+      "bloom-pruned join diverged from the plain join")
+  }
 }
