@@ -2220,6 +2220,34 @@ ORDER BY id1, id2""",
     // minimum tracked per doc — the exact RollingMinHash arithmetic. Docs
     // shorter than the window (none at the driver SFs) would drop out and
     // fail the row-count compare loudly rather than silently pass.
+    // duplicated token-8-gram spans: occurrence counting over exact gram
+    // strings, then per-doc interval union — same-length intervals sorted by
+    // start add LEAST(8, start - prev_start) each (LAG default start-8 makes
+    // the first occurrence contribute the full 8)
+    "q_doc_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+occ AS (
+  SELECT doc_id,
+    unnest(range(0, greatest(len(tk) - 7, 0))) AS start,
+    unnest(list_transform(range(0, greatest(len(tk) - 7, 0)),
+      i -> array_to_string(list_slice(tk, i + 1, i + 8), ' '))) AS gram
+  FROM toks),
+dup AS (
+  SELECT doc_id, start, COUNT(*) OVER (PARTITION BY gram) AS cnt
+  FROM occ),
+nc AS (
+  SELECT doc_id, start,
+    LEAST(8, start - COALESCE(LAG(start) OVER (PARTITION BY doc_id ORDER BY start), start - 8)) AS newly
+  FROM dup WHERE cnt >= 2),
+per AS (
+  SELECT doc_id, COUNT(*) AS dup_starts, SUM(newly) AS covered
+  FROM nc GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(p.dup_starts, 0) AS BIGINT) AS dup_starts,
+  CAST(COALESCE(p.covered, 0) AS BIGINT) AS covered,
+  COALESCE(p.covered, 0) * 2 >= len(t.tk) AS mostly_dup
+FROM toks t LEFT JOIN per p USING (doc_id) ORDER BY t.doc_id""",
+
     "q_doc_fingerprints" ->
       """WITH RECURSIVE
 pw(i, p) AS (

@@ -827,6 +827,12 @@ object SparkEntry {
     "q_doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(Synth.documents(s, dir)).orderBy("doc_id")),
 
+    // Lee et al. 2022-style exact duplicated-span detection: every position
+    // covered by a token 8-gram occurring >1× in the corpus, per-doc union
+    // length via the same-length-interval window (no per-position explode)
+    "q_doc_dup_spans" -> ((s, dir) =>
+      TextOps.dupSpans(Synth.documents(s, dir), n = 8).orderBy("doc_id")),
+
     // fixed-window token chunking (training-context prep): 32-token windows,
     // 8-token overlap, short tail emitted — map-side explode, no shuffle
     "q_doc_chunks" -> ((s, dir) =>

@@ -544,4 +544,57 @@ object TextOps {
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+
+  /** Exact duplicated-span detection (the token-level form of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better":
+    * find every position covered by a token n-gram that occurs more than
+    * once in the corpus — the spans a substring-dedup pass would cut).
+    *
+    * Distributed shape: one posexplode to (doc, start, gram) — n·|corpus|
+    * rows but NEVER materialized wider than a projection —, one shuffle on
+    * the gram to count occurrences (the window's partition key), one
+    * doc-keyed window to union the covering intervals. The interval union
+    * is O(1) per occurrence because every interval has the same length n:
+    * sorted by start, a new occurrence adds min(n, start − prev_start)
+    * newly-covered positions — no interval stack, no per-position explode
+    * (an explode of covered positions would multiply the shuffle by n).
+    *
+    * At 100 TB the gram SHUFFLE KEY should be xxhash64(gram) rather than
+    * the string (8 bytes vs ~n·6); the string form is kept here because the
+    * DuckDB oracle must group on the exact same key, and a 64-bit hash
+    * collision (≈ n²/2^65) would silently merge two grams. Production
+    * flip: .withColumn("gkey", xxhash64(col("gram"))) and window on gkey.
+    *
+    * Determinism: occurrence counts are order-free; the union length of a
+    * start-sorted same-length interval set does not depend on tie order
+    * (starts are distinct per doc). Every output cell is an exact integer.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, s"dupSpans: n must be >= 2, got $n")
+    val toks = docs.select(col("doc_id"), tokensCol(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val occ = toks.filter(col("n_tokens") >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_tokens") - n)).as("start"),
+        col("tk"))
+      .select(col("doc_id"), col("start"),
+        concat_ws(" ", slice(col("tk"), (col("start") + 1).cast("int"), lit(n))).as("gram"))
+    val byGram = Window.partitionBy("gram")
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val dupOcc = occ
+      .withColumn("cnt", count(lit(1)).over(byGram))
+      .filter(col("cnt") >= 2)
+    val perDoc = dupOcc
+      .withColumn("newly",
+        coalesce(least(lit(n.toLong), col("start") - lag("start", 1).over(byDoc)),
+          lit(n.toLong)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_starts"), sum("newly").as("covered"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_starts"), lit(0L)).as("dup_starts"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        (coalesce(col("covered"), lit(0L)) * 2 >= col("n_tokens")).as("mostly_dup"))
+  }
 }

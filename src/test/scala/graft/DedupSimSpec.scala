@@ -451,4 +451,42 @@ class DedupSimSpec extends AnyFunSuite {
       assert(p >= 40.0, f"jpeg PSNR $p%.1f dB at $w x $h (contract: >= 40)")
     }
   }
+
+  test("dupSpans: overlapping, disjoint and within-doc duplicated runs union exactly") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared10 = words("s", 10)            // 10-token run → 3 dup 8-gram starts
+    val shared8 = words("p", 8)              // exactly one dup 8-gram
+    val docs = Seq(
+      // partial overlap: starts {0,1,2}, union [0,9] = 10 covered
+      (1L, s"$shared10 ${words("a", 20)}"),
+      (2L, s"${words("b", 5)} $shared10 ${words("c", 15)}"),
+      // prefix-only share: 1 start, 8 covered
+      (3L, s"$shared8 ${words("d", 12)}"),
+      (4L, s"$shared8 ${words("e", 12)}"),
+      // WITHIN-doc repeat: same 8-gram at starts 0 and 11 → 16 covered
+      (5L, s"$shared8 ${words("f", 3)} $shared8 ${words("g", 4)}"),
+      // too short for any 8-gram
+      (6L, words("h", 5)),
+      // no duplicated grams at all
+      (7L, words("i", 30))
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupSpans(docs, n = 8).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 30L, 3L, 10L, false),
+      (2L, 30L, 3L, 10L, false),
+      (3L, 20L, 1L, 8L, false),
+      (4L, 20L, 1L, 8L, false),
+      (5L, 23L, 2L, 16L, true),
+      (6L, 5L, 0L, 0L, false),
+      (7L, 30L, 0L, 0L, false)))
+  }
+
+  test("dupSpans is partition-invariant over the real documents table") {
+    val docs = graft.synth.Synth.documents(spark, sf)
+    val a = TextOps.dupSpans(docs.repartition(1), 8).orderBy("doc_id").collect().toSeq
+    val b = TextOps.dupSpans(docs.repartition(32), 8).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
