@@ -2367,6 +2367,24 @@ comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
 SELECT doc_id, component, doc_id = component AS is_survivor FROM comp ORDER BY doc_id""",
 
     // ---- embeddings --------------------------------------------------------
+    // hard negatives: the q_emb_topk construction with the self-exclusion
+    // replaced by a label-difference test
+    "q_emb_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+           CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT q.q_id, q.q_label, e.vec_id AS neighbor, e.label AS neighbor_label,
+    CAST(ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+  FROM q, embeddings e WHERE e.label <> q.q_label),
+ranked AS (
+  SELECT q_id, q_label, neighbor, neighbor_label, cos9,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk
+  FROM cand)
+SELECT q_id, q_label, rk, neighbor, neighbor_label,
+  CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
+FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+
     "q_emb_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id % 100 = 0),

@@ -962,6 +962,11 @@ object SparkEntry {
       SimOps.bruteForceTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
         .orderBy("q_id", "rk")),
 
+    // contrastive hard negatives: nearest neighbors with a DIFFERENT label
+    "q_emb_hard_negatives" -> ((s, dir) =>
+      SimOps.hardNegatives(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
+        .orderBy("q_id", "rk")),
+
     "q_emb_lsh_topk" -> ((s, dir) =>
       SimOps.lshTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
         .orderBy("q_id", "rk")),

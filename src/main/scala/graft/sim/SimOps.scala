@@ -311,4 +311,35 @@ object SimOps {
       .select(col("q_id"), col("rk"), col("doc_id"), col("rrf9"),
         col("rk_t"), col("rk_v"))
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * k nearest vectors whose label DIFFERS from the anchor's — the
+    * highest-similarity wrong answers, the pairs a contrastive loss learns
+    * most from (public recipe: DPR, Karpukhin et al. 2020; SimCLR-family
+    * batch mining).
+    *
+    * Scale shape: identical to bruteForceTopK — the anchor set broadcasts,
+    * the corpus streams map-side (one codegen'd cosine per (anchor, row),
+    * no shuffle of the corpus), a q_id-keyed window keeps k rows per
+    * anchor. The label test rides the same broadcast join's condition, so
+    * same-label rows are dropped before the cosine is computed. At corpus
+    * scale swap the candidate generator for ivfTopK/lshTopK with an
+    * over-fetch and keep the same label filter + re-rank.
+    *
+    * cos9 (nano-rounded integer cosine) ordering with neighbor-id
+    * tie-break keeps the ranking deterministic and oracle-matchable. */
+  def hardNegatives(embeddings: DataFrame, anchorPred: org.apache.spark.sql.Column,
+                    k: Int): DataFrame = {
+    val anchors = embeddings.filter(anchorPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val cand = broadcast(anchors).join(embeddings, col("label") =!= col("q_label"))
+      .withColumn("cos9",
+        round(fns.cosine_sim(col("q_emb"), col("embedding")) * lit(1e9), 0).cast("long"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos9").desc, col("vec_id"))
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("q_label"), col("rk"),
+        col("vec_id").as("neighbor"), col("label").as("neighbor_label"),
+        (col("cos9").cast("double") / lit(1e9)).as("cos_sim"))
+  }
 }

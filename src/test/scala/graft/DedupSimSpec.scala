@@ -483,6 +483,30 @@ class DedupSimSpec extends AnyFunSuite {
       (7L, 30L, 0L, 0L, false)))
   }
 
+  test("hardNegatives: every mined negative has a different label; top-1 matches serial argmax") {
+    val emb = graft.synth.Synth.embeddings(spark, sf)
+    val got = SimOps.hardNegatives(emb, col("vec_id") % 100 === 0, k = 3)
+    assert(got.filter(col("q_label") === col("neighbor_label")).count() == 0L)
+    // serial re-derivation of the top-1 per anchor
+    val rows = emb.select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos9(a: Seq[Float], b: Seq[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e9)
+    }
+    val expected = rows.filter(_._1 % 100 == 0).map { case (qid, qe, ql) =>
+      val best = rows.filter(_._3 != ql)
+        .map { case (id, e, l) => (cos9(qe, e), id, l) }
+        .sortBy { case (c, id, _) => (-c, id) }.head
+      (qid, best._2)
+    }.toMap
+    val top1 = got.filter(col("rk") === 1)
+      .select("q_id", "neighbor").as[(Long, Long)].collect().toMap
+    assert(top1 === expected)
+  }
+
   test("dupSpans is partition-invariant over the real documents table") {
     val docs = graft.synth.Synth.documents(spark, sf)
     val a = TextOps.dupSpans(docs.repartition(1), 8).orderBy("doc_id").collect().toSeq
