@@ -888,6 +888,16 @@ ORDER BY track_id, seq_idx"""
     // geohash: MIRROR of the closed-form contract — axis quantization
     // (one floor per axis at 2^18/2^17), lon-first bit interleave via a
     // fixed 0..34 series, base-32 via substr; identical IEEE arithmetic
+    // the hilbert range scan is row-identical to the plain bbox filter by
+    // construction (complete covering ⊇ bbox rows; exact refine) — so the
+    // oracle IS the plain bbox filter
+    "q_layout_hilbert_scan" ->
+      s"""WITH $imgCte
+SELECT image_id, lat, lon FROM imgs
+WHERE lat >= 37.004::DOUBLE AND lat <= 37.0085::DOUBLE
+  AND lon >= -121.997::DOUBLE AND lon <= -121.9912::DOUBLE
+ORDER BY image_id""",
+
     "q_image_geohash" ->
       s"""WITH $imgCte,
 axq AS (

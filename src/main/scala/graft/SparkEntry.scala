@@ -547,6 +547,17 @@ object SparkEntry {
         .orderBy("track_id", "seq_idx")
     }),
 
+    // Hilbert-curve range scan: the bbox's covering cells become a short
+    // list of curve-position BETWEENs (coarse, file-prunable on a clustered
+    // table) refined by the exact bbox predicate — row-identical to the
+    // plain bbox filter the oracle runs
+    "q_layout_hilbert_scan" -> ((s, dir) =>
+      graft.sources.Layout.hilbertRangeScan(
+          Pipeline.geoImages(s, dir).select("image_id", "lat", "lon"),
+          "lat", "lon", 37.004, -121.997, 37.0085, -121.9912, res = 3)
+        .select("image_id", "lat", "lon")
+        .orderBy("image_id")),
+
     // geohash encoder (closed-form contract, see GeohashOps): per-cell image
     // counts at precision 7 — TRUE SQL oracle (the bit interleave + base-32
     // mapping is plain integer arithmetic DuckDB reruns verbatim)

@@ -57,4 +57,43 @@ class LayoutSpec extends AnyFunSuite {
       .as[Long].collect().sorted
     assert(ids === (0L until 20000L).toArray)
   }
+
+  test("bboxRanges: complete and tight over random bboxes") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val minLat = 30.0 + rng.nextDouble() * 10
+      val minLon = -125.0 + rng.nextDouble() * 10
+      val maxLat = minLat + rng.nextDouble() * 0.02
+      val maxLon = minLon + rng.nextDouble() * 0.02
+      val res = 2 + rng.nextInt(2)
+      val cells = graft.cells.GridCell.covering(minLat, minLon, maxLat, maxLon, res)
+      val ranges = Layout.bboxRanges(minLat, minLon, maxLat, maxLon, res)
+      // tight: total covered curve positions == number of covering cells
+      assert(ranges.map(r => r._2 - r._1 + 1).sum === cells.length.toLong)
+      // complete: every covering cell's position is inside some range
+      cells.foreach { c =>
+        val d = Layout.hilbertOfCell(c, res)
+        assert(ranges.exists(r => d >= r._1 && d <= r._2), s"cell $c missed")
+      }
+      // disjoint and sorted
+      ranges.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 + 1 < b._1)
+        case _ =>
+      }
+    }
+  }
+
+  test("hilbertRangeScan is row-identical to the plain bbox filter") {
+    val pts = spark.range(30000).select(
+      col("id"),
+      (lit(37.0) + (col("id") * 7919L % 3000L).cast("double") * lit(1e-4)).as("lat"),
+      (lit(-122.0) + (col("id") * 104729L % 3000L).cast("double") * lit(1e-4)).as("lon"))
+    val (lo1, lo2, hi1, hi2) = (37.05, -121.93, 37.11, -121.86)
+    val scanned = Layout.hilbertRangeScan(pts, "lat", "lon", lo1, lo2, hi1, hi2, res = 3)
+      .select("id")
+    val plain = pts.filter(col("lat") >= lo1 && col("lat") <= hi1 &&
+      col("lon") >= lo2 && col("lon") <= hi2).select("id")
+    assert(scanned.exceptAll(plain).isEmpty && plain.exceptAll(scanned).isEmpty)
+    assert(plain.count() > 0L)
+  }
 }
