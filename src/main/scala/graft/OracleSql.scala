@@ -2230,6 +2230,31 @@ ORDER BY id1, id2""",
     // minimum tracked per doc — the exact RollingMinHash arithmetic. Docs
     // shorter than the window (none at the driver SFs) would drop out and
     // fail the row-count compare loudly rather than silently pass.
+    // corpus-bigram-LM perplexity: add-one-smoothed ln((cb+1)/(cu+V)) per
+    // adjacent token pair, nano-rounded BEFORE the per-doc sum (BM25's
+    // determinism recipe); keep is the exact integer comparison
+    // Σlp9 ≥ −3400000000·n_pairs
+    "q_doc_bigram_ppl" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+pairs AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+  FROM toks WHERE len(tk) >= 2),
+uni AS (SELECT w1, COUNT(*) AS cu FROM (SELECT unnest(tk) AS w1 FROM toks) GROUP BY w1),
+v AS (SELECT COUNT(*) AS vocab FROM uni),
+bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2),
+sc AS (
+  SELECT p.doc_id,
+    CAST(ROUND(LN(CAST(b.cb + 1 AS DOUBLE) / CAST(u.cu + v.vocab AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT) AS lp9
+  FROM pairs p JOIN bi b USING (w1, w2) JOIN uni u USING (w1), v),
+per AS (SELECT doc_id, COUNT(*) AS n_pairs, CAST(SUM(lp9) AS BIGINT) AS lp9_total FROM sc GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+  CAST(COALESCE(p.lp9_total, 0) AS BIGINT) AS lp9_total,
+  COALESCE(p.lp9_total, 0) >= -3400000000 * COALESCE(p.n_pairs, 0) AS keep
+FROM toks t LEFT JOIN per p USING (doc_id) ORDER BY t.doc_id""",
+
     // duplicated token-8-gram spans: occurrence counting over exact gram
     // strings, then per-doc interval union — same-length intervals sorted by
     // start add LEAST(8, start - prev_start) each (LAG default start-8 makes

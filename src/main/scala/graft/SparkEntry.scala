@@ -844,6 +844,13 @@ object SparkEntry {
     "q_doc_dup_spans" -> ((s, dir) =>
       TextOps.dupSpans(Synth.documents(s, dir), n = 8).orderBy("doc_id")),
 
+    // CCNet-style corpus-bigram-LM perplexity filter (keep ⇔ mean logp ≥
+    // −3.4 nats — splits this corpus 226/274 at sf0.01); per-pair nano-
+    // rounded integers, BM25's cross-engine LN recipe
+    "q_doc_bigram_ppl" -> ((s, dir) =>
+      TextOps.bigramPerplexity(Synth.documents(s, dir), meanNatsMin = 3.4)
+        .orderBy("doc_id")),
+
     // fixed-window token chunking (training-context prep): 32-token windows,
     // 8-token overlap, short tail emitted — map-side explode, no shuffle
     "q_doc_chunks" -> ((s, dir) =>

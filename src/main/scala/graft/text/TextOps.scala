@@ -597,4 +597,55 @@ object TextOps {
         coalesce(col("covered"), lit(0L)).as("covered"),
         (coalesce(col("covered"), lit(0L)) * 2 >= col("n_tokens")).as("mostly_dup"))
   }
+
+  /** Corpus-LM perplexity scoring — the CCNet-style quality filter (Wenzek
+    * et al. 2020, public recipe): score every document under a token-bigram
+    * model with add-one smoothing trained ON THE CORPUS ITSELF, flag docs
+    * whose mean log-probability falls below a threshold (gibberish and
+    * boilerplate sit in the tail).
+    *
+    *   lp(w1 w2) = ln((c(w1,w2) + 1) / (c(w1) + V))
+    *
+    * Per-pair contributions are nano-rounded to integers BEFORE the per-doc
+    * sum (the BM25 determinism recipe: both engines add identical integers
+    * in any order; LN is the one transcendental and JVM/libm agree on these
+    * inputs — same precedent as bm25TopK). The keep flag is an exact
+    * integer comparison: Σlp9 ≥ −meanNats·1e9·n_pairs.
+    *
+    * Scale shape: two count aggregations (bigram, unigram) whose outputs
+    * are VOCABULARY-sized, not corpus-sized — at web scale they broadcast
+    * or hash-join far below the data volume; the corpus side streams
+    * through one (w1,w2)-keyed join + one doc-keyed sum. No sort, no
+    * driver-side state. */
+  def bigramPerplexity(docs: DataFrame, meanNatsMin: Double = 6.0): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokensCol(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val pairs = toks.filter(col("n_tokens") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), (col("n_tokens") - 1).cast("int"))).as("i"),
+        col("tk"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + 1).as("w2"))
+    val uni = toks.select(explode(col("tk")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = uni.count() // bounded driver artifact: one long
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val scored = pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("lp9",
+        round(log((col("cb") + 1).cast("double") / (col("cu") + vocab).cast("double")) * lit(1e9), 0)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("lp9").as("lp9_total"))
+    val thresh9 = math.round(meanNatsMin * 1e9)
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("lp9_total"), lit(0L)).as("lp9_total"),
+        (coalesce(col("lp9_total"), lit(0L)) >=
+          lit(-thresh9) * coalesce(col("n_pairs"), lit(0L))).as("keep"))
+  }
 }

@@ -507,6 +507,38 @@ class DedupSimSpec extends AnyFunSuite {
     assert(top1 === expected)
   }
 
+  test("bigramPerplexity matches a serial add-one-smoothed bigram LM") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "zz"),          // single token: no pairs
+      (4L, "the cat sat on the mat")  // exact dup of 1 -> same score
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramPerplexity(docs, meanNatsMin = 3.4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // serial model
+    val corpus = Seq("the cat sat on the mat", "the cat ran", "zz",
+      "the cat sat on the mat").map(_.split(" ").toSeq)
+    val uni = corpus.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = uni.size.toLong
+    val bi = corpus.flatMap(t => t.zip(t.tail)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def score(toks: Seq[String]): (Long, Long) = {
+      val lp9s = toks.zip(toks.tail).map { p =>
+        math.round(math.log((bi(p) + 1).toDouble / (uni(p._1) + vocab).toDouble) * 1e9)
+      }
+      (lp9s.size.toLong, lp9s.sum)
+    }
+    val exp = corpus.zipWithIndex.map { case (t, i) =>
+      val (np, lp) = if (t.size >= 2) score(t) else (0L, 0L)
+      (i + 1L, t.size.toLong, np, lp, lp >= -3400000000L * np)
+    }
+    assert(got === exp)
+    // the duplicate doc scores identically
+    assert(got(0)._4 === got(3)._4)
+  }
+
   test("dupSpans is partition-invariant over the real documents table") {
     val docs = graft.synth.Synth.documents(spark, sf)
     val a = TextOps.dupSpans(docs.repartition(1), 8).orderBy("doc_id").collect().toSeq
