@@ -2697,6 +2697,18 @@ ranked AS (
 SELECT c_custkey, c_name, revenue, n_orders, rk
 FROM ranked WHERE rk <= 20 ORDER BY rk""",
 
+    // the k-bounded aggregate must equal the window form exactly (total
+    // order: cents DESC, orderkey ASC)
+    "q_topk_agg" ->
+      """WITH c AS (
+  SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey) AS rk
+  FROM c)
+SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, cents
+FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
+
     // the bloom-pruned join is row-identical to the plain join by
     // construction (no false negatives; the exact join removes false
     // positives) — so the oracle IS the plain join

@@ -1579,6 +1579,22 @@ object SparkEntry {
         .orderBy("rk")
     }),
 
+    // grouped exact top-k via the native k-bounded aggregate: map-side
+    // combine discards non-contenders before the exchange (the window form
+    // would shuffle + sort EVERY row); ranks on exact integer cents
+    "q_topk_agg" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(graft.exprs.topk.topk_agg(col("cents"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.tag").as("o_orderkey"), col("col.v").as("cents"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
     // Bloom semi-join reduction: the large side (lineitem) is pruned at the
     // scan by a Bloom filter of the selective small side's keys BEFORE the
     // join exchange — no false negatives, so the result is row-identical to

@@ -155,6 +155,50 @@ class SketchSpec extends AnyFunSuite {
     assert(df.filter(!sketches.bloom_contains(col("s"), w, 5)).count() == 0L)
   }
 
+  test("topk_agg equals the window row_number form on random data, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.exprs.topk
+    // values with heavy ties (v = id % 17) force the tag tie-break
+    val df = spark.range(20000).select(
+      (col("id") % 23).as("g"), (col("id") % 17).as("v"), col("id").as("tag"))
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("tag"))
+    val expected = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("g", "rk", "tag", "v")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    for (parts <- Seq(1, 7, 32)) {
+      val got = df.repartition(parts)
+        .groupBy("g").agg(topk.topk_agg(col("v"), col("tag"), 5).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), (col("pos") + 1).as("rk"), col("col.tag"), col("col.v"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("TopKBuf: insert/merge keep the exact sorted top-k under adversarial orders") {
+    import graft.exprs.TopKBuf
+    val rng = new scala.util.Random(3)
+    for (_ <- 0 until 200) {
+      val k = 1 + rng.nextInt(6)
+      val n = rng.nextInt(40)
+      val entries = Seq.fill(n)((rng.nextInt(10).toLong, rng.nextLong())).distinct
+      val expected = entries.sortBy { case (v, t) => (-v, t) }.take(k)
+      // single buffer, random insertion order
+      val b1 = new TopKBuf(k)
+      rng.shuffle(entries).foreach { case (v, t) => b1.insert(v, t) }
+      assert((0 until b1.size).map(i => (b1.values(i), b1.tags(i))) === expected)
+      // split into random chunks, merge (serialize round-trip included)
+      val chunks = rng.shuffle(entries).grouped(math.max(1, 1 + rng.nextInt(5))).toSeq
+      val merged = chunks.map { ch =>
+        val b = new TopKBuf(k)
+        ch.foreach { case (v, t) => b.insert(v, t) }
+        TopKBuf.fromBytes(k, b.toBytes)
+      }.reduceOption { (a, b) => a.mergeIn(b); a }.getOrElse(new TopKBuf(k))
+      assert((0 until merged.size).map(i => (merged.values(i), merged.tags(i))) === expected)
+    }
+  }
+
   test("bloomPrunedJoin is row-identical to the plain join") {
     val large = spark.range(50000).select(
       (col("id") % 4096).as("k"), col("id").as("payload"))
