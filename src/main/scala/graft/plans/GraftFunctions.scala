@@ -105,6 +105,13 @@ object GraftFunctions {
     // aggregate: the registry builder returns the AggregateFunction itself;
     // the analyzer wraps it in an AggregateExpression like any built-in agg
     entry("graft_hll_distinct", "HyperLogLog distinct estimate (2^p registers)", 2) {
-      a => HllDistinct(a(0), intLit("graft_hll_distinct", a(1), 2)) }
+      a => HllDistinct(a(0), intLit("graft_hll_distinct", a(1), 2)) },
+    entry("graft_topk_agg",
+      "exact top-k (value DESC, tag ASC) pairs per group, k-bounded state", 3) {
+      a => TopKAgg(a(0), a(1), intLit("graft_topk_agg", a(2), 3)) },
+    entry("graft_bloom_agg",
+      "Bloom filter of the input keys as array<bigint> words (bits, k hashes)", 3) {
+      a => BloomAgg(a(0), intLit("graft_bloom_agg", a(1), 2),
+        intLit("graft_bloom_agg", a(2), 3)) }
   )
 }

@@ -55,6 +55,25 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(viaSql - 7777) <= 400, s"est=$viaSql")
   }
 
+  test("graft_topk_agg and graft_bloom_agg reachable from SQL, equal the builder results") {
+    graft.plans.GraftPlans.enable(spark)
+    spark.range(5000)
+      .select((col("id") % 11).as("g"), (col("id") % 13).as("v"), col("id").as("tag"))
+      .createOrReplaceTempView("topk_sql_in")
+    val viaSql = spark.sql(
+      """SELECT g, graft_topk_agg(v, tag, 4) AS top FROM topk_sql_in GROUP BY g""")
+      .orderBy("g").collect().map(_.toString).toSeq
+    val viaFns = spark.table("topk_sql_in")
+      .groupBy("g").agg(graft.exprs.topk.topk_agg(col("v"), col("tag"), 4).as("top"))
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(viaSql === viaFns)
+    val bSql = spark.sql(
+      "SELECT graft_bloom_agg(tag, 65536, 5) AS bf FROM topk_sql_in").head().getSeq[Long](0)
+    val bFns = spark.table("topk_sql_in")
+      .agg(sketches.bloom_agg(col("tag"), 65536, 5)).head().getSeq[Long](0)
+    assert(bSql === bFns)
+  }
+
   test("HLL grouped: per-group sketches independent, disjoint union ≈ sum") {
     val df = spark.range(30000).select(
       (col("id") % 3).cast("string").as("g"),
