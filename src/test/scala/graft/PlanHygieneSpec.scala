@@ -13,7 +13,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *     big side contributes 8 bytes/row;
   *   - q_doc_hybrid_rrf: its vector leg IS the q_emb_topk baseline
   *     (documented in SimOps.hybridRrf: lshTopK/ivfTopK swap in at scale
-  *     with the same output shape, leaving the fusion untouched).
+  *     with the same output shape, leaving the fusion untouched);
+  *   - q_emb_hard_negatives: the same exact-ground-truth scan with the
+  *     self-pair exclusion replaced by the label-difference test
+  *     (documented in SimOps.hardNegatives: ANN candidate generation with
+  *     over-fetch + the same label filter swaps in at corpus scale).
   * Any new operator that accidentally plans a cartesian (e.g. a join whose
   * equi-key got lost in a refactor) fails here before it ships.
   */
@@ -21,7 +25,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private val allPairsByDesign = Set("q_emb_topk", "q_emb_pq_topk", "q_doc_hybrid_rrf")
+  private val allPairsByDesign =
+    Set("q_emb_topk", "q_emb_pq_topk", "q_doc_hybrid_rrf", "q_emb_hard_negatives")
 
   test("no registered query plans a cartesian or nested-loop join (whitelist: brute-force baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
