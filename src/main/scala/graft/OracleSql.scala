@@ -174,6 +174,44 @@ SELECT user_id, sess_id, COUNT(*) AS n_events,
   CAST(SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS sum_value_micro
 FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
 
+  /** BPE merge training unrolled (mirrors TextOps.bpeTrain): corpus → (word,
+    * count) once, then per round k: pair-count CTE over v(k-1), a
+    * deterministic argmax (cnt DESC, l, r), and a RECURSIVE greedy
+    * leftmost-non-overlap apply — each word's chain advances one position per
+    * recursion level, jumping two when the pair matches, landing exactly at
+    * pos = len + 1 with the rebuilt symbol list. */
+  private val bpeBase =
+    """w0 AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) > 0 GROUP BY w),
+v0 AS MATERIALIZED (SELECT word, n, list_transform(range(1, len(word) + 1), i -> word[i]) AS syms FROM w0)"""
+
+  private def bpeRoundCtes(k: Int): String = {
+    val p = k - 1
+    s"""p$k AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT n, unnest(CASE WHEN len(syms) >= 2
+          THEN list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})
+          ELSE [] END) AS pr FROM v$p)
+  GROUP BY 1, 2),
+b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+a$k(word, pos, out) AS (
+  SELECT word, 1, CAST([] AS VARCHAR[]) FROM v$p
+  UNION ALL
+  SELECT a.word,
+    CASE WHEN a.pos < len(v.syms) AND v.syms[a.pos] = b.l AND v.syms[a.pos+1] = b.r
+         THEN a.pos + 2 ELSE a.pos + 1 END,
+    CASE WHEN a.pos < len(v.syms) AND v.syms[a.pos] = b.l AND v.syms[a.pos+1] = b.r
+         THEN list_append(a.out, b.l || b.r)
+         ELSE list_append(a.out, v.syms[a.pos]) END
+  FROM a$k a JOIN v$p v USING (word) CROSS JOIN b$k b
+  WHERE a.pos <= len(v.syms)),
+v$k AS MATERIALIZED (SELECT a.word, v.n, a.out AS syms FROM a$k a JOIN v$p v USING (word)
+        WHERE a.pos = len(v.syms) + 1)"""
+  }
+
+  private def bpePrefix(n: Int): String =
+    "WITH RECURSIVE " + bpeBase + ",\n" + (1 to n).map(bpeRoundCtes).mkString(",\n")
+
   val all: Map[String, String] = Map(
 
     // ---- closed form: full topological pipeline on the synthetic grid ----
@@ -2255,6 +2293,26 @@ SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
   COALESCE(p.lp9_total, 0) >= -3400000000 * COALESCE(p.n_pairs, 0) AS keep
 FROM toks t LEFT JOIN per p USING (doc_id) ORDER BY t.doc_id""",
 
+    // BPE merge training re-learned end-to-end in DuckDB: 6 unrolled rounds
+    // of pair-count → deterministic argmax → recursive greedy apply; the
+    // merges surface pins the learned rules + their corpus-weighted counts
+    "q_doc_bpe_merges" ->
+      (bpePrefix(6) + "\nSELECT * FROM (" +
+        (1 to 6).map(k =>
+          s"SELECT $k AS rk, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM b$k")
+          .mkString("\nUNION ALL\n") +
+        ") ORDER BY rk"),
+
+    // the final segmentation of every vocabulary word after all 6 merges —
+    // any divergence in any round's argmax or any greedy application flips
+    // at least one toks string
+    "q_doc_bpe_vocab" ->
+      (bpePrefix(6) +
+        """
+SELECT word, n, CAST(len(syms) AS INTEGER) AS n_syms,
+  array_to_string(syms, ' ') AS toks
+FROM v6 ORDER BY word"""),
+
     // duplicated token-8-gram spans: occurrence counting over exact gram
     // strings, then per-doc interval union — same-length intervals sorted by
     // start add LEAST(8, start - prev_start) each (LAG default start-8 makes
@@ -2480,6 +2538,48 @@ SELECT a.vec_id AS id1, b.vec_id AS id2,
 FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.9::DOUBLE
 ORDER BY id1, id2""",
+
+    // SemDeDup replayed verbatim: the q_emb_near_dups planted-twin corpus,
+    // the IVF seed-centroid assignment (argmax cos9, ties → smallest cid),
+    // within-cluster pairs at cos9 >= 9e8, recursive-CTE duplicate closure,
+    // and the keeper window (lowest centroid-cos9, then vec_id)
+    "q_emb_semdedup" ->
+      """WITH RECURSIVE emb2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+    list_concat([CAST(embedding[1] AS DOUBLE) * 0.5::DOUBLE], CAST(embedding[2:] AS DOUBLE[]))
+  FROM embeddings WHERE vec_id % 50 = 0),
+cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+         FROM embeddings WHERE vec_id < 16),
+scored AS (
+  SELECT emb2.vec_id, emb2.e, cent.cid,
+    CAST(ROUND(list_cosine_similarity(emb2.e, cent.ce) * 1000000000.0::DOUBLE) AS BIGINT) AS c9,
+    ROW_NUMBER() OVER (PARTITION BY emb2.vec_id ORDER BY
+      CAST(ROUND(list_cosine_similarity(emb2.e, cent.ce) * 1000000000.0::DOUBLE) AS BIGINT) DESC,
+      cent.cid) AS crk
+  FROM emb2, cent),
+assign AS (SELECT vec_id, e, cid AS list_id, c9 AS cent_cos9 FROM scored WHERE crk = 1),
+pr AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM assign a JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE CAST(ROUND(list_cosine_similarity(a.e, b.e) * 1000000000.0::DOUBLE) AS BIGINT)
+        >= 900000000),
+ed AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr
+       UNION SELECT id1, id1 FROM pr UNION SELECT id2, id2 FROM pr),
+reach(a, b) AS (SELECT a, b FROM ed
+                UNION SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+comp AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a),
+assigned2 AS (
+  SELECT s.vec_id, s.list_id, s.cent_cos9,
+    COALESCE(c.component, s.vec_id) AS component
+  FROM assign s LEFT JOIN comp c USING (vec_id)),
+ranked AS (
+  SELECT vec_id, list_id, component, cent_cos9,
+    ROW_NUMBER() OVER (PARTITION BY component ORDER BY cent_cos9, vec_id) AS krk
+  FROM assigned2)
+SELECT vec_id, list_id, component, cent_cos9, krk = 1 AS keep
+FROM ranked ORDER BY vec_id""",
 
     // image phash near-dups: brute-force hamming over base ∪ planted twins
     // (phash formula mirrored from Synth.images; twin = xor 5, hamming 2)

@@ -851,6 +851,18 @@ object SparkEntry {
       TextOps.bigramPerplexity(Synth.documents(s, dir), meanNatsMin = 3.4)
         .orderBy("doc_id")),
 
+    // BPE merge training (Sennrich et al. 2016): 6 learned merge rules with
+    // their corpus-weighted pair counts; the oracle re-learns all 6 rounds in
+    // DuckDB (pair-count CTE + argmax + recursive-CTE greedy apply per round)
+    "q_doc_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeTrain(Synth.documents(s, dir), nMerges = 6)._1.orderBy("rk")),
+
+    // the trained vocabulary's final segmentation: every greedy leftmost
+    // non-overlapping application of all 6 rules at every position of every
+    // word is pinned by the toks string
+    "q_doc_bpe_vocab" -> ((s, dir) =>
+      TextOps.bpeTrain(Synth.documents(s, dir), nMerges = 6)._2.orderBy("word")),
+
     // fixed-window token chunking (training-context prep): 32-token windows,
     // 8-token overlap, short tail emitted — map-side explode, no shuffle
     "q_doc_chunks" -> ((s, dir) =>
@@ -1021,6 +1033,23 @@ object SparkEntry {
       SimOps.cosineNearDupPairs(base.unionByName(planted), 0.9)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy("id1", "id2")
+    }),
+
+    // SemDeDup (Abbas et al. 2023): coarse-cluster assignment (the IVF seed
+    // quantizer), within-cluster pairwise cosine >= 0.9, duplicate groups
+    // closed by connected components, keeper = LOWEST centroid-cosine per
+    // group (ties → min vec_id). Twins planted as in q_emb_near_dups so the
+    // duplicate graph is non-vacuous; the oracle replays assignment, pair
+    // generation, a recursive-CTE closure, and the keeper window verbatim.
+    "q_emb_semdedup" -> ((s, dir) => {
+      val base = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) * lit(0.5f)).cast("float")),
+            slice(col("embedding"), 2, 1000000)).as("embedding"))
+      SimOps.semDedup(base.unionByName(planted), nlist = 16, cosMin = 0.9)
+        .orderBy("vec_id")
     }),
 
     // image near-dup by perceptual hash: planted twins (phash % 64 == 0

@@ -312,6 +312,54 @@ object SimOps {
         col("rk_t"), col("rk_v"))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 —
+    * the embedding-space dedup pass used on LAION/web-scale corpora):
+    * cluster the corpus with a coarse quantizer, compute pairwise cosine
+    * ONLY within each cluster, connect pairs above `cosMin` into duplicate
+    * groups, and keep ONE example per group — per the paper's policy, the
+    * example with the LOWEST cosine to its cluster centroid (the most
+    * atypical representative survives; ties break to the smallest vec_id).
+    *
+    * Scale shape: the cluster assignment is the ivfTopK map-side pass
+    * (centroids are a kB-sized driver artifact — deterministic seeds here so
+    * the whole operator is exact-oracle-able; k-means-trained centroids swap
+    * in without plan changes). The quadratic step is bounded to Σ|cluster|²
+    * by the equi-join on list_id — the paper's exact trick for making n²
+    * dedup tractable at 10^9+ rows (nlist scales with corpus so clusters
+    * stay task-sized; a hot cluster falls back to graft.ops.Skew salting).
+    * Duplicate groups close transitively via the O(log n) large/small-star
+    * connected-components rounds, never a driver-side graph. */
+  def semDedup(embeddings: DataFrame, nlist: Int, cosMin: Double): DataFrame = {
+    import graft.ops.GraphOps
+    val cents: Array[(Long, Array[Float])] = embeddings
+      .filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def c9(e: org.apache.spark.sql.Column, ce: Array[Float]): org.apache.spark.sql.Column =
+      round(fns.cosine_sim(e, lit(ce)) * lit(1e9), 0).cast("long")
+    // argmax centroid (ties → smallest cid) AND its cosine in one array_max
+    val scored = array(cents.toIndexedSeq.map { case (cid, ce) =>
+      struct(c9(col("embedding"), ce).as("c9"), lit(-cid).as("ncid"))
+    }: _*)
+    val assigned = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("best", array_max(scored))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.ncid")).as("list_id"), col("best.c9").as("cent_cos9"))
+    val cosMin9 = math.round(cosMin * 1e9)
+    val l = assigned.select(col("list_id"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val rr = assigned.select(col("list_id"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    val edges = l.join(rr, Seq("list_id")).filter(col("id1") < col("id2"))
+      .filter(round(fns.cosine_sim(col("e1"), col("e2")) * lit(1e9), 0).cast("long") >= cosMin9)
+      .select("id1", "id2")
+    val comps = GraphOps.connectedComponents(edges, "id1", "id2")
+      .withColumnRenamed("id", "vec_id")
+    val withComp = assigned.join(comps, Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+    val w = Window.partitionBy("component").orderBy(col("cent_cos9"), col("vec_id"))
+    withComp.withColumn("keep", row_number().over(w) === 1)
+      .select("vec_id", "list_id", "component", "cent_cos9", "keep")
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor, the
     * k nearest vectors whose label DIFFERS from the anchor's — the
     * highest-similarity wrong answers, the pairs a contrastive loss learns

@@ -648,4 +648,87 @@ object TextOps {
         (coalesce(col("lp9_total"), lit(0L)) >=
           lit(-thresh9) * coalesce(col("n_pairs"), lit(0L))).as("keep"))
   }
+
+  /** One BPE merge applied to a symbol array: greedy LEFTMOST NON-OVERLAPPING
+    * replacement of adjacent (a, b) with the concatenated symbol — the apply
+    * semantics of Sennrich et al. 2016's learn_bpe (their regex replace is
+    * leftmost non-overlap too, so "aaaa" under (a,a) becomes [aa, aa] and
+    * "aaa" becomes [aa, a]). A single left fold carries a skip flag for the
+    * position consumed by the previous merge, so the whole scan is one
+    * array-expression per row — no explode, no UDF. */
+  private def applyMerge(syms: Column, a: String, b: String): Column = {
+    val n = size(syms)
+    aggregate(
+      sequence(lit(0), n - 1),
+      struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+      (acc, i) => {
+        val out = acc.getField("out")
+        val isMerge = (i < n - 1) &&
+          element_at(syms, i + 1) === lit(a) && element_at(syms, i + 2) === lit(b)
+        when(acc.getField("skip"), struct(out.as("out"), lit(false).as("skip")))
+          .when(isMerge,
+            struct(concat(out, array(lit(a + b))).as("out"), lit(true).as("skip")))
+          .otherwise(
+            struct(concat(out, array(element_at(syms, i + 1))).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("out"))
+  }
+
+  /** Byte-pair-encoding MERGE TRAINING (Sennrich, Haddow, Birch, ACL 2016 —
+    * the tokenizer-training algorithm behind GPT-2/RoBERTa-class vocabularies):
+    * learn `nMerges` merge rules by repeatedly taking the corpus-weighted most
+    * frequent adjacent symbol pair (count DESC, then lexicographic (left,
+    * right) ASC — deterministic) and fusing it across the vocabulary.
+    *
+    * Scale shape — the same reduction real BPE trainers use: the corpus
+    * collapses to (word, count) ONCE (the only corpus-sized shuffle; at
+    * 100 TB the vocabulary is ~10^7-10^8 rows ≪ corpus), and every merge
+    * round then runs over the VOCABULARY only: a pair posexplode + partial
+    * aggregation, a global argmax (LIMIT 1 — one row to the driver, the same
+    * bounded-artifact pattern as ivfTopK's quantizer), and a map-side fold
+    * applying the winning rule. Per-round localCheckpoint bounds lineage
+    * exactly like the X1 fixpoint and pageRank loops.
+    *
+    * Returns (merges, vocab): merges = (rk, lhs, rhs, merged, pair_count)
+    * one row per learned rule; vocab = (word, n, n_syms, toks) with each
+    * word's final segmentation — every rule application at every position
+    * is visible in `toks`, so an oracle over vocab pins the whole training
+    * trajectory. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(tokensCol(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, a + b, cnt))
+        vocab = vocab.withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    val mergesDf = merges.toSeq.toDF("rk", "lhs", "rhs", "merged", "pair_count")
+    (mergesDf,
+      vocab.select(col("word"), col("n"), size(col("syms")).as("n_syms"),
+        concat_ws(" ", col("syms")).as("toks")))
+  }
 }

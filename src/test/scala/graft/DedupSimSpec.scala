@@ -545,4 +545,121 @@ class DedupSimSpec extends AnyFunSuite {
     val b = TextOps.dupSpans(docs.repartition(32), 8).orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  // serial reference BPE trainer: Sennrich-style pair counting over a word-
+  // frequency dict (overlapping pairs counted) + greedy leftmost
+  // NON-overlapping apply — an implementation independent of both the Spark
+  // fold and the DuckDB recursive CTE
+  private def refBpe(words: Map[String, Long], nMerges: Int)
+      : (Seq[(Int, String, String, String, Long)], Map[String, Seq[String]]) = {
+    var vocab: Map[String, (Long, Vector[String])] =
+      words.map { case (w, n) => w -> (n, w.map(_.toString).toVector) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.values.foreach { case (n, syms) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.minBy { case ((l, rr), c) => (-c, l, rr) }
+        merges += ((r, a, b, a + b, cnt))
+        vocab = vocab.map { case (w, (n, syms)) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> (n, out.result())
+        }
+      }
+    }
+    (merges.toSeq, vocab.view.mapValues(_._2.toSeq).toMap)
+  }
+
+  test("bpeTrain matches the serial reference, incl. greedy overlap runs ('aaaa' -> aa aa)") {
+    // run-heavy words are the classic apply trap: overlapping pair COUNTS
+    // ('aaa' has (a,a) twice) but non-overlapping APPLICATION
+    val raw = Seq("aaaa aaaa aaa ab", "aaaa abab abab x", "banana banana aaa",
+      "ab ab ab aaaa")
+    val docs = raw.zipWithIndex
+      .map { case (t, i) => (i.toLong, "en", "src0", t) }
+      .toDF("doc_id", "lang", "source", "text")
+    val wordCounts = raw.flatMap(_.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val (expMerges, expVocab) = refBpe(wordCounts, 5)
+    val (gotMergesDf, gotVocabDf) = TextOps.bpeTrain(docs, 5)
+    val gotMerges = gotMergesDf.orderBy("rk")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(gotMerges === expMerges)
+    val gotVocab = gotVocabDf.select("word", "toks").as[(String, String)]
+      .collect().toMap
+    assert(gotVocab === expVocab.map { case (w, s) => w -> s.mkString(" ") })
+    // the trap case explicitly after ONE merge (round 1 learns (a,a) -> aa;
+    // later rounds legitimately merge (aa,aa) too): 4 a's -> two 'aa'
+    // (NOT 'aa a a'), 3 a's -> 'aa a' (NOT 'a aa')
+    val vocab1 = TextOps.bpeTrain(docs, 1)._2
+      .select("word", "toks").as[(String, String)].collect().toMap
+    assert(vocab1("aaaa") === "aa aa")
+    assert(vocab1("aaa") === "aa a")
+    assert(vocab1("banana") === "b a n a n a")
+  }
+
+  test("bpeTrain is partition-invariant on the real documents table") {
+    val docs = graft.synth.Synth.documents(spark, sf)
+    val (m1, v1) = TextOps.bpeTrain(docs.repartition(1), 4)
+    val (m32, v32) = TextOps.bpeTrain(docs.repartition(32), 4)
+    assert(m1.orderBy("rk").collect().toSeq === m32.orderBy("rk").collect().toSeq)
+    assert(v1.orderBy("word").collect().toSeq === v32.orderBy("word").collect().toSeq)
+  }
+
+  test("semDedup: one keeper per duplicate group, lowest-centroid-cos survivor, brute-force parity") {
+    val base = graft.synth.Synth.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        concat(array((element_at(col("embedding"), 1) * lit(0.5f)).cast("float")),
+          slice(col("embedding"), 2, 1000000)).as("embedding"))
+    val all = base.unionByName(planted)
+    val got = SimOps.semDedup(all, nlist = 16, cosMin = 0.9)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+
+    // serial brute force: assignment, in-cluster pairs, union-find, keeper
+    val vecs = all.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos9(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.round(d / math.sqrt(na * nb) * 1e9)
+    }
+    val cents = vecs.filter(_._1 < 16).toSeq.sortBy(_._1)
+    val assign = vecs.map { case (id, e) =>
+      val (cid, c9) = cents.map { case (cid, ce) => (cid, cos9(e, ce)) }
+        .minBy { case (cid, c9) => (-c9, cid) }
+      id -> (cid, c9)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (i <- ids; j <- ids if i < j)
+      if (assign(i)._1 == assign(j)._1 && cos9(vecs(i), vecs(j)) >= 900000000L) {
+        val (ri, rj) = (find(i), find(j)); if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+    val expComp = ids.map(i => i -> find(i)).toMap
+    val expKeep = ids.groupBy(expComp).map { case (_, members) =>
+      members.minBy(m => (assign(m)._2, m))
+    }.toSet
+
+    assert(got.map(_._1).toSet === ids.toSet)
+    got.foreach { case (id, listId, comp, c9, keep) =>
+      assert(listId === assign(id)._1, s"list of $id")
+      assert(c9 === assign(id)._2, s"cent_cos9 of $id")
+      assert(comp === expComp(id), s"component of $id")
+      assert(keep === expKeep.contains(id), s"keep of $id")
+    }
+    // the planted twins actually exercise the path: at least one duplicate
+    // group exists and drops exactly (n - #components) rows
+    assert(got.count(!_._5) === ids.size - expKeep.size)
+    assert(got.exists(!_._5))
+  }
 }
