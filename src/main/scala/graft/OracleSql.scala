@@ -1254,6 +1254,97 @@ UNION ALL SELECT 12, tile_id, n FROM l12
 UNION ALL SELECT 11, tile_id, n FROM l11
 ORDER BY zoom, tile_id""",
 
+    // spatially-buffered split: tile hash ((t % 1000003)·2654435761 mod 2^32
+    // mod 10 — products < 2^63, exact in both engines), 3×3 dilation of the
+    // DISTINCT test-tile set (x wraps at 2^15, y clamped), left join
+    "q_geo_spatial_split" ->
+      s"""WITH $imgCte,
+pts AS (SELECT CAST(SUBSTRING(image_id, 4) AS BIGINT) AS pid,
+  15 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT)
+  AS tile_id FROM imgs),
+tt AS (SELECT DISTINCT tile_id FROM pts
+       WHERE ((tile_id % 1000003) * 2654435761) % 4294967296 % 10 = 0),
+dil AS (SELECT DISTINCT 15 * 4503599627370496
+        + ((((tile_id % 4503599627370496) // 67108864) + dx + 32768) % 32768) * 67108864
+        + ((tile_id % 67108864) + dy) AS tile_id
+   FROM tt, (VALUES (-1),(0),(1)) dxs(dx), (VALUES (-1),(0),(1)) dys(dy)
+   WHERE (tile_id % 67108864) + dy >= 0 AND (tile_id % 67108864) + dy < 32768)
+SELECT p.pid, p.tile_id,
+  CASE WHEN ((p.tile_id % 1000003) * 2654435761) % 4294967296 % 10 = 0 THEN 'test'
+       WHEN d.tile_id IS NOT NULL THEN 'buffer' ELSE 'train' END AS split
+FROM pts p LEFT JOIN dil d ON p.tile_id = d.tile_id
+ORDER BY p.pid""",
+
+    // aspect bucketing + pixel-budget packing: ladder argmin as a
+    // first-true CASE chain (ties → first entry, the same order array_min
+    // breaks struct ties), then the pixels-before DIV budget chop
+    "q_image_aspect_batches" ->
+      """WITH dims AS (
+  SELECT o_orderkey AS pid, 'img' || o_orderkey AS image_id,
+    8 + ((o_orderkey * 48271 + 11) % 2147483647) % 8 AS w,
+    8 + ((o_orderkey * 69621 + 7) % 2147483647) % 8 AS h
+  FROM orders),
+sc AS (SELECT pid, image_id, CAST(w * h AS BIGINT) AS px,
+  abs(w * 1 - h * 1) AS s0, abs(w * 3 - h * 4) AS s1, abs(w * 4 - h * 3) AS s2,
+  abs(w * 9 - h * 16) AS s3, abs(w * 16 - h * 9) AS s4 FROM dims),
+bk AS (SELECT pid, image_id, px,
+  CASE WHEN s0 <= s1 AND s0 <= s2 AND s0 <= s3 AND s0 <= s4 THEN 1
+       WHEN s1 <= s2 AND s1 <= s3 AND s1 <= s4 THEN 4
+       WHEN s2 <= s3 AND s2 <= s4 THEN 3
+       WHEN s3 <= s4 THEN 16 ELSE 9 END AS bucket_w,
+  CASE WHEN s0 <= s1 AND s0 <= s2 AND s0 <= s3 AND s0 <= s4 THEN 1
+       WHEN s1 <= s2 AND s1 <= s3 AND s1 <= s4 THEN 3
+       WHEN s2 <= s3 AND s2 <= s4 THEN 4
+       WHEN s3 <= s4 THEN 9 ELSE 16 END AS bucket_h
+  FROM sc),
+woff AS (SELECT image_id, bucket_w, bucket_h, px,
+  CAST(COALESCE(SUM(px) OVER (PARTITION BY bucket_w, bucket_h ORDER BY pid
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_px
+  FROM bk)
+SELECT image_id, bucket_w, bucket_h, px, offset_px, offset_px // 2048 AS batch_id
+FROM woff ORDER BY image_id""",
+
+    // Feistel shuffle unrolled: 3 rounds, m = 2^16; every intermediate is
+    // < 2^63 so the integer dag is exact in both engines
+    "q_doc_shuffle" ->
+      """WITH f0 AS (SELECT doc_id, doc_id // 65536 AS l0, doc_id % 65536 AS r0 FROM documents),
+f1 AS (SELECT doc_id, r0 AS l1, (l0 + ((r0 + 40503) * 2654435761) % 65536) % 65536 AS r1 FROM f0),
+f2 AS (SELECT doc_id, r1 AS l2, (l1 + ((r1 + 81006) * 2654435761) % 65536) % 65536 AS r2 FROM f1),
+f3 AS (SELECT doc_id, r2 AS l3, (l2 + ((r2 + 121509) * 2654435761) % 65536) % 65536 AS r3 FROM f2)
+SELECT doc_id, l3 * 65536 + r3 AS perm FROM f3 ORDER BY doc_id""",
+
+    // incremental dedup brute force: batch×corpus plus batch×earlier-batch,
+    // best match by (hamming, id); planted '_c'/'_b' twins exercise both legs
+    "q_image_incr_dedup" ->
+      """WITH base AS (
+  SELECT o_orderkey AS k, 'img' || o_orderkey AS image_id,
+    ((o_orderkey * 48271 + 11) % 2147483647) * 2147483648
+      + ((o_orderkey * 69621 + 7) % 2147483647) AS phash
+  FROM orders),
+corpus AS (SELECT image_id, phash FROM base WHERE k % 4 <> 0),
+batch0 AS (SELECT image_id, phash FROM base WHERE k % 4 = 0),
+batch AS (
+  SELECT image_id, phash FROM batch0
+  UNION ALL SELECT image_id || '_c', xor(phash, 5) FROM corpus WHERE phash % 64 = 0
+  UNION ALL SELECT image_id || '_b', xor(phash, 3) FROM batch0 WHERE phash % 64 = 0),
+cand AS (
+  SELECT b.image_id, c.image_id AS match_id,
+    CAST(bit_count(xor(b.phash, c.phash)) AS INTEGER) AS hamming
+  FROM batch b JOIN corpus c ON bit_count(xor(b.phash, c.phash)) <= 3
+  UNION ALL
+  SELECT b.image_id, b2.image_id,
+    CAST(bit_count(xor(b.phash, b2.phash)) AS INTEGER)
+  FROM batch b JOIN batch b2
+    ON b2.image_id < b.image_id AND bit_count(xor(b.phash, b2.phash)) <= 3),
+m AS (SELECT image_id, match_id, hamming,
+        ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY hamming, match_id) AS rk
+      FROM cand)
+SELECT b.image_id, m.image_id IS NULL AS keep, m.match_id AS dup_of, m.hamming AS hamming
+FROM batch b LEFT JOIN m ON m.image_id = b.image_id AND m.rk = 1
+ORDER BY b.image_id""",
+
     // ---- mirror: global Moran's I over z14 tile counts ----------------------
     // five exact BIGINT sufficient statistics (tiles, ordered 8-neighbor
     // pairs, pairwise/count moments) + the identical double dag, micro-unit

@@ -713,6 +713,18 @@ object SparkEntry {
           zoom = 15, cap = 16)
         .orderBy("pid")),
 
+    // spatially-buffered train/test split (block spatial CV with a leakage
+    // buffer): whole z15 tiles hash to the test split, train points within
+    // one tile of any test tile are quarantined as 'buffer'; the oracle
+    // replays the tile hash + 3×3 dilation over the distinct test-tile set
+    "q_geo_spatial_split" -> ((s, dir) =>
+      graft.ops.ClusterOps.spatialSplit(
+          Pipeline.geoImages(s, dir).select(
+            expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+            col("lat"), col("lon")),
+          zoom = 15, testMod = 10)
+        .orderBy("pid")),
+
     // multi-zoom density pyramid: z15 leaf counts rolled up to z11 by pure
     // integer parent arithmetic on the packed tile id
     "q_geo_tile_pyramid" -> ((s, dir) =>
@@ -941,6 +953,12 @@ object SparkEntry {
     "q_doc_split" -> ((s, dir) =>
       TextOps.assignSplit(Synth.documents(s, dir)).orderBy("doc_id")),
 
+    // collision-free training-order shuffle: a 3-round Feistel bijection on
+    // [0, 2^32) — sorting by perm is a true deterministic permutation (no
+    // hash collisions, no rand()); the oracle unrolls the identical rounds
+    "q_doc_shuffle" -> ((s, dir) =>
+      TextOps.shuffleOrder(Synth.documents(s, dir)).orderBy("doc_id")),
+
     // benchmark decontamination: the deterministic doc_id % 97 slice plays
     // the eval set, the rest the training corpus; every corpus doc sharing
     // a 3-gram with any benchmark doc is flagged
@@ -1066,6 +1084,38 @@ object SparkEntry {
       ImageOps.phashNearDups(base.unionByName(planted), maxHam = 3)
         .orderBy("id1", "id2")
     }),
+
+    // incremental (daily-ingest) dedup: the k%4==0 slice plays the new
+    // batch, the rest the at-rest corpus; twins planted INTO the batch from
+    // both sides (corpus phash%64==0 → '_c' xor 5; batch phash%64==0 →
+    // '_b' xor 3) so cross-corpus and within-batch matches both fire. The
+    // oracle brute-forces batch×corpus ∪ batch×earlier-batch in SQL.
+    "q_image_incr_dedup" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      val base = Synth.images(s, dir, g, withBytes = false)
+        .withColumn("k", expr("CAST(substring(image_id, 4) AS BIGINT)"))
+        .select(col("k"), col("image_id"), col("phash"))
+      val corpus = base.filter(col("k") % 4 =!= 0).select("image_id", "phash")
+      val batch0 = base.filter(col("k") % 4 === 0).select("image_id", "phash")
+      val batch = batch0
+        .unionByName(corpus.filter(col("phash") % 64 === 0)
+          .select(concat(col("image_id"), lit("_c")).as("image_id"),
+            col("phash").bitwiseXOR(lit(5L)).as("phash")))
+        .unionByName(batch0.filter(col("phash") % 64 === 0)
+          .select(concat(col("image_id"), lit("_b")).as("image_id"),
+            col("phash").bitwiseXOR(lit(3L)).as("phash")))
+      ImageOps.incrementalPhashDedup(corpus, batch, maxHam = 3)
+        .orderBy("image_id")
+    }),
+
+    // aspect-ratio bucketing + pixel-budget batch packing (the image twin
+    // of q_doc_pack): ladder argmin by integer cross-difference, batches by
+    // the pixels-before DIV budget chop within each bucket
+    "q_image_aspect_batches" -> ((s, dir) =>
+      ImageOps.aspectBatches(
+          Synth.images(s, dir, Pipeline.prepared(s, dir)._1, withBytes = false),
+          budgetPx = 2048L)
+        .orderBy("image_id")),
 
     // ---- images: multimodal columns --------------------------------------
     // per-(fmt,w,h) EXACT integer channel sums: mean_c * w * h recovers the

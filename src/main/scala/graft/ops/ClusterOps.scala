@@ -119,6 +119,54 @@ object ClusterOps {
       .filter(col("rk") <= cap)
   }
 
+  /** Spatially-buffered train/test split — BLOCK spatial cross-validation
+    * with a leakage buffer (Roberts et al. 2017, "Cross-validation
+    * strategies for data with temporal, spatial, hierarchical, or
+    * phylogenetic structure", Ecography — the standard remedy for spatial
+    * autocorrelation leaking test information into training neighbors):
+    * whole TILES are assigned to the test split by a deterministic Knuth
+    * hash (so co-located points never straddle the split), and every train
+    * point whose tile touches a test tile (Chebyshev distance ≤ 1, the 3×3
+    * neighborhood, x wrapping at the antimeridian, y clamped at the poles)
+    * is quarantined as `buffer` — dropped from training so no training
+    * point sits within one tile of test data.
+    *
+    * Determinism: the split hash is tile-keyed integer arithmetic
+    * ((tile % 1000003) · 2654435761 mod 2^32 — products stay < 2^63, which
+    * both engines evaluate exactly), so assignment is identical on every
+    * run, engine, and cluster size — assignSplit's guarantee lifted from
+    * rows to tiles.
+    *
+    * Scale shape: the point side is ONE map-side tile computation + ONE
+    * equi-join. The dilation runs over the DISTINCT occupied test-tile set
+    * (tile-count-sized, ≪ corpus; ~9 rows out per test tile), so the
+    * buffer test never touches point×point pairs. Input: (pid, lat, lon).
+    * Output: (pid, tile_id, split ∈ test|buffer|train). */
+  def spatialSplit(points: DataFrame, zoom: Int, testMod: Int = 10): DataFrame = {
+    require(testMod >= 2, "testMod must be >= 2 (1 would put everything in test)")
+    val n = 1L << zoom
+    def isTest(t: org.apache.spark.sql.Column) =
+      pmod(pmod(pmod(t, lit(1000003L)) * lit(2654435761L), lit(4294967296L)),
+        lit(testMod.toLong)) === 0
+    val pts = points.select(col("pid"),
+      fns.tile_id(col("lat"), col("lon"), zoom).as("tile_id"))
+    val dilated = pts.filter(isTest(col("tile_id")))
+      .select(col("tile_id")).distinct()
+      .selectExpr("(tile_id % 4503599627370496L) DIV 67108864L AS tx",
+        "tile_id % 67108864L AS ty")
+      .selectExpr(s"""explode(transform(sequence(0, 8), o -> named_struct(
+          'tx', pmod(tx + o DIV 3 - 1, ${n}L), 'ty', ty + o % 3 - 1))) AS t""")
+      .filter(col("t.ty") >= 0 && col("t.ty") < n)
+      .selectExpr(s"${zoom}L * 4503599627370496L + t.tx * 67108864L + t.ty AS tile_id")
+      .distinct()
+      .withColumn("near_test", lit(true))
+    pts.join(dilated, Seq("tile_id"), "left")
+      .select(col("pid"), col("tile_id"),
+        when(isTest(col("tile_id")), "test")
+          .when(col("near_test").isNotNull, "buffer")
+          .otherwise("train").as("split"))
+  }
+
   /** Per-tile representative selection — the atlas/mosaic building block: for
     * every occupied tile, ONE canonical image, chosen by lexicographic
     * (phash, image_id) minimum (deterministic, engine-independent — no

@@ -63,6 +63,92 @@ object ImageOps {
       .select("id1", "id2", "hamming")
   }
 
+  /** INCREMENTAL phash dedup — the daily-ingest shape: a new batch is
+    * checked against the AT-REST corpus band index plus itself, without ever
+    * re-pairing the corpus. At 100 TB the corpus's (band, bucket, id, phash)
+    * rows are stored bucketed by (band, bucket), so the probe is a co-located
+    * equi-join touching only buckets the batch occupies; corpus×corpus pairs
+    * (the expensive part of a full re-dedup) are never generated.
+    *
+    * Policy (documented): a batch image is a duplicate iff it is within
+    * `maxHam` of ANY corpus image or any LEXICOGRAPHICALLY-EARLIER batch
+    * image (kept or dropped — the conservative everything-stays-indexed
+    * variant of streaming dedup; id order plays arrival order).
+    * `dup_of` = the matched id minimizing (hamming, id) — deterministic.
+    *
+    * Output: one row per batch image — (image_id, keep, dup_of, hamming);
+    * dup_of/hamming null for keepers. */
+  def incrementalPhashDedup(corpus: DataFrame, batch: DataFrame,
+                            maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && maxHam < 4, "4-band blocking is complete only for hamming < 4")
+    def banded(df: DataFrame) = df.select(col("image_id"), col("phash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(phash, b * 16) & 65535 AS bucket))"))
+          .as("bb"))
+      .select(col("image_id"), col("phash"), col("bb.band"), col("bb.bucket"))
+    def bkt(p: org.apache.spark.sql.Column, b: Int) =
+      shiftright(p, b * 16).bitwiseAND(lit(65535L))
+    // first-matching-band conjunct: exactly one emission per (batch, corpus)
+    // pair even when several bands are intact (no dedup shuffle)
+    val firstMatch = (0 until 4).map { b =>
+      (0 until b).map(i => bkt(col("phash"), i) =!= bkt(col("c_phash"), i))
+        .foldLeft(col("band") === b)(_ && _)
+    }.reduce(_ || _)
+    val ci = banded(corpus).select(col("band"), col("bucket"),
+      col("image_id").as("match_id"), col("phash").as("c_phash"))
+    val vsCorpus = banded(batch).join(ci, Seq("band", "bucket"))
+      .filter(firstMatch)
+      .withColumn("hamming", bit_count(col("phash").bitwiseXOR(col("c_phash"))))
+      .filter(col("hamming") <= maxHam)
+      .select(col("image_id"), col("match_id"), col("hamming"))
+    // batch-internal: the pair (id1 < id2) makes id2 the duplicate
+    val internal = phashNearDups(batch, maxHam)
+      .select(col("id2").as("image_id"), col("id1").as("match_id"), col("hamming"))
+    val best = vsCorpus.unionByName(internal)
+      .groupBy(col("image_id"))
+      .agg(min(struct(col("hamming"), col("match_id"))).as("m"))
+    batch.select(col("image_id")).join(best, Seq("image_id"), "left")
+      .select(col("image_id"), col("m").isNull.as("keep"),
+        col("m.match_id").as("dup_of"), col("m.hamming").as("hamming"))
+  }
+
+  /** Aspect-ratio bucketing + pixel-budget batch packing — the image twin of
+    * sequence packing (public recipe: NovelAI's aspect-ratio bucketing,
+    * adopted by SDXL-class trainers): every image joins the ladder bucket
+    * minimizing the integer cross-difference |w·bh − h·bw| (ties → first
+    * ladder entry), and each bucket's images are chopped into training
+    * batches by cumulative pixel budget using the same pixels-before DIV
+    * budget identity as shardPack — ONE shuffle on the bucket key, a window
+    * within the bucket, no global sort, payload never read (w·h is a
+    * column).
+    *
+    * Output: (image_id, bucket_w, bucket_h, px, offset_px, batch_id) with
+    * batch_id dense within a bucket (deterministic pid order). */
+  def aspectBatches(images: DataFrame, budgetPx: Long,
+                    ladder: Seq[(Int, Int)] = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16)))
+      : DataFrame = {
+    require(budgetPx >= 1, "budgetPx must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val scored = array(ladder.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(abs(col("w") * bh - col("h") * bw).as("s"), lit(i).as("i"))
+    }: _*)
+    val bucketed = images
+      .select(col("image_id"),
+        expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+        col("w"), col("h"))
+      .withColumn("bi", array_min(scored).getField("i"))
+      .select(col("image_id"), col("pid"),
+        element_at(lit(ladder.map(_._1).toArray), col("bi") + 1).as("bucket_w"),
+        element_at(lit(ladder.map(_._2).toArray), col("bi") + 1).as("bucket_h"),
+        (col("w") * col("h")).cast("long").as("px"))
+    val w = Window.partitionBy("bucket_w", "bucket_h").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("offset_px", coalesce(sum(col("px")).over(w), lit(0L)))
+      .withColumn("batch_id", expr(s"offset_px DIV ${budgetPx}L"))
+      .select("image_id", "bucket_w", "bucket_h", "px", "offset_px", "batch_id")
+  }
+
   /** decode + per-channel mean feature extraction. Partition-batched typed
     * island: binary payloads never pass through (de)serialization more than
     * once and the hot loop is plain JVM byte math. */

@@ -649,6 +649,36 @@ object TextOps {
           lit(-thresh9) * coalesce(col("n_pairs"), lit(0L))).as("keep"))
   }
 
+  /** Deterministic COLLISION-FREE training-order shuffle via a Feistel
+    * network (Luby, Rackoff, SIAM J. Comput. 1988 — a balanced Feistel over
+    * any round function is a bijection; the format-preserving-encryption
+    * construction of Black & Rogaway, CT-RSA 2002): each doc_id in
+    * [0, 2^(2·halfBits)) maps to a unique `perm` position, so sorting by
+    * perm is a true pseudorandom PERMUTATION of the corpus — unlike
+    * hash-ordering, two records can never collide and silently preserve
+    * their input adjacency, and unlike rand() the order is identical on
+    * every run, engine, and cluster size.
+    *
+    * Scale shape: perm is a pure map-side integer expression (3 unrolled
+    * rounds, all products < 2^63 for halfBits ≤ 17 — exact in any engine);
+    * the shuffled manifest is then ONE range-partitioned ordered write
+    * (orderBy(perm)) — the sort every shuffled-manifest writer pays, with
+    * no extra dedup/collision pass because the mapping is bijective by
+    * construction. halfBits = 16 covers 4.3e9 records; 21 covers 4.4e12
+    * (products ≤ 2^21·2654435761 < 2^53 — still exact). */
+  def shuffleOrder(docs: DataFrame, halfBits: Int = 16, rounds: Int = 3): DataFrame = {
+    require(halfBits >= 1 && halfBits <= 17, "halfBits in [1, 17] keeps products < 2^63")
+    require(rounds >= 1, "need at least one Feistel round")
+    val m = 1L << halfBits
+    var lr: (Column, Column) =
+      (expr(s"doc_id DIV ${m}L"), pmod(col("doc_id"), lit(m)))
+    for (r <- 1 to rounds) {
+      val f = pmod((lr._2 + lit(r * 40503L)) * lit(2654435761L), lit(m))
+      lr = (lr._2, pmod(lr._1 + f, lit(m)))
+    }
+    docs.select(col("doc_id"), (lr._1 * m + lr._2).as("perm"))
+  }
+
   /** One BPE merge applied to a symbol array: greedy LEFTMOST NON-OVERLAPPING
     * replacement of adjacent (a, b) with the concatenated symbol — the apply
     * semantics of Sennrich et al. 2016's learn_bpe (their regex replace is

@@ -158,6 +158,32 @@ class ClusterSpec extends AnyFunSuite {
     assert(byZoom(11).length < byZoom(15).length)
   }
 
+  test("spatialSplit: leakage-free (no train tile touches a test tile), deterministic, all classes present") {
+    val points = Pipeline.geoImages(spark, "/root/testdata/sf0.001")
+      .select(expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+        col("lat"), col("lon"))
+    // z17 at sf0.001: ~200 occupied tiles (z15 would give ~12 — too few
+    // for all three classes); the hash is deterministic so classes are fixed
+    val zoom = 17
+    val got = ClusterOps.spatialSplit(points, zoom, testMod = 10)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.map(_._3).toSet === Set("test", "buffer", "train"))
+    // leakage freedom: Chebyshev distance between any train tile and any
+    // test tile is >= 2 (the buffer absorbed the 3x3 ring)
+    def txy(t: Long): (Long, Long) = ((t % (1L << 52)) / (1L << 26), t % (1L << 26))
+    val testT = got.filter(_._3 == "test").map(t => txy(t._2)).distinct
+    val trainT = got.filter(_._3 == "train").map(t => txy(t._2)).distinct
+    for ((ax, ay) <- trainT; (bx, by) <- testT)
+      assert(math.max(math.abs(ax - bx), math.abs(ay - by)) >= 2,
+        s"train tile ($ax,$ay) touches test tile ($bx,$by)")
+    // tile-keyed: every tile maps to exactly one split
+    assert(got.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
+    // partitioning-invariant
+    val got32 = ClusterOps.spatialSplit(points.repartition(32), zoom, testMod = 10)
+      .orderBy("pid").as[(Long, Long, String)].collect().toSeq
+    assert(got.sortBy(_._1) === got32)
+  }
+
   test("Hull.hull = JTS convex hull; diam2/area2 exact vs brute force") {
     import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
     val gf = new GeometryFactory()

@@ -662,4 +662,32 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got.count(!_._5) === ids.size - expKeep.size)
     assert(got.exists(!_._5))
   }
+
+  test("shuffleOrder: bijective over the FULL domain, matches in-JVM Feistel, non-trivial") {
+    // halfBits = 5 -> domain [0, 1024): enumerate it all, perm must be a
+    // permutation (every output hit exactly once)
+    val hb = 5; val m = 1L << hb
+    val ids = (0L until m * m).toDF("doc_id")
+    val got = TextOps.shuffleOrder(ids, halfBits = hb, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === (0L until m * m).toSet)
+    assert(got.values.toSet === (0L until m * m).toSet, "perm is not a bijection")
+    // in-JVM reference of the same 3 rounds
+    def ref(id: Long): Long = {
+      var l = id / m; var r = id % m
+      for (rd <- 1 to 3) {
+        val f = java.lang.Math.floorMod((r + rd * 40503L) * 2654435761L, m)
+        val nl = r; val nr = java.lang.Math.floorMod(l + f, m)
+        l = nl; r = nr
+      }
+      l * m + r
+    }
+    (0L until m * m).foreach(id => assert(got(id) === ref(id), s"id $id"))
+    // the permutation genuinely scrambles: most ids move, and sorted-by-perm
+    // order breaks input adjacency for most neighbors
+    assert((0L until m * m).count(id => got(id) == id) < 16)
+    val order = (0L until m * m).sortBy(got)
+    val adjacentKept = order.sliding(2).count { case Seq(a, b) => b == a + 1; case _ => false }
+    assert(adjacentKept < (m * m / 16), s"$adjacentKept adjacent pairs survived")
+  }
 }

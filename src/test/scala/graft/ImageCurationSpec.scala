@@ -207,4 +207,54 @@ class ImageCurationSpec extends AnyFunSuite {
       assert(got((id, a)) === expect, s"$id/$a")
     }
   }
+
+  test("incrementalPhashDedup: hand-built planted set — policy, dup_of argmin, corpus untouched") {
+    // corpus: c10 (0b0000), c20 (0xF0F0). batch arrival order is id order:
+    //   b05 = 0b0001        -> dups c10 (hamming 1)
+    //   b15 = 0b0011        -> dups b05 (hamming 1) AND c10 (hamming 2):
+    //                          argmin (hamming, id) -> b05
+    //   b25 = 0b0111        -> dups b15 (hamming 1) — a CHAIN: b15 is itself
+    //                          dropped but stays indexed (documented policy)
+    //   b30 = 0xFFFF_FFFF.. -> no match, keeper
+    val corpus = Seq(("c10", 0L), ("c20", 0xF0F0L)).toDF("image_id", "phash")
+    val batch = Seq(("b05", 1L), ("b15", 3L), ("b25", 7L),
+      ("b30", 0x0FFFFFFFFL)).toDF("image_id", "phash")
+    val got = ImageOps.incrementalPhashDedup(corpus, batch, maxHam = 3)
+      .as[(String, Boolean, Option[String], Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("b05") === ((false, Some("c10"), Some(1))))
+    assert(got("b15") === ((false, Some("b05"), Some(1))))
+    assert(got("b25") === ((false, Some("b15"), Some(1))))
+    assert(got("b30") === ((true, None, None)))
+    assert(got.size === 4) // one row per batch image, corpus never emitted
+  }
+
+  test("aspectBatches: ladder argmin + chop identity recomputed serially; budget envelope") {
+    val (g, _, _) = Pipeline.prepared(spark, sf)
+    val imgs = Synth.images(spark, sf, g, withBytes = false)
+    val budget = 2048L
+    val ladder = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+    val got = ImageOps.aspectBatches(imgs, budget)
+      .as[(String, Int, Int, Long, Long, Long)].collect()
+    val dims = imgs.select(col("image_id"), col("w"), col("h"))
+      .as[(String, Int, Int)].collect()
+    // serial reference: argmin (|w*bh - h*bw|, index), then pid-ordered chop
+    val expect = dims.map { case (id, w, h) =>
+      val bi = ladder.zipWithIndex
+        .minBy { case ((bw, bh), i) => (math.abs(w * bh - h * bw), i) }._2
+      (id, id.drop(3).toLong, ladder(bi), w.toLong * h)
+    }.groupBy(_._3).toSeq.flatMap { case (b, rows) =>
+      var off = 0L
+      rows.sortBy(_._2).map { case (id, _, _, px) =>
+        val r = (id, b._1, b._2, px, off, off / budget); off += px; r
+      }.toSeq
+    }
+    assert(got.sortBy(_._1) === expect.toSeq.sortBy(_._1))
+    // batches within a bucket are contiguous and start where the chop says
+    val perBatch = got.groupBy(r => (r._2, r._3, r._6))
+    perBatch.foreach { case ((_, _, bid), rows) =>
+      assert(rows.map(_._5).min / budget === bid)
+    }
+    assert(got.map(r => (r._2, r._3)).distinct.length === 5) // all buckets used
+  }
 }
