@@ -17,10 +17,11 @@ package graft
 object OracleLiterals {
 
   val pinned: Seq[String] = Seq(
-    "q_image_s2cells", "q_image_hex7cells", "q_emb_lsh_topk", "q_emb_pq_topk",
-    // q_doc_simhash / q_doc_fingerprints were pins through round 3; both
-    // are now TRUE SQL oracles in OracleSql (FNV-1a + banding / rolling
-    // hash + splitmix recomputed in DuckDB HUGEINT arithmetic)
+    "q_image_s2cells", "q_image_hex7cells", "q_emb_pq_topk",
+    // q_doc_simhash / q_doc_fingerprints were pins through round 3, and
+    // q_emb_lsh_topk through round-4 session 5; all are now TRUE SQL
+    // oracles in OracleSql (FNV-1a + banding / rolling hash + splitmix
+    // hyperplanes recomputed in DuckDB HUGEINT arithmetic)
     "q_doc_token_hll",
     "q_image_features", "q_image_psnr", "q_audio_features",
     // Douglas-Peucker is recursive-split sequential logic DuckDB SQL can't

@@ -2613,6 +2613,52 @@ ranked AS (
 SELECT q_id, rk, neighbor, CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
 FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
 
+    // multi-table sign-LSH ANN replayed end-to-end (pin → TRUE oracle,
+    // round-4 session 6): the 8×4×64 hyperplane table is rebuilt from the
+    // splitmix64 recipe in HUGEINT (the q_doc_fingerprints 32-bit-split
+    // multiply machinery), each dot product is the SAME left-to-right fold
+    // Spark's aggregate() runs (list_reduce over a d-ordered product list —
+    // IEEE-identical association), sign bits pack into (table, bucket)
+    // keys, and candidates = distinct same-bucket pairs ranked by cos9.
+    "q_emb_lsh_topk" ->
+      """WITH pl0 AS (
+  SELECT t, p, d,
+    ((t*1000 + p)::HUGEINT * 11400714819323198485::HUGEINT
+     + d::HUGEINT * 13787848793156543929::HUGEINT + 19088743::HUGEINT)
+    % 18446744073709551616::HUGEINT AS z0
+  FROM range(0,8) tt(t), range(0,4) pp(p), range(0,64) dd(d)),
+pl1 AS (SELECT t, p, d, xor(z0, z0 >> 30) AS x2 FROM pl0),
+pl2 AS (SELECT t, p, d,
+  ((x2 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+   + (((x2 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+  % 18446744073709551616::HUGEINT AS z2 FROM pl1),
+pl3 AS (SELECT t, p, d, xor(z2, z2 >> 27) AS x3 FROM pl2),
+pl4 AS (SELECT t, p, d,
+  ((x3 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+   + (((x3 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+  % 18446744073709551616::HUGEINT AS z3 FROM pl3),
+pl AS (SELECT t, p, d,
+  CAST(xor(z3, z3 >> 31) % 4294967296::HUGEINT AS DOUBLE) / 2147483648.0::DOUBLE - 1.0::DOUBLE AS v
+  FROM pl4),
+emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dots AS (
+  SELECT emb2.vec_id, pl.t AS tbl, pl.p,
+    list_reduce(list(emb2.e[pl.d + 1] * pl.v ORDER BY pl.d), (a, b) -> a + b) AS dot
+  FROM emb2, pl GROUP BY emb2.vec_id, pl.t, pl.p),
+bkt AS (SELECT vec_id, tbl,
+  CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, tbl),
+qb AS (SELECT vec_id AS q_id, tbl, bucket FROM bkt WHERE vec_id % 100 = 0),
+cand AS (SELECT DISTINCT qb.q_id, b.vec_id
+         FROM qb JOIN bkt b ON b.tbl = qb.tbl AND b.bucket = qb.bucket AND b.vec_id <> qb.q_id),
+sc AS (SELECT c.q_id, c.vec_id AS neighbor,
+  CAST(ROUND(list_cosine_similarity(q.e, e2.e) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+  FROM cand c JOIN emb2 q ON q.vec_id = c.q_id JOIN emb2 e2 ON e2.vec_id = c.vec_id),
+ranked AS (SELECT q_id, neighbor, cos9,
+  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk FROM sc)
+SELECT q_id, rk, neighbor, CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
+FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+
     // brute-force near-dup ground truth over base ∪ planted twins (the query
     // plants a twin per vec_id%50==0 with element 1 halved — exact in float
     // and double, so CAST(embedding[1] AS DOUBLE)*0.5 equals the Spark float).
