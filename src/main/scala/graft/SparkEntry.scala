@@ -1113,7 +1113,8 @@ object SparkEntry {
     // the pixels-before DIV budget chop within each bucket
     "q_image_aspect_batches" -> ((s, dir) =>
       ImageOps.aspectBatches(
-          Synth.images(s, dir, Pipeline.prepared(s, dir)._1, withBytes = false),
+          Synth.images(s, dir, Pipeline.prepared(s, dir)._1, withBytes = false)
+            .withColumn("pid", expr("CAST(substring(image_id, 4) AS BIGINT)")),
           budgetPx = 2048L)
         .orderBy("image_id")),
 

@@ -122,6 +122,8 @@ object ImageOps {
     * within the bucket, no global sort, payload never read (w·h is a
     * column).
     *
+    * Input needs a numeric `pid` column providing the deterministic
+    * within-bucket order (the caller owns id → pid; any total order works).
     * Output: (image_id, bucket_w, bucket_h, px, offset_px, batch_id) with
     * batch_id dense within a bucket (deterministic pid order). */
   def aspectBatches(images: DataFrame, budgetPx: Long,
@@ -133,9 +135,7 @@ object ImageOps {
       struct(abs(col("w") * bh - col("h") * bw).as("s"), lit(i).as("i"))
     }: _*)
     val bucketed = images
-      .select(col("image_id"),
-        expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
-        col("w"), col("h"))
+      .select(col("image_id"), col("pid"), col("w"), col("h"))
       .withColumn("bi", array_min(scored).getField("i"))
       .select(col("image_id"), col("pid"),
         element_at(lit(ladder.map(_._1).toArray), col("bi") + 1).as("bucket_w"),

@@ -670,8 +670,14 @@ object TextOps {
     require(halfBits >= 1 && halfBits <= 17, "halfBits in [1, 17] keeps products < 2^63")
     require(rounds >= 1, "need at least one Feistel round")
     val m = 1L << halfBits
+    // out-of-domain ids would silently collide with in-domain ones (the
+    // bijection only holds on [0, m²)) — fail loudly instead
+    val guarded = when(col("doc_id") < 0 || col("doc_id") >= m * m,
+        raise_error(concat(lit(s"shuffleOrder: doc_id outside [0, ${m * m}): "),
+          col("doc_id").cast("string"))))
+      .otherwise(col("doc_id"))
     var lr: (Column, Column) =
-      (expr(s"doc_id DIV ${m}L"), pmod(col("doc_id"), lit(m)))
+      (expr(s"doc_id DIV ${m}L"), pmod(guarded, lit(m)))
     for (r <- 1 to rounds) {
       val f = pmod((lr._2 + lit(r * 40503L)) * lit(2654435761L), lit(m))
       lr = (lr._2, pmod(lr._1 + f, lit(m)))

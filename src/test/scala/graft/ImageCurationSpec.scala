@@ -232,6 +232,7 @@ class ImageCurationSpec extends AnyFunSuite {
   test("aspectBatches: ladder argmin + chop identity recomputed serially; budget envelope") {
     val (g, _, _) = Pipeline.prepared(spark, sf)
     val imgs = Synth.images(spark, sf, g, withBytes = false)
+      .withColumn("pid", expr("CAST(substring(image_id, 4) AS BIGINT)"))
     val budget = 2048L
     val ladder = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
     val got = ImageOps.aspectBatches(imgs, budget)
