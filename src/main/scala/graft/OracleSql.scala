@@ -1254,6 +1254,37 @@ UNION ALL SELECT 12, tile_id, n FROM l12
 UNION ALL SELECT 11, tile_id, n FROM l11
 ORDER BY zoom, tile_id""",
 
+    // vector→raster rasterization, CLOSED FORM: the synthetic streets are
+    // axis-aligned grid lines, so each horizontal way covers exactly the
+    // res-4 pixel row latI = FLOOR(lat·10^4) across lonI ∈
+    // [FLOOR(min_lon·10^4), FLOOR(max_lon·10^4)] (contiguous polyline ⇒
+    // every integer in the run), and each vertical way one lonI column
+    // across the lat run; crossings count 2 distinct ways. cell id packed
+    // as (lonI + 2e7)·1e8 + (latI + 2e7).
+    "q_way_raster" ->
+      s"""WITH $gridCte,
+ser4 AS (SELECT i FROM generate_series(0, 8191) t(i)),
+lonb AS (SELECT CAST(FLOOR(MIN(lon) * 10000.0::DOUBLE) AS BIGINT) AS l0,
+                CAST(FLOOR(MAX(lon) * 10000.0::DOUBLE) AS BIGINT) AS l1 FROM cc),
+latb AS (SELECT CAST(FLOOR(MIN(lat) * 10000.0::DOUBLE) AS BIGINT) AS a0,
+                CAST(FLOOR(MAX(lat) * 10000.0::DOUBLE) AS BIGINT) AS a1 FROM rr),
+hpix AS (
+  SELECT h.r AS way_id,
+         CAST(FLOOR(h.lat * 10000.0::DOUBLE) AS BIGINT) AS latI,
+         lonb.l0 + s.i AS lonI
+  FROM rr h, lonb, ser4 s WHERE lonb.l0 + s.i <= lonb.l1),
+vpix AS (
+  SELECT 1000000 + v.c AS way_id,
+         latb.a0 + s.i AS latI,
+         CAST(FLOOR(v.lon * 10000.0::DOUBLE) AS BIGINT) AS lonI
+  FROM cc v, latb, ser4 s WHERE latb.a0 + s.i <= latb.a1),
+pix AS (SELECT way_id, latI, lonI FROM hpix UNION ALL SELECT way_id, latI, lonI FROM vpix)
+SELECT (lonI + 20000000) * 100000000 + (latI + 20000000) AS cell,
+       lonI AS lon_idx, latI AS lat_idx,
+       CAST(COUNT(DISTINCT way_id) AS BIGINT) AS n_ways
+FROM pix GROUP BY lonI, latI
+ORDER BY cell""",
+
     // spatially-buffered split: tile hash ((t % 1000003)·2654435761 mod 2^32
     // mod 10 — products < 2^63, exact in both engines), 3×3 dilation of the
     // DISTINCT test-tile set (x wraps at 2^15, y clamped), left join

@@ -558,6 +558,18 @@ object SparkEntry {
         .select("image_id", "lat", "lon")
         .orderBy("image_id")),
 
+    // vector→raster line rasterization: the street grid rendered into
+    // res-4 pixels (supercover: exactly the pixels the polyline passes
+    // through, SAT refine over bbox candidates), per-pixel distinct-way
+    // counts — crossings show n_ways = 2. Closed-form oracle: every
+    // horizontal way covers one latI row across the grid's lon run, every
+    // vertical way one lonI column across the lat run.
+    "q_way_raster" -> ((s, dir) => {
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      SpatialOps.rasterizeWays(wayData.filter(col("way_id") < 2000000L), res = 4)
+        .orderBy("cell")
+    }),
+
     // geohash encoder (closed-form contract, see GeohashOps): per-cell image
     // counts at precision 7 — TRUE SQL oracle (the bit interleave + base-32
     // mapping is plain integer arithmetic DuckDB reruns verbatim)

@@ -53,6 +53,49 @@ object SpatialOps {
         greatest(col("lat1"), col("lat2")) + bufferDeg,
         greatest(col("lon1"), col("lon2")) + bufferDeg, res)))
 
+  /** Vector→raster LINE RASTERIZATION — the inverse leg of the
+    * raster↔vector pair (zonalImageStats reads rasters against vectors;
+    * this renders vectors INTO a raster): every way segment is drawn into
+    * exactly the res-`res` grid pixels its geometry passes through (a
+    * supercover rasterization, not the bbox blob), and the output is the
+    * per-pixel distinct-way count — the road-density raster.
+    *
+    * Candidates come from the segment-cell index (bbox covering, buffer 0);
+    * the refine is the exact segment-vs-pixel-rectangle test by the
+    * separating-axis theorem: given bbox overlap (guaranteed by the
+    * candidate generator, which covers the x and y axes), the segment
+    * intersects the pixel iff the pixel's four corners do not lie strictly
+    * on one side of the segment's line — ≤/≥ keeps edge-touching pixels,
+    * matching JTS `intersects` (gated in SpatialRasterSpec). Everything is
+    * a map-side codegen'd expression; the only shuffle is the final
+    * per-pixel count, whose input is narrow (cell, way_id) rows.
+    *
+    * Scale shape: cost ∝ Σ segment length in pixels (the rendered ink),
+    * never width×height of the raster; per-pixel counts partial-aggregate
+    * map-side. Input: wayData with (way_id, geometry). Output:
+    * (cell, lon_idx, lat_idx, n_ways). */
+  def rasterizeWays(wayData: DataFrame, res: Int): DataFrame = {
+    val p = graft.cells.GridCell.pow10(res)
+    val segs = segmentCells(wayData, res, 0.0)
+      .withColumn("lonI", expr(s"cell DIV ${graft.cells.GridCell.SCALE}L - ${graft.cells.GridCell.OFF}L"))
+      .withColumn("latI", expr(s"cell % ${graft.cells.GridCell.SCALE}L - ${graft.cells.GridCell.OFF}L"))
+    val lonLo = col("lonI").cast("double") / p
+    val lonHi = (col("lonI") + 1).cast("double") / p
+    val latLo = col("latI").cast("double") / p
+    val latHi = (col("latI") + 1).cast("double") / p
+    def side(cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column) =
+      (col("lon2") - col("lon1")) * (cy - col("lat1")) -
+        (col("lat2") - col("lat1")) * (cx - col("lon1"))
+    val s1 = side(lonLo, latLo); val s2 = side(lonLo, latHi)
+    val s3 = side(lonHi, latLo); val s4 = side(lonHi, latHi)
+    segs
+      .filter(least(s1, s2, s3, s4) <= 0 && greatest(s1, s2, s3, s4) >= 0)
+      .groupBy(col("cell"), col("lonI"), col("latI"))
+      .agg(countDistinct(col("way_id")).as("n_ways"))
+      .select(col("cell"), col("lonI").as("lon_idx"), col("latI").as("lat_idx"),
+        col("n_ways"))
+  }
+
   /** J2 applied to the image workload: geotagged images equi-joined to the
     * segment-cell index on their single cell, refined by codegen'd point-seg
     * distance, min per (image, way). The big (image) side is never
