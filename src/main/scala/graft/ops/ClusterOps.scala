@@ -127,9 +127,9 @@ object ClusterOps {
     * whole TILES are assigned to the test split by a deterministic Knuth
     * hash (so co-located points never straddle the split), and every train
     * point whose tile touches a test tile (Chebyshev distance ≤ 1, the 3×3
-    * neighborhood, x wrapping at the antimeridian, y clamped at the poles)
-    * is quarantined as `buffer` — dropped from training so no training
-    * point sits within one tile of test data.
+    * neighborhood; x wraps at the antimeridian, out-of-range y neighbors at
+    * the pole rows are simply dropped) is quarantined as `buffer` — dropped
+    * from training so no training point sits within one tile of test data.
     *
     * Determinism: the split hash is tile-keyed integer arithmetic
     * ((tile % 1000003) · 2654435761 mod 2^32 — products stay < 2^63, which
