@@ -180,6 +180,9 @@ FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
     * leftmost-non-overlap apply — each word's chain advances one position per
     * recursion level, jumping two when the pair matches, landing exactly at
     * pos = len + 1 with the rebuilt symbol list. */
+  // NOTE: word[i] indexes by grapheme cluster, Spark's substring by
+  // codepoint — identical on the ASCII corpus (bpeTrain's documented
+  // charset contract); combining sequences would diverge.
   private val bpeBase =
     """w0 AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -36,28 +36,39 @@ object ImageOps {
     * bits — any ≤3-flip pair still collides in one refined bucket because
     * the intact band plus intact other-band prefix pigeonhole again), the
     * same remedy Skew.scala applies to hot spatial cells. */
-  def phashNearDups(images: DataFrame, maxHam: Int = 3): DataFrame = {
-    require(maxHam >= 0 && maxHam < 4, "4-band blocking is complete only for hamming < 4")
-    val banded = images.select(col("image_id"), col("phash"),
+  /** (band, bucket) explode of the 4×16-bit phash bands — the blocking key
+    * shared by the pairwise and incremental dedup paths. */
+  private def phashBanded(images: DataFrame): DataFrame =
+    images.select(col("image_id"), col("phash"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band, shiftright(phash, b * 16) & 65535 AS bucket))"))
           .as("bb"))
       .select(col("image_id"), col("phash"), col("bb.band"), col("bb.bucket"))
+
+  /** first-matching-band conjunct (requires a `band` column in scope): a
+    * pair sharing several intact bands would emit once per shared band;
+    * keeping it only at the LOWEST shared band makes each pair emit exactly
+    * once WITHOUT a dropDuplicates shuffle (the same conjunct
+    * plans/HammingJoinRewrite synthesizes). */
+  private def firstMatchingBand(p1: org.apache.spark.sql.Column,
+                                p2: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def bkt(p: org.apache.spark.sql.Column, b: Int) =
+      shiftright(p, b * 16).bitwiseAND(lit(65535L))
+    (0 until 4).map { b =>
+      (0 until b).map(i => bkt(p1, i) =!= bkt(p2, i))
+        .foldLeft(col("band") === b)(_ && _)
+    }.reduce(_ || _)
+  }
+
+  def phashNearDups(images: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && maxHam < 4, "4-band blocking is complete only for hamming < 4")
+    val banded = phashBanded(images)
     val l = banded.select(col("band"), col("bucket"),
       col("image_id").as("id1"), col("phash").as("p1"))
     val r = banded.select(col("band"), col("bucket"),
       col("image_id").as("id2"), col("phash").as("p2"))
-    // first-matching-band: a pair sharing several intact bands would emit
-    // once per shared band; keeping it only at the LOWEST shared band makes
-    // each pair emit exactly once WITHOUT a dropDuplicates shuffle (the same
-    // conjunct plans/HammingJoinRewrite synthesizes)
-    def bkt(p: org.apache.spark.sql.Column, b: Int) =
-      shiftright(p, b * 16).bitwiseAND(lit(65535L))
-    val firstMatch = (0 until 4).map { b =>
-      (0 until b).map(i => bkt(col("p1"), i) =!= bkt(col("p2"), i))
-        .foldLeft(col("band") === b)(_ && _)
-    }.reduce(_ || _)
-    l.join(r, Seq("band", "bucket")).filter(col("id1") < col("id2") && firstMatch)
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2") && firstMatchingBand(col("p1"), col("p2")))
       .withColumn("hamming", bit_count(col("p1").bitwiseXOR(col("p2"))))
       .filter(col("hamming") <= maxHam)
       .select("id1", "id2", "hamming")
@@ -81,23 +92,10 @@ object ImageOps {
   def incrementalPhashDedup(corpus: DataFrame, batch: DataFrame,
                             maxHam: Int = 3): DataFrame = {
     require(maxHam >= 0 && maxHam < 4, "4-band blocking is complete only for hamming < 4")
-    def banded(df: DataFrame) = df.select(col("image_id"), col("phash"),
-        explode(expr(
-          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(phash, b * 16) & 65535 AS bucket))"))
-          .as("bb"))
-      .select(col("image_id"), col("phash"), col("bb.band"), col("bb.bucket"))
-    def bkt(p: org.apache.spark.sql.Column, b: Int) =
-      shiftright(p, b * 16).bitwiseAND(lit(65535L))
-    // first-matching-band conjunct: exactly one emission per (batch, corpus)
-    // pair even when several bands are intact (no dedup shuffle)
-    val firstMatch = (0 until 4).map { b =>
-      (0 until b).map(i => bkt(col("phash"), i) =!= bkt(col("c_phash"), i))
-        .foldLeft(col("band") === b)(_ && _)
-    }.reduce(_ || _)
-    val ci = banded(corpus).select(col("band"), col("bucket"),
+    val ci = phashBanded(corpus).select(col("band"), col("bucket"),
       col("image_id").as("match_id"), col("phash").as("c_phash"))
-    val vsCorpus = banded(batch).join(ci, Seq("band", "bucket"))
-      .filter(firstMatch)
+    val vsCorpus = phashBanded(batch).join(ci, Seq("band", "bucket"))
+      .filter(firstMatchingBand(col("phash"), col("c_phash")))
       .withColumn("hamming", bit_count(col("phash").bitwiseXOR(col("c_phash"))))
       .filter(col("hamming") <= maxHam)
       .select(col("image_id"), col("match_id"), col("hamming"))

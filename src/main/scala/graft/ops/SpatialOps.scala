@@ -65,10 +65,14 @@ object SpatialOps {
     * separating-axis theorem: given bbox overlap (guaranteed by the
     * candidate generator, which covers the x and y axes), the segment
     * intersects the pixel iff the pixel's four corners do not lie strictly
-    * on one side of the segment's line — ≤/≥ keeps edge-touching pixels,
-    * matching JTS `intersects` (gated in SpatialRasterSpec). Everything is
-    * a map-side codegen'd expression; the only shuffle is the final
-    * per-pixel count, whose input is narrow (cell, way_id) rows.
+    * on one side of the segment's line — ≤/≥ keeps edge-touching pixels
+    * WITHIN the candidate set, matching JTS `intersects` there (gated in
+    * SpatialRasterSpec). Along the bbox axes the contract is the standard
+    * half-open floor pixel convention: a segment lying exactly on a
+    * row/column boundary renders into the floor-assigned row only, not
+    * both closed-rect neighbors (the oracle mirrors the same floor).
+    * Everything is a map-side codegen'd expression; the only shuffle is
+    * the final per-pixel count, whose input is narrow (cell, way_id) rows.
     *
     * Scale shape: cost ∝ Σ segment length in pixels (the rendered ink),
     * never width×height of the raster; per-pixel counts partial-aggregate

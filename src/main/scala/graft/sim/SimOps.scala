@@ -100,32 +100,39 @@ object SimOps {
     * at rest, a query touches ~nprobe/nlist of the data and the join is
     * co-located. Ties (equal rounded cosine) break to the smallest centroid
     * id in both engines. */
+  /** deterministic seed centroids (vec_id < nlist): the coarse quantizer
+    * SHARED by ivfTopK and semDedup — a bounded (kB-sized) driver artifact,
+    * never data-sized; k-means-trained centroids swap in without plan
+    * changes. */
+  private[sim] def seedCentroids(embeddings: DataFrame, nlist: Int): Array[(Long, Array[Float])] =
+    embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  private[sim] def centCos9(e: org.apache.spark.sql.Column, ce: Array[Float]): org.apache.spark.sql.Column =
+    round(fns.cosine_sim(e, lit(ce)) * lit(1e9), 0).cast("long")
+
+  /** argmax centroid as struct(c9, ncid): max picks the highest cos9, ties
+    * break to the SMALLEST cid via the negated id — the one quantizer
+    * convention every consumer must share. */
+  private[sim] def bestCentroid(e: org.apache.spark.sql.Column,
+                                cents: Array[(Long, Array[Float])]): org.apache.spark.sql.Column =
+    array_max(array(cents.toIndexedSeq.map { case (cid, ce) =>
+      struct(centCos9(e, ce).as("c9"), lit(-cid).as("ncid"))
+    }: _*))
+
   def ivfTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents: Array[(Long, Array[Float])] = embeddings
-      .filter(col("vec_id") < nlist)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    def c9(e: org.apache.spark.sql.Column, ce: Array[Float]): org.apache.spark.sql.Column =
-      round(fns.cosine_sim(e, lit(ce)) * lit(1e9), 0).cast("long")
-    // nearest centroid = max (cos9, -cid) struct → smallest cid on ties
-    def listId(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val scored = array(cents.toIndexedSeq.map { case (cid, ce) =>
-        struct(c9(e, ce).as("c9"), lit(-cid).as("ncid"))
-      }: _*)
-      -array_max(scored).getField("ncid")
-    }
+    val cents = seedCentroids(embeddings, nlist)
     val assigned = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("list_id", listId(col("embedding")))
+      .withColumn("list_id", -bestCentroid(col("embedding"), cents).getField("ncid"))
     val qs = embeddings.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probeW = Window.partitionBy("q_id")
       .orderBy(col("sc.c9").desc, col("sc.cid"))
     val probes = qs
       .select(col("q_id"), col("q_emb"), explode(array(cents.toIndexedSeq.map { case (cid, ce) =>
-        struct(c9(col("q_emb"), ce).as("c9"), lit(cid).as("cid"))
+        struct(centCos9(col("q_emb"), ce).as("c9"), lit(cid).as("cid"))
       }: _*)).as("sc"))
       .withColumn("prk", row_number().over(probeW))
       .filter(col("prk") <= nprobe)
@@ -331,18 +338,11 @@ object SimOps {
     * connected-components rounds, never a driver-side graph. */
   def semDedup(embeddings: DataFrame, nlist: Int, cosMin: Double): DataFrame = {
     import graft.ops.GraphOps
-    val cents: Array[(Long, Array[Float])] = embeddings
-      .filter(col("vec_id") < nlist)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    def c9(e: org.apache.spark.sql.Column, ce: Array[Float]): org.apache.spark.sql.Column =
-      round(fns.cosine_sim(e, lit(ce)) * lit(1e9), 0).cast("long")
-    // argmax centroid (ties → smallest cid) AND its cosine in one array_max
-    val scored = array(cents.toIndexedSeq.map { case (cid, ce) =>
-      struct(c9(col("embedding"), ce).as("c9"), lit(-cid).as("ncid"))
-    }: _*)
+    val cents = seedCentroids(embeddings, nlist)
+    // the shared quantizer convention (bestCentroid) gives the argmax list
+    // AND its cosine in one array_max — clusters here ARE the IVF layout
     val assigned = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("best", array_max(scored))
+      .withColumn("best", bestCentroid(col("embedding"), cents))
       .select(col("vec_id"), col("embedding"),
         (-col("best.ncid")).as("list_id"), col("best.c9").as("cent_cos9"))
     val cosMin9 = math.round(cosMin * 1e9)

@@ -660,14 +660,16 @@ object TextOps {
     * every run, engine, and cluster size.
     *
     * Scale shape: perm is a pure map-side integer expression (3 unrolled
-    * rounds, all products < 2^63 for halfBits ≤ 17 — exact in any engine);
-    * the shuffled manifest is then ONE range-partitioned ordered write
-    * (orderBy(perm)) — the sort every shuffled-manifest writer pays, with
-    * no extra dedup/collision pass because the mapping is bijective by
-    * construction. halfBits = 16 covers 4.3e9 records; 21 covers 4.4e12
-    * (products ≤ 2^21·2654435761 < 2^53 — still exact). */
+    * rounds; the round-function product (2^halfBits + rounds·40503) ·
+    * 2654435761 stays < 2^63 for halfBits ≤ 31, so every intermediate is
+    * exact in any engine); the shuffled manifest is then ONE
+    * range-partitioned ordered write (orderBy(perm)) — the sort every
+    * shuffled-manifest writer pays, with no extra dedup/collision pass
+    * because the mapping is bijective by construction. halfBits = 16
+    * covers 4.3e9 records; 21 covers 4.4e12. */
   def shuffleOrder(docs: DataFrame, halfBits: Int = 16, rounds: Int = 3): DataFrame = {
-    require(halfBits >= 1 && halfBits <= 17, "halfBits in [1, 17] keeps products < 2^63")
+    require(halfBits >= 1 && halfBits <= 31,
+      "halfBits in [1, 31]: keeps the round product < 2^63 and perm < 2^63")
     require(rounds >= 1, "need at least one Feistel round")
     val m = 1L << halfBits
     // out-of-domain ids would silently collide with in-domain ones (the
@@ -725,6 +727,11 @@ object TextOps {
     * bounded-artifact pattern as ivfTopK's quantizer), and a map-side fold
     * applying the winning rule. Per-round localCheckpoint bounds lineage
     * exactly like the X1 fixpoint and pageRank loops.
+    *
+    * Charset contract: symbols are Unicode CODEPOINT-sized (substring
+    * semantics); the DuckDB oracle indexes by grapheme cluster, which
+    * coincides on this corpus (ASCII) — combining sequences would diverge
+    * and need a normalization pre-pass first.
     *
     * Returns (merges, vocab): merges = (rk, lhs, rhs, merged, pair_count)
     * one row per learned rule; vocab = (word, n, n_syms, toks) with each

@@ -625,12 +625,16 @@ class DedupSimSpec extends AnyFunSuite {
     val got = SimOps.semDedup(all, nlist = 16, cosMin = 0.9)
       .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
 
-    // serial brute force: assignment, in-cluster pairs, union-find, keeper
+    // serial brute force: assignment, in-cluster pairs, union-find, keeper.
+    // cos9 mirrors CosineSim + Spark round EXACTLY (dot/(sqrt(na)·sqrt(nb)),
+    // then HALF_UP away from zero) — sqrt(na·nb) or math.round would differ
+    // by 1 ulp / on .5 boundaries and flake near thresholds.
     val vecs = all.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     def cos9(a: Array[Double], b: Array[Double]): Long = {
       var d = 0.0; var na = 0.0; var nb = 0.0
       for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
-      math.round(d / math.sqrt(na * nb) * 1e9)
+      val c = if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+      BigDecimal(c * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
     val cents = vecs.filter(_._1 < 16).toSeq.sortBy(_._1)
     val assign = vecs.map { case (id, e) =>

@@ -8,9 +8,12 @@ case class RasterPt(lat: Double, lon: Double)
 
 /** rasterizeWays: the supercover SAT refine against JTS — the registered
   * query only exercises axis-aligned streets, so DIAGONAL segments are
-  * gated here: the rendered pixel set of random polylines must equal
-  * { cell : lineString INTERSECTS cell rectangle } per JTS (touch
-  * inclusive on both sides). */
+  * gated here: over the floor-based candidate set (the operator's pixel
+  * convention — a segment exactly on a row boundary belongs to the floor
+  * row), the rendered pixel set of random polylines must equal
+  * { candidate cell : lineString INTERSECTS cell rectangle } per JTS.
+  * Random doubles never land exactly on pixel boundaries, so within the
+  * candidates the closed-rect JTS semantics and the SAT ≤/≥ agree. */
 class SpatialRasterSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
