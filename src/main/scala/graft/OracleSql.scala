@@ -1987,6 +1987,99 @@ FROM fin GROUP BY k, fmt, w, h ORDER BY k""",
     // (P+1)(P+7)(v+17)), plants the k%7 bmp→png re-encodes as second rows
     // with the SAME digest, and groups — Spark must decode the real bytes of
     // BOTH codecs to identical digests for each group to pair up.
+    // END-TO-END curation: the q_image_dedup_pixel splitmix/digest CTEs
+    // extended with the q_image_quality sums (one GROUP BY produces digest,
+    // Σv, Σv²), the integer quality gate, min-per-(digest,w,h) survivor
+    // election, the q_image_geo_scrub city CASE + snap, and the
+    // q_image_shard_pack window chop over the SCRUBBED coordinates
+    "q_image_curation_e2e" ->
+      s"""WITH p AS (SELECT GREATEST(16, LEAST(512, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS g FROM orders),
+img AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+         (o_orderkey * 69621 + 7) % 2147483647 AS h2
+  FROM orders WHERE o_orderkey % 5 <> 3),
+dims AS (
+  SELECT k, CASE WHEN k % 5 = 1 THEN 'png' ELSE 'bmp' END AS fmt,
+         8 + h1 % 8 AS w, 8 + h2 % 8 AS h,
+         (h1 * 2147483648 + h2)::HUGEINT AS ph
+  FROM img),
+xs AS (SELECT i AS x FROM generate_series(0, 15) t(i)),
+ys AS (SELECT i AS y FROM generate_series(0, 15) t(i)),
+px AS (
+  SELECT k, fmt, w, h, x, y,
+    (ph + x * 11400714819323198485::HUGEINT
+        + y * 13787848793156543929::HUGEINT)
+      % 18446744073709551616::HUGEINT AS z0
+  FROM dims, xs, ys WHERE x < w AND y < h),
+m1 AS (
+  SELECT k, fmt, w, h, x, y,
+    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1
+  FROM (SELECT k, fmt, w, h, x, y, xor(z0, z0 >> 30) AS x1 FROM px)),
+m2 AS (
+  SELECT k, fmt, w, h, x, y,
+    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
+  FROM (SELECT k, fmt, w, h, x, y, xor(z1, z1 >> 27) AS x2 FROM m1)),
+fin AS (SELECT k, fmt, w, h, (y * w + x) * 3 AS p0, xor(z2, z2 >> 31) AS z
+        FROM m2),
+dig AS (
+  SELECT k, fmt, w, h,
+    CAST(SUM((p0 + 1) * (p0 + 7) * (z % 256 + 17)
+           + (p0 + 2) * (p0 + 8) * ((z // 256) % 256 + 17)
+           + (p0 + 3) * (p0 + 9) * ((z // 65536) % 256 + 17)) AS BIGINT)
+      AS digest,
+    SUM(z % 256 + (z // 256) % 256 + (z // 65536) % 256) AS s1,
+    SUM((z % 256) * (z % 256) + ((z // 256) % 256) * ((z // 256) % 256)
+        + ((z // 65536) % 256) * ((z // 65536) % 256)) AS s2
+  FROM fin GROUP BY k, fmt, w, h),
+geo AS (
+  SELECT k,
+    CASE WHEN u0 % 500 = 0 THEN u0 + 13 ELSE u0 END AS u,
+    CASE WHEN v0 % 500 = 0 THEN v0 + 13 ELSE v0 END AS v
+  FROM (SELECT img.k, h1 % ((p.g - 1) * 1000) AS u0, h2 % ((p.g - 1) * 1000) AS v0
+        FROM img, p)),
+rws AS (
+  SELECT 'img' || k AS image_id, k, w, h, digest, s1, s2 FROM dig
+  UNION ALL
+  SELECT 'img' || k || '_re', k, w, h, digest, s1, s2 FROM dig
+  WHERE k % 7 = 0 AND fmt = 'bmp'),
+gated AS (
+  SELECT * FROM rws
+  WHERE 3 * w * h * s2 - s1 * s1 >= 5400 * (3 * w * h)::HUGEINT * (3 * w * h)),
+surv AS (
+  SELECT image_id, k, w, h, digest FROM (
+    SELECT image_id, k, w, h, digest,
+      MIN(image_id) OVER (PARTITION BY digest, w, h) AS keep_id FROM gated)
+  WHERE image_id = keep_id),
+scr AS (
+  SELECT surv.image_id, surv.w, surv.h, surv.digest, geo.u, geo.v,
+    $cityCase AS city
+  FROM surv JOIN geo USING (k), (SELECT (g - 1) * 1000 AS s FROM p) sp),
+sc2 AS (
+  SELECT image_id, w, h, digest, city,
+    CASE WHEN city <> 'Unincorporated' THEN (u // 10000) * 10000 + 5000
+         ELSE u END AS u_out,
+    CASE WHEN city <> 'Unincorporated' THEN (v // 10000) * 10000 + 5000
+         ELSE v END AS v_out
+  FROM scr),
+pk AS (
+  SELECT *, (u_out // 5000) * 100000 + (v_out // 5000) AS cell,
+    CAST(3 * w * h AS BIGINT) AS sz
+  FROM sc2),
+wo AS (
+  SELECT image_id, w, h, digest, city, u_out, v_out, cell,
+    CAST(COALESCE(SUM(sz) OVER (PARTITION BY cell ORDER BY image_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_b
+  FROM pk)
+SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  digest, city, CAST(u_out AS BIGINT) AS u_out, CAST(v_out AS BIGINT) AS v_out,
+  CAST(cell AS BIGINT) AS cell, offset_b // 4096 AS shard, offset_b
+FROM wo ORDER BY image_id""",
+
     "q_image_dedup_pixel" ->
       """WITH img AS (
   SELECT o_orderkey AS k,

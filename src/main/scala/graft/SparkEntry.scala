@@ -1238,6 +1238,32 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
 
+    // END-TO-END curation capstone: decode-once stats → quality gate →
+    // cross-codec dedup survivors → geo scrub → spatial shard pack, ONE
+    // call; the oracle composes the four individually-proven CTE blocks
+    // (splitmix pixels → digest+Σv+Σv², integer gate, min-per-digest
+    // survivor, city CASE scrub, window chop) into one derivation — a
+    // divergence in ANY stage breaks the final hash
+    "q_image_curation_e2e" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val keep = Seq("image_id", "bytes", "fmt", "w", "h", "phash", "u", "v", "lat", "lon")
+      val base = Synth.withGeotag(Synth.images(s, dir, g0), g0)
+        .filter(col("fmt") =!= "jpeg")
+        .select(keep.head, keep.tail: _*)
+      val encPng = udf((phash: Long, w: Int, h: Int) =>
+        graft.synth.Codec.encodeFor("png", phash, w, h))
+      val planted = base
+        .filter(expr("CAST(substr(image_id, 4, 20) AS BIGINT) % 7 = 0") &&
+          col("fmt") === "bmp")
+        .withColumn("image_id", concat(col("image_id"), lit("_re")))
+        .withColumn("bytes", encPng(col("phash"), col("w"), col("h")))
+        .withColumn("fmt", lit("png"))
+        .select(keep.head, keep.tail: _*)
+      ImageOps.curatePipeline(s, base.unionByName(planted), Synth.cityPolys(g0),
+          minVar = 5400L, cellMicro = 5000L, budgetBytes = 4096L)
+        .orderBy("image_id")
+    }),
+
     // deterministic augmentations (hflip / rot180), TRUE SQL oracle: Spark
     // physically rearranges the decoded bytes and digests the result; DuckDB
     // independently rebuilds the digest from the splitmix closed form with

@@ -438,6 +438,64 @@ object ImageOps {
       .filter(col("n_copies") > 1)
   }
 
+  /** END-TO-END IMAGE CURATION PIPELINE — the full multimodal curation pass
+    * as ONE call, the image twin of TextOps.curate: decode (a SINGLE pass
+    * computing the content digest AND the exact quality sums — bytes are
+    * read once and never shuffle), quality gate (var_num ≥ minVar·n²),
+    * cross-codec exact dedup (survivor = min image_id per decoded-content
+    * group), geo-privacy scrubbing of the survivors, and spatially-local
+    * shard packing of the scrubbed records.
+    *
+    * Shuffle budget of the whole pass: ONE narrow shuffle on the digest
+    * (survivor election over (id, fmt, w, h, digest, var_num) rows), the
+    * broadcast-PIP scrub (zero exchange), and ONE shuffle on the export
+    * cell (the window chop) — payload bytes never enter any exchange.
+    * Input must carry bytes AND u, v, lat, lon geotag columns.
+    * Output: one row per exported image —
+    * (image_id, w, h, digest, city, u_out, v_out, cell, shard, offset_b). */
+  def curatePipeline(spark: SparkSession, images: DataFrame,
+                     polys: Array[(String, Array[Array[Double]])],
+                     minVar: Long, cellMicro: Long, budgetBytes: Long,
+                     scrubCellMicro: Long = 10000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stats = images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            var s1 = 0L; var s2 = 0L; var i = 0
+            while (i < rgb.length) {
+              val v = (rgb(i) & 0xff).toLong; s1 += v; s2 += v * v; i += 1
+            }
+            val n = rgb.length.toLong
+            (id, fmt, w, h, pixelDigest(rgb), n * s2 - s1 * s1)
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "digest", "var_num")
+    val n = (col("w") * col("h") * 3).cast("long")
+    val gated = stats.filter(col("var_num") >= lit(minVar) * n * n)
+    val survivors = gated
+      .withColumn("keep_id",
+        min(col("image_id")).over(Window.partitionBy("digest", "w", "h")))
+      .filter(col("image_id") === col("keep_id"))
+      .select("image_id", "w", "h", "digest")
+    val scrubbed = graft.ops.SpatialOps.geoScrub(
+      survivors.join(images.select("image_id", "u", "v", "lat", "lon"), "image_id"),
+      polys, scrubCellMicro)
+    val packedIn = scrubbed.join(survivors, "image_id")
+      .withColumn("cell",
+        expr(s"(u_out DIV $cellMicro) * 100000 + (v_out DIV $cellMicro)"))
+      .withColumn("sz", (col("w") * col("h") * 3).cast("long"))
+    val wc = Window.partitionBy("cell").orderBy("image_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packedIn
+      .withColumn("offset_b", coalesce(sum(col("sz")).over(wc), lit(0L)))
+      .withColumn("shard", expr(s"offset_b DIV ${budgetBytes}L"))
+      .select("image_id", "w", "h", "digest", "city", "u_out", "v_out",
+        "cell", "shard", "offset_b")
+  }
+
   /** Spatially-local training-shard packing (webdataset-style export): images
     * are grouped into size-bounded shards WITHIN a spatial cell, so a shard's
     * contents are geographically coherent and the packing needs no global
