@@ -215,6 +215,49 @@ v$k AS MATERIALIZED (SELECT a.word, v.n, a.out AS syms FROM a$k a JOIN v$p v USI
   private def bpePrefix(n: Int): String =
     "WITH RECURSIVE " + bpeBase + ",\n" + (1 to n).map(bpeRoundCtes).mkString(",\n")
 
+  /** splitmix64 pixel chain (img → dims → px → m1 → m2, threading x/y) for
+    * the image-content oracles: rebuilds every lossless image's source
+    * pixel words from o_orderkey in HUGEINT mod-2^64 arithmetic (the ≥2^63
+    * multipliers via the 32-bit split). `where` filters orders. */
+  private def pxChainCtes(where: String): String =
+    s"""img AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+         (o_orderkey * 69621 + 7) % 2147483647 AS h2
+  FROM orders WHERE $where),
+dims AS (
+  SELECT k, CASE WHEN k % 5 = 1 THEN 'png' ELSE 'bmp' END AS fmt,
+         8 + h1 % 8 AS w, 8 + h2 % 8 AS h,
+         (h1 * 2147483648 + h2)::HUGEINT AS ph
+  FROM img),
+xs AS (SELECT i AS x FROM generate_series(0, 15) t(i)),
+ys AS (SELECT i AS y FROM generate_series(0, 15) t(i)),
+px AS (
+  SELECT k, fmt, w, h, x, y,
+    (ph + x * 11400714819323198485::HUGEINT
+        + y * 13787848793156543929::HUGEINT)
+      % 18446744073709551616::HUGEINT AS z0
+  FROM dims, xs, ys WHERE x < w AND y < h),
+m1 AS (
+  SELECT k, fmt, w, h, x, y,
+    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1
+  FROM (SELECT k, fmt, w, h, x, y, xor(z0, z0 >> 30) AS x1 FROM px)),
+m2 AS (
+  SELECT k, fmt, w, h, x, y,
+    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
+  FROM (SELECT k, fmt, w, h, x, y, xor(z1, z1 >> 27) AS x2 FROM m1))"""
+
+  /** position-weighted pixel digest of one rgb triple whose base flat
+    * position is `p` (channel c at p+c contributes (p+c+1)(p+c+7)(v+17)). */
+  private def digSum(p: String): String =
+    s"""CAST(SUM(($p + 1) * ($p + 7) * (z % 256 + 17)
+           + ($p + 2) * ($p + 8) * ((z // 256) % 256 + 17)
+           + ($p + 3) * ($p + 9) * ((z // 65536) % 256 + 17)) AS BIGINT)"""
+
   val all: Map[String, String] = Map(
 
     // ---- closed form: full topological pipeline on the synthetic grid ----
@@ -2079,6 +2122,65 @@ SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   digest, city, CAST(u_out AS BIGINT) AS u_out, CAST(v_out AS BIGINT) AS v_out,
   CAST(cell AS BIGINT) AS cell, offset_b // 4096 AS shard, offset_b
 FROM wo ORDER BY image_id""",
+
+    // flip-invariant dedup: all FOUR orbit digests (identity / hflip /
+    // vflip / rot180) rebuilt from the splitmix closed form with the flips
+    // expressed as position remaps; canonical key = LEAST of the orbit —
+    // invariant under the group action, so the planted mirrored '_f' rows
+    // re-derive the SAME canon as their sources
+    "q_image_dihedral_dedup" ->
+      (s"""WITH ${pxChainCtes("o_orderkey % 5 <> 3")},
+fin AS (SELECT k, fmt, w, h,
+  (y * w + x) * 3 AS pid,
+  (y * w + (w - 1 - x)) * 3 AS phf,
+  ((h - 1 - y) * w + x) * 3 AS pvf,
+  ((h - 1 - y) * w + (w - 1 - x)) * 3 AS pro,
+  xor(z2, z2 >> 31) AS z FROM m2),
+dig AS (
+  SELECT k, fmt, w, h,
+    ${digSum("pid")} AS d0,
+    ${digSum("phf")} AS d1,
+    ${digSum("pvf")} AS d2,
+    ${digSum("pro")} AS d3
+  FROM fin GROUP BY k, fmt, w, h),
+cn AS (SELECT k, fmt, w, h, LEAST(d0, d1, d2, d3) AS canon FROM dig),
+rws AS (
+  SELECT 'img' || k AS image_id, fmt, w, h, canon FROM cn
+  UNION ALL
+  SELECT 'img' || k || '_f', 'bmp', w, h, canon FROM cn
+  WHERE k % 11 = 0 AND fmt = 'bmp')
+SELECT MIN(image_id) AS keep_id, COUNT(*) AS n_copies,
+  CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  array_to_string(list_sort(list_distinct(list(fmt))), ',') AS fmts,
+  canon
+FROM rws GROUP BY canon, w, h HAVING COUNT(*) > 1 ORDER BY keep_id"""),
+
+    // cross-modal dup classification: the planted '_re' rows carry the
+    // source caption except every second one (k % 14 → ' alt' suffix); the
+    // keeper + keeper-caption window is replayed verbatim
+    "q_image_crossmodal_dedup" ->
+      (s"""WITH ${pxChainCtes("o_orderkey % 5 <> 3")},
+fin AS (SELECT k, fmt, w, h, (y * w + x) * 3 AS p0, xor(z2, z2 >> 31) AS z
+        FROM m2),
+dig AS (
+  SELECT k, fmt, w, h, ${digSum("p0")} AS digest
+  FROM fin GROUP BY k, fmt, w, h),
+rws AS (
+  SELECT 'img' || k AS image_id, fmt, w, h, digest,
+         'caption ' || k AS caption FROM dig
+  UNION ALL
+  SELECT 'img' || k || '_re', 'png', w, h, digest,
+         CASE WHEN k % 14 = 0 THEN 'caption ' || k || ' alt'
+              ELSE 'caption ' || k END
+  FROM dig WHERE k % 7 = 0 AND fmt = 'bmp'),
+wk AS (
+  SELECT image_id, fmt, caption,
+    FIRST_VALUE(image_id) OVER (PARTITION BY digest, w, h ORDER BY image_id) AS keep_id,
+    FIRST_VALUE(caption) OVER (PARTITION BY digest, w, h ORDER BY image_id) AS keep_caption
+  FROM rws)
+SELECT keep_id, image_id AS dup_id, fmt,
+  caption = keep_caption AS captions_match
+FROM wk WHERE image_id <> keep_id ORDER BY dup_id"""),
 
     "q_image_dedup_pixel" ->
       """WITH img AS (

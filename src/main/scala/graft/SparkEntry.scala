@@ -1238,6 +1238,54 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
 
+    // FLIP-INVARIANT dedup: for every k % 11 == 0 bmp a MIRRORED copy is
+    // planted (pixels physically hflipped, re-encoded); a plain content
+    // digest cannot pair it with its source — only the canonical orbit
+    // digest (min over the Klein four-group) can. DuckDB rebuilds all four
+    // orbit digests from the splitmix closed form with the flips expressed
+    // as position remaps and takes the same LEAST, so the group key is
+    // re-derived, not trusted.
+    "q_image_dihedral_dedup" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val base = Synth.images(s, dir, g0).filter(col("fmt") =!= "jpeg")
+      val encFlip = udf((phash: Long, w: Int, h: Int) =>
+        graft.synth.Bmp.encode(
+          ImageOps.augmentPixels(graft.synth.Bmp.pixels(phash, w, h), w, h, "hflip"),
+          w, h))
+      val planted = base
+        .filter(expr("CAST(substr(image_id, 4, 20) AS BIGINT) % 11 = 0") &&
+          col("fmt") === "bmp")
+        .select(concat(col("image_id"), lit("_f")).as("image_id"),
+          encFlip(col("phash"), col("w"), col("h")).as("bytes"),
+          col("w"), col("h"), lit("bmp").as("fmt"), col("caption"), col("phash"))
+      ImageOps.dihedralDedupGroups(s, base.unionByName(planted))
+        .select("keep_id", "n_copies", "w", "h", "fmts", "canon")
+        .orderBy("keep_id")
+    }),
+
+    // cross-modal dup classification: the k % 7 bmp→png re-encodes are
+    // planted with the ORIGINAL caption except every second one (k % 14),
+    // which gets an altered caption — the query must split pixel-identical
+    // pairs into true duplicates vs label noise on the caption equality
+    "q_image_crossmodal_dedup" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val base = Synth.images(s, dir, g0).filter(col("fmt") =!= "jpeg")
+      val encPng = udf((phash: Long, w: Int, h: Int) =>
+        graft.synth.Codec.encodeFor("png", phash, w, h))
+      val planted = base
+        .filter(expr("CAST(substr(image_id, 4, 20) AS BIGINT) % 7 = 0") &&
+          col("fmt") === "bmp")
+        .select(concat(col("image_id"), lit("_re")).as("image_id"),
+          encPng(col("phash"), col("w"), col("h")).as("bytes"),
+          col("w"), col("h"), lit("png").as("fmt"),
+          when(expr("CAST(substr(image_id, 4, 20) AS BIGINT) % 14 = 0"),
+            concat(col("caption"), lit(" alt"))).otherwise(col("caption"))
+            .as("caption"),
+          col("phash"))
+      ImageOps.crossmodalDedup(s, base.unionByName(planted))
+        .orderBy("dup_id")
+    }),
+
     // END-TO-END curation capstone: decode-once stats → quality gate →
     // cross-codec dedup survivors → geo scrub → spatial shard pack, ONE
     // call; the oracle composes the four individually-proven CTE blocks

@@ -438,6 +438,95 @@ object ImageOps {
       .filter(col("n_copies") > 1)
   }
 
+  /** Digests of an image's ORBIT under the orientation Klein four-group
+    * {identity, hflip, vflip, rot180} — one pass over the pixels, four
+    * accumulators (each source pixel contributes to every digest at its
+    * remapped position). Returned in that fixed order. */
+  def orbitDigests(rgb: Array[Byte], w: Int, h: Int): Array[Long] = {
+    val d = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val src = (y * w + x) * 3
+        val pId = src.toLong
+        val pHf = ((y * w + (w - 1 - x)) * 3).toLong
+        val pVf = (((h - 1 - y) * w + x) * 3).toLong
+        val pRo = (((h - 1 - y) * w + (w - 1 - x)) * 3).toLong
+        var c = 0
+        while (c < 3) {
+          val v = (rgb(src + c) & 0xff) + 17L
+          d(0) += (pId + c + 1L) * (pId + c + 7L) * v
+          d(1) += (pHf + c + 1L) * (pHf + c + 7L) * v
+          d(2) += (pVf + c + 1L) * (pVf + c + 7L) * v
+          d(3) += (pRo + c + 1L) * (pRo + c + 7L) * v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    d
+  }
+
+  /** FLIP/ROTATION-INVARIANT exact dedup: groups keyed on the CANONICAL
+    * orbit digest — the minimum of the four orbit digests. The Klein group
+    * is closed, so a mirrored or upside-down re-encode of an image has the
+    * same orbit digest SET as its source and therefore the same canonical
+    * key: mirrored duplicates (a classic crawl artifact that evades both
+    * byte hashes and plain content digests) land in the source's group with
+    * zero pairwise work. Same scale shape as pixelDedupGroups — the four
+    * digests are computed in the single decode pass, one narrow shuffle on
+    * the 8-byte canonical key, payload bytes never travel. */
+  def dihedralDedupGroups(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    val digests = images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            (id, fmt, w, h, orbitDigests(rgb, w, h).min)
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "canon")
+    digests.groupBy("canon", "w", "h")
+      .agg(min(col("image_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        concat_ws(",", sort_array(collect_set(col("fmt")))).as("fmts"))
+      .filter(col("n_copies") > 1)
+  }
+
+  /** CROSS-MODAL duplicate classification: exact pixel duplicates split by
+    * whether their CAPTIONS also agree. Pixel-identical pairs with equal
+    * captions are true duplicates (drop one); pixel-identical pairs with
+    * DIFFERENT captions are label noise / caption spam — dropping either
+    * silently discards a distinct supervision signal, so real curation
+    * pipelines route the two classes differently. One narrow shuffle on the
+    * decoded-content digest; the keeper's caption rides the window frame
+    * (groups are duplicate clusters — tiny), bytes never shuffle.
+    * Output: one row per non-keeper duplicate —
+    * (keep_id, dup_id, fmt, captions_match). */
+  def crossmodalDedup(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val digests = images.select("image_id", "fmt", "caption", "bytes")
+      .as[(String, String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, cap, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            (id, fmt, cap, w, h, pixelDigest(rgb))
+          }
+        }
+      }.toDF("image_id", "fmt", "caption", "w", "h", "digest")
+    val win = Window.partitionBy("digest", "w", "h").orderBy("image_id")
+    digests
+      .withColumn("keep_id", first(col("image_id")).over(win))
+      .withColumn("keep_caption", first(col("caption")).over(win))
+      .filter(col("image_id") =!= col("keep_id"))
+      .select(col("keep_id"), col("image_id").as("dup_id"), col("fmt"),
+        (col("caption") === col("keep_caption")).as("captions_match"))
+  }
+
   /** END-TO-END IMAGE CURATION PIPELINE — the full multimodal curation pass
     * as ONE call, the image twin of TextOps.curate: decode (a SINGLE pass
     * computing the content digest AND the exact quality sums — bytes are
