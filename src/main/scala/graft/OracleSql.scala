@@ -1261,6 +1261,34 @@ FROM jov GROUP BY cluster, zone HAVING SUM(q4) > 0
 ORDER BY cluster, zone""",
 
     // ---- mirror: per-tile capped sampling -----------------------------------
+    // exact-quota stratified sampling: Knuth scramble + per-(city, fmt)
+    // ROW_NUMBER cut over the closed-form geotags — the window form is the
+    // semantic spec the k-bounded TopKAgg plan must reproduce exactly
+    "q_sample_stratified" ->
+      s"""WITH p AS (SELECT GREATEST(16, LEAST(512, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS g FROM orders),
+base AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+         (o_orderkey * 69621 + 7) % 2147483647 AS h2
+  FROM orders),
+geo AS (
+  SELECT k,
+    CASE WHEN k % 5 = 1 THEN 'png' WHEN k % 5 = 3 THEN 'jpeg'
+         ELSE 'bmp' END AS fmt,
+    CASE WHEN u0 % 500 = 0 THEN u0 + 13 ELSE u0 END AS u,
+    CASE WHEN v0 % 500 = 0 THEN v0 + 13 ELSE v0 END AS v
+  FROM (SELECT k, h1 % ((p.g - 1) * 1000) AS u0, h2 % ((p.g - 1) * 1000) AS v0
+        FROM base, p)),
+strat AS (
+  SELECT k, fmt, $cityCase AS city,
+    (k * 2654435761 + 12345) % 2147483648 AS skey
+  FROM geo, (SELECT (g - 1) * 1000 AS s FROM p) sp),
+rk AS (SELECT *,
+  ROW_NUMBER() OVER (PARTITION BY city, fmt ORDER BY skey, k) AS r
+  FROM strat)
+SELECT city, fmt, CAST(skey AS BIGINT) AS skey, k AS id
+FROM rk WHERE r <= 37 ORDER BY city, fmt, skey""",
+
     "q_geo_cap_sample" ->
       s"""WITH $imgCte,
 pts AS (SELECT CAST(substring(image_id, 4) AS BIGINT) AS pid, lat, lon FROM imgs),
@@ -2632,6 +2660,22 @@ FROM toks t LEFT JOIN per p USING (doc_id) ORDER BY t.doc_id""",
 SELECT word, n, CAST(len(syms) AS INTEGER) AS n_syms,
   array_to_string(syms, ' ') AS toks
 FROM v6 ORDER BY word"""),
+
+    // BPE apply: v6 (every word's final segmentation, itself re-learned
+    // from scratch) joined back onto the corpus word stream in position
+    // order — each doc's full token string is re-derived end to end
+    "q_doc_bpe_encode" ->
+      (bpePrefix(6) + """,
+dw AS (
+  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS wpos, unnest(tk) AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+enc AS (
+  SELECT d.doc_id, d.wpos, v.syms
+  FROM (SELECT * FROM dw WHERE len(word) > 0) d JOIN v6 v USING (word))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+  string_agg(array_to_string(syms, ' '), ' ' ORDER BY wpos) AS toks_str
+FROM enc GROUP BY doc_id ORDER BY doc_id"""),
 
     // duplicated token-8-gram spans: occurrence counting over exact gram
     // strings, then per-doc interval union — same-length intervals sorted by

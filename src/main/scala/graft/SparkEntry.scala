@@ -887,6 +887,30 @@ object SparkEntry {
     "q_doc_bpe_vocab" -> ((s, dir) =>
       TextOps.bpeTrain(Synth.documents(s, dir), nMerges = 6)._2.orderBy("word")),
 
+    // BPE APPLY: the corpus encoded with the 6 trained rules via dictionary
+    // lookup (one word-keyed broadcast join + one doc-keyed reassembly);
+    // the oracle RE-LEARNS the rules AND re-segments every word in DuckDB,
+    // then rebuilds each doc's full token stream string
+    "q_doc_bpe_encode" -> ((s, dir) => {
+      val docs = Synth.documents(s, dir)
+      TextOps.bpeEncode(docs, TextOps.bpeTrain(docs, nMerges = 6)._2)
+        .orderBy("doc_id")
+    }),
+
+    // deterministic EXACT-quota stratified sampling over (city, fmt) image
+    // strata — the frozen-training-subset op; selection runs through the
+    // k-bounded native TopKAgg (map-side combine discards non-contenders
+    // before the exchange). Oracle replays the Knuth scramble + per-stratum
+    // ROW_NUMBER cut over the closed-form geotags.
+    "q_sample_stratified" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val imgs = SpatialOps.imageCity(Pipeline.geoImages(s, dir),
+          Synth.cityPolys(g0))
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+      SampleOps.stratifiedQuota(imgs, Seq("city", "fmt"), col("k"), quota = 37)
+        .orderBy("city", "fmt", "skey")
+    }),
+
     // fixed-window token chunking (training-context prep): 32-token windows,
     // 8-token overlap, short tail emitted — map-side explode, no shuffle
     "q_doc_chunks" -> ((s, dir) =>

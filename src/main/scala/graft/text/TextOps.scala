@@ -774,4 +774,32 @@ object TextOps {
       vocab.select(col("word"), col("n"), size(col("syms")).as("n_syms"),
         concat_ws(" ", col("syms")).as("toks")))
   }
+
+  /** BPE ENCODE — apply a trained vocabulary (bpeTrain's second return) to
+    * the corpus, producing each document's token stream. This is the
+    * apply-side every tokenizer-training pipeline pairs with bpeTrain: the
+    * corpus is segmented by DICTIONARY LOOKUP, never by re-running the
+    * merge rules per document — each distinct word was segmented exactly
+    * once at training time, so encoding is one equi-join on `word` against
+    * the (broadcastable, vocabulary-sized ≪ corpus) segmentation table,
+    * then a per-doc ordered reassembly. Word order is carried by the
+    * posexplode index and restored with an in-group array_sort — no window,
+    * no second shuffle; the one exchange is the groupBy(doc_id).
+    *
+    * Output: (doc_id, n_words, n_tokens, toks_str) — toks_str is the full
+    * space-joined token stream, so any rule misapplication at any position
+    * of any word in any document flips the row. */
+  def bpeEncode(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), posexplode(tokensCol(col("text"))).as(Seq("wpos", "word")))
+      .filter(length(col("word")) > 0)
+    val seg = broadcast(vocab.select(col("word"), col("n_syms"), col("toks")))
+    words.join(seg, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms").cast("long")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("wpos"), col("toks")))),
+          e => e.getField("toks")), " ").as("toks_str"))
+  }
 }
