@@ -887,6 +887,31 @@ object SparkEntry {
     "q_doc_bpe_vocab" -> ((s, dir) =>
       TextOps.bpeTrain(Synth.documents(s, dir), nMerges = 6)._2.orderBy("word")),
 
+    // dedup-QA harness: confusion counts of the MinHash-LSH candidate
+    // stage vs exact-Jaccard ground truth at t = 0.5. The corpus's own
+    // near-dups are bimodal (exact copies vs J < 0.2), so every k % 29 doc
+    // gets a MUTATED twin — ⌈n/2⌉ / n / ⌈3n/2⌉ unique salt tokens appended
+    // by doc_id % 3, landing J around 0.66 / 0.49 / 0.40 — exactly the
+    // gray zone where 8×4 banding genuinely misses (P ≈ 0.81/0.40/0.19),
+    // so fn/fp are real. DuckDB re-derives BOTH sides from first
+    // principles: FNV-1a + splitmix signatures, band-slice equality, and
+    // the brute-force exact-Jaccard pair set.
+    "q_doc_minhash_eval" -> ((s, dir) => {
+      val docs = Synth.documents(s, dir).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 29 === 0)
+        .withColumn("n", size(split(col("text"), " ")))
+        .withColumn("m", expr("CAST(((doc_id % 3 + 1) * n) DIV 2 AS INT)"))
+        // salt BEFORE renaming doc_id: a same-select alias would win
+        // lateral-column-alias resolution inside the transform lambda and
+        // silently salt with the shifted id
+        .withColumn("text", concat(col("text"), lit(" "),
+          array_join(transform(sequence(lit(1), col("m")),
+            j => concat(lit("q"), col("doc_id").cast("string"), lit("x"),
+              j.cast("string"))), " ")))
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      TextOps.minHashLshEval(s, docs.unionByName(planted))
+    }),
+
     // BPE APPLY: the corpus encoded with the 6 trained rules via dictionary
     // lookup (one word-keyed broadcast join + one doc-keyed reassembly);
     // the oracle RE-LEARNS the rules AND re-segments every word in DuckDB,

@@ -307,6 +307,58 @@ object TextOps {
       .select("lang", "source", "id1", "id2", "jaccard")
   }
 
+  /** Dedup-QUALITY EVALUATION harness: how good is the MinHash-LSH
+    * CANDIDATE stage against exact-Jaccard ground truth? Every production
+    * dedup pipeline ships with exactly this audit — banding is a
+    * probabilistic filter (P[candidate | J] = 1 − (1 − J^rows)^bands, ≈0.40
+    * at J = 0.5 for 8×4), so unlike the recall-gated planted-pair tests
+    * this measures the REAL miss rate on the corpus's own near-dup
+    * distribution.
+    *
+    * Truth = exact-Jaccard pairs at the threshold via the PPJoin
+    * prefix-filtered path (complete by the prefix-filter theorem), scoped
+    * GLOBALLY — cross-source near-dups are precisely what the candidate
+    * stage must surface. Candidates = band-slice EQUALITY on the minhash
+    * signature (not Spark's 32-bit hash() buckets, whose collisions could
+    * add engine-specific candidates the oracle cannot see). Both pair sets
+    * are narrow (id, id) rows; the full-outer confusion join touches pairs,
+    * never documents.
+    *
+    * Output: ONE row — (n_truth, n_cand, tp, fn, fp, recall_milli,
+    * precision_milli), the integer-exact confusion counts. */
+  def minHashLshEval(spark: SparkSession, docs: DataFrame,
+                     bands: Int = 8, rows: Int = 4,
+                     jaccardMin: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    val flat = docs.select(col("doc_id"), col("text"))
+      .withColumn("lang", lit("all")).withColumn("source", lit("all"))
+    val truth = ngramJaccardPairs(flat, jaccardMin).select("id1", "id2")
+    val sig = docs.select(col("doc_id"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      .withColumn("sig", fns.minhash_sig(col("sh"), k))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", transform(
+          slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
+          x => x.cast("string"))))))
+      .toDF("doc_id", "band", "key")
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("id1"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("id2"))
+    val cand = l.join(r, Seq("band", "key")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").dropDuplicates("id1", "id2")
+    truth.withColumn("t", lit(true))
+      .join(cand.withColumn("c", lit(true)), Seq("id1", "id2"), "full_outer")
+      .agg(
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("t").isNotNull && col("c").isNull, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("t").isNull && col("c").isNotNull, 1L).otherwise(0L)).as("fp"))
+      .select(col("n_truth"), col("n_cand"), col("tp"), col("fn"), col("fp"),
+        when(col("n_truth") > 0, expr("tp * 1000 DIV n_truth")).as("recall_milli"),
+        when(col("n_cand") > 0, expr("tp * 1000 DIV n_cand")).as("precision_milli"))
+  }
+
   /** BM25 ranked retrieval (Robertson/Spärck Jones Okapi BM25, the public
     * formula; k1 = 1.2, b = 0.75): top-k documents per query over a
     * whitespace-token inverted index.
