@@ -258,4 +258,48 @@ class ImageCurationSpec extends AnyFunSuite {
     }
     assert(got.map(r => (r._2, r._3)).distinct.length === 5) // all buckets used
   }
+
+  test("orbitDigests: each slot matches the physically augmented digest; canonical is group-invariant") {
+    val (w, h) = (6, 4)
+    val rgb = Bmp.pixels(987654L, w, h)
+    val d = ImageOps.orbitDigests(rgb, w, h)
+    assert(d(0) === ImageOps.pixelDigest(rgb))
+    assert(d(1) === ImageOps.pixelDigest(ImageOps.augmentPixels(rgb, w, h, "hflip")))
+    assert(d(3) === ImageOps.pixelDigest(ImageOps.augmentPixels(rgb, w, h, "rot180")))
+    val vflip = ImageOps.augmentPixels(
+      ImageOps.augmentPixels(rgb, w, h, "rot180"), w, h, "hflip")
+    assert(d(2) === ImageOps.pixelDigest(vflip))
+    // canonical key is identical for every element of the orbit
+    for (t <- Seq(ImageOps.augmentPixels(rgb, w, h, "hflip"),
+        ImageOps.augmentPixels(rgb, w, h, "rot180"), vflip)) {
+      assert(ImageOps.orbitDigests(t, w, h).min === d.min)
+    }
+  }
+
+  test("dihedralDedupGroups pairs a mirrored copy with its source; plain digest cannot") {
+    val (w, h) = (7, 5)
+    val a = Bmp.pixels(4242L, w, h)
+    val fl = ImageOps.augmentPixels(a, w, h, "hflip")
+    assert(!java.util.Arrays.equals(a, fl)) // asymmetric fixture
+    val df = Seq(
+      ("a", "bmp", Bmp.encode(a, w, h)),
+      ("a_f", "bmp", Bmp.encode(fl, w, h))).toDF("image_id", "fmt", "bytes")
+    val groups = ImageOps.dihedralDedupGroups(spark, df).collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("n_copies") === 2L)
+    assert(groups(0).getAs[String]("keep_id") === "a")
+    assert(ImageOps.pixelDedupGroups(spark, df).count() === 0L)
+  }
+
+  test("crossmodalDedup splits pixel twins by caption equality") {
+    val (w, h) = (4, 4)
+    val px = Bmp.encode(Bmp.pixels(7L, w, h), w, h)
+    val df = Seq(
+      ("a", "bmp", "cap one", px),
+      ("b", "bmp", "cap one", px),
+      ("c", "bmp", "different", px)).toDF("image_id", "fmt", "caption", "bytes")
+    val rows = ImageOps.crossmodalDedup(spark, df).orderBy("dup_id").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1),
+      r.getBoolean(3))).toSeq === Seq(("a", "b", true), ("a", "c", false)))
+  }
 }
