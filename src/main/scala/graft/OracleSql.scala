@@ -2151,6 +2151,51 @@ SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(cell AS BIGINT) AS cell, offset_b // 4096 AS shard, offset_b
 FROM wo ORDER BY image_id""",
 
+    // sprite-atlas export: atlas digest = empty-canvas constant
+    // (17·Σ(P+1)(P+7) over all 64·64·3 positions) + Σ of every member
+    // image's splitmix pixels weighted at their BLIT positions
+    // P = ((sr·16+y)·64 + sc·16+x)·3 — membership, order, shard chop, and
+    // every offset re-derived from o_orderkey alone
+    "q_image_atlas" ->
+      (s"""WITH p AS (SELECT GREATEST(16, LEAST(512, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS g FROM orders),
+${pxChainCtes("o_orderkey % 5 <> 3")},
+geo AS (
+  SELECT k,
+    CASE WHEN u0 % 500 = 0 THEN u0 + 13 ELSE u0 END AS u,
+    CASE WHEN v0 % 500 = 0 THEN v0 + 13 ELSE v0 END AS v
+  FROM (SELECT img.k, h1 % ((p.g - 1) * 1000) AS u0,
+               h2 % ((p.g - 1) * 1000) AS v0
+        FROM img, p)),
+cells AS (
+  SELECT k, 'img' || k AS image_id,
+    (u // 5000) * 100000 + (v // 5000) AS cell FROM geo),
+rn AS (
+  SELECT k, cell,
+    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY image_id) - 1 AS r
+  FROM cells),
+slot AS (
+  SELECT k, cell, r // 16 AS shard,
+    (r % 16) // 4 AS sr, (r % 16) % 4 AS sc FROM rn),
+fin AS (SELECT k, x, y, xor(z2, z2 >> 31) AS z FROM m2),
+contrib AS (
+  SELECT s.cell, s.shard,
+    (((s.sr * 16 + f.y) * 64) + (s.sc * 16 + f.x)) * 3 AS p0, f.z
+  FROM slot s JOIN fin f USING (k)),
+base AS (SELECT CAST(SUM((i + 1) * (i + 7)) * 17 AS BIGINT) AS b
+         FROM generate_series(0, 12287) t(i)),
+atl AS (
+  SELECT cell, shard,
+    CAST(SUM((p0 + 1) * (p0 + 7) * (z % 256)
+           + (p0 + 2) * (p0 + 8) * ((z // 256) % 256)
+           + (p0 + 3) * (p0 + 9) * ((z // 65536) % 256)) AS BIGINT) AS psum
+  FROM contrib GROUP BY cell, shard),
+cnt AS (SELECT cell, shard, CAST(COUNT(*) AS BIGINT) AS n_imgs
+        FROM slot GROUP BY 1, 2)
+SELECT c.cell, CAST(c.shard AS BIGINT) AS shard, c.n_imgs,
+  a.psum + b.b AS digest
+FROM cnt c JOIN atl a USING (cell, shard), base b
+ORDER BY cell, shard"""),
+
     // flip-invariant dedup: all FOUR orbit digests (identity / hflip /
     // vflip / rot180) rebuilt from the splitmix closed form with the flips
     // expressed as position remaps; canonical key = LEAST of the orbit —

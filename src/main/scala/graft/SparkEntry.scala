@@ -1335,6 +1335,17 @@ object SparkEntry {
         .orderBy("dup_id")
     }),
 
+    // sprite-atlas export: every 16-image spatial shard physically
+    // composed onto a 64×64 canvas and digested — DuckDB re-derives each
+    // atlas digest as empty-canvas constant + Σ splitmix pixels under the
+    // slot-position remap, so every blit offset is pinned
+    "q_image_atlas" -> ((s, dir) => {
+      ImageOps.atlasDigests(s,
+          Pipeline.geoImages(s, dir, withBytes = true)
+            .filter(col("fmt") =!= "jpeg"))
+        .orderBy("cell", "shard")
+    }),
+
     // END-TO-END curation capstone: decode-once stats → quality gate →
     // cross-codec dedup survivors → geo scrub → spatial shard pack, ONE
     // call; the oracle composes the four individually-proven CTE blocks

@@ -527,6 +527,58 @@ object ImageOps {
         (col("caption") === col("keep_caption")).as("captions_match"))
   }
 
+  /** SPRITE-ATLAS EXPORT (dataset-browser leg of the export stage): images
+    * are bucketed into spatial cells, ordered by image_id, chopped into
+    * 16-image shards, and each shard is PHYSICALLY composed onto a 64×64
+    * RGB canvas (4×4 grid of 16×16 slots, slot s at row s/4, col s%4;
+    * unfilled canvas stays zero) — the sprite-sheet every dataset browser
+    * builds. The output row digests the composed canvas bytes, so every
+    * blit offset of every pixel of every image is pinned.
+    *
+    * Scale shape: one shuffle on the cell key; each group materializes ONE
+    * atlas at a time (a few KB) and only (cell, shard, n_imgs, digest)
+    * leaves the executor. Like any webdataset/atlas exporter the per-cell
+    * member list is sorted in memory — cells are export shards, bounded by
+    * construction (the spatial chop), not by the corpus. */
+  def atlasDigests(spark: SparkSession, geoImages: DataFrame,
+                   cellMicro: Long = 5000L): DataFrame = {
+    import spark.implicits._
+    val slotPx = 16
+    val gridN = 4
+    val W = gridN * slotPx
+    val keyed = geoImages
+      .withColumn("cell",
+        expr(s"(u DIV $cellMicro) * 100000 + (v DIV $cellMicro)"))
+      .select("cell", "image_id", "fmt", "bytes")
+      .as[(Long, String, String, Array[Byte])]
+    keyed.groupByKey(_._1).flatMapGroups { (cell, it) =>
+      val sorted = it.toArray.sortBy(_._2)
+      sorted.grouped(gridN * gridN).zipWithIndex.map { case (grp, shard) =>
+        val canvas = new Array[Byte](W * W * 3)
+        grp.zipWithIndex.foreach { case ((_, _, fmt, bytes), s) =>
+          Codec.decodeAny(fmt, bytes).foreach { case (rgb, w, h) =>
+            val r0 = (s / gridN) * slotPx
+            val c0 = (s % gridN) * slotPx
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val di = (((r0 + y) * W) + (c0 + x)) * 3
+                val si = (y * w + x) * 3
+                canvas(di) = rgb(si)
+                canvas(di + 1) = rgb(si + 1)
+                canvas(di + 2) = rgb(si + 2)
+                x += 1
+              }
+              y += 1
+            }
+          }
+        }
+        (cell, shard.toLong, grp.length.toLong, pixelDigest(canvas))
+      }
+    }.toDF("cell", "shard", "n_imgs", "digest")
+  }
+
   /** END-TO-END IMAGE CURATION PIPELINE — the full multimodal curation pass
     * as ONE call, the image twin of TextOps.curate: decode (a SINGLE pass
     * computing the content digest AND the exact quality sums — bytes are

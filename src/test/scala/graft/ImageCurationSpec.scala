@@ -291,6 +291,27 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(ImageOps.pixelDedupGroups(spark, df).count() === 0L)
   }
 
+  test("atlasDigests: hand-derived single-blit digest; 17 members chop into 16+1 shards") {
+    val (w, h) = (2, 2)
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => (i + 1).toByte)
+    val df = Seq(("a", "bmp", Bmp.encode(rgb, w, h), 0L, 0L))
+      .toDF("image_id", "fmt", "bytes", "u", "v")
+    val row = ImageOps.atlasDigests(spark, df).head()
+    var expect = 0L
+    for (p <- 0 until 64 * 64 * 3) expect += (p + 1L) * (p + 7L) * 17L
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val pp = (y * 64 + x) * 3 + c // slot 0 at canvas origin
+      expect += (pp + 1L) * (pp + 7L) * (rgb((y * w + x) * 3 + c) & 0xff)
+    }
+    assert(row.getAs[Long]("digest") === expect)
+    assert(row.getAs[Long]("n_imgs") === 1L)
+    val many = (0 until 17).map(i => (f"img$i%03d", "bmp", Bmp.encode(rgb, w, h), 0L, 0L))
+      .toDF("image_id", "fmt", "bytes", "u", "v")
+    val shards = ImageOps.atlasDigests(spark, many).orderBy("shard").collect()
+    assert(shards.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 16L), (1L, 1L)))
+  }
+
   test("crossmodalDedup splits pixel twins by caption equality") {
     val (w, h) = (4, 4)
     val px = Bmp.encode(Bmp.pixels(7L, w, h), w, h)
