@@ -18,15 +18,14 @@ object OracleLiterals {
 
   val pinned: Seq[String] = Seq(
     "q_image_s2cells", "q_image_hex7cells", "q_emb_pq_topk",
-    // q_doc_simhash / q_doc_fingerprints were pins through round 3, and
-    // q_emb_lsh_topk through round-4 session 5; all are now TRUE SQL
-    // oracles in OracleSql (FNV-1a + banding / rolling hash + splitmix
-    // hyperplanes recomputed in DuckDB HUGEINT arithmetic)
+    // q_doc_simhash / q_doc_fingerprints were pins through round 3,
+    // q_emb_lsh_topk through round-4 session 5, and q_traj_simplify
+    // (Douglas-Peucker) through session 6; all are now TRUE SQL oracles in
+    // OracleSql (FNV-1a + banding / rolling hash / splitmix hyperplanes in
+    // DuckDB HUGEINT arithmetic; DP as a recursive-split CTE whose
+    // first-max argmax is list_position(list_max))
     "q_doc_token_hll",
     "q_image_features", "q_image_psnr", "q_audio_features",
-    // Douglas-Peucker is recursive-split sequential logic DuckDB SQL can't
-    // express; independent check = JTS equality sweep (TrajSpec)
-    "q_traj_simplify",
     // golden-file replays: static reference data (sfDir-independent), pinned
     // because the driver's DuckDB sees only the sf parquet tables, not the
     // reference's GeoJSON files

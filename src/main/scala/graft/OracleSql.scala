@@ -900,6 +900,98 @@ ORDER BY track_id, start_step"""
     // association), nearest way brute-forced over the h/v street lines,
     // runs collapsed with the same lag/cumsum windows. No trace of the kNN
     // ring-expansion engine the Spark side uses.
+    // Douglas-Peucker PROMOTED from a regression pin to a TRUE SQL oracle:
+    // the recursive split IS expressible — a recursive CTE whose term finds
+    // each section's first-maximum interior point via list_transform +
+    // list_position(list_max) (first occurrence = the kernel's strict->
+    // tie-break) and emits both child sections through a 2-row VALUES join.
+    // Distances mirror Geom.pointSegDist op-for-op (sqrt is IEEE correctly
+    // rounded, so every comparison is engine-exact); kept points = the
+    // union of all section endpoints; sums are left-folded in index order
+    // via list_reduce with a 0.0 seed (the Spark aggregate's fold order).
+    // Tracks rebuilt from the LCG closed form exactly as q_traj_map_match.
+    "q_traj_simplify" -> {
+      val m = 2147483647L; val a = 48271L
+      val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong
+      val powers = (1 to 78)
+        .map(j => s"($j,${BigInt(a).modPow(BigInt(j), BigInt(m))})").mkString(",")
+      // clamped projection parameter t of point i onto section (a, b)
+      val tExpr =
+        """LEAST(1.0::DOUBLE, GREATEST(0.0::DOUBLE, ((p.lo[i] - p.lo[r.a+1]) * (p.lo[r.b+1] - p.lo[r.a+1]) + (p.la[i] - p.la[r.a+1]) * (p.la[r.b+1] - p.la[r.a+1])) / ((p.lo[r.b+1] - p.lo[r.a+1]) * (p.lo[r.b+1] - p.lo[r.a+1]) + (p.la[r.b+1] - p.la[r.a+1]) * (p.la[r.b+1] - p.la[r.a+1]))))"""
+      def resid(c: String) =
+        s"(p.$c[i] - (p.$c[r.a+1] + $tExpr * (p.$c[r.b+1] - p.$c[r.a+1])))"
+      val rx = resid("lo"); val ry = resid("la")
+      s"""WITH RECURSIVE
+pw(j, apow) AS (VALUES $powers),
+keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0
+         FROM orders WHERE o_orderkey % 97 = 0),
+deltas AS (
+  SELECT k, (j + 1) // 2 AS t, j % 2 = 1 AS is_lat,
+    ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d
+  FROM keys, pw),
+stepd AS (
+  SELECT k, t, SUM(CASE WHEN is_lat THEN d ELSE 0 END) AS dl,
+         SUM(CASE WHEN NOT is_lat THEN d ELSE 0 END) AS dn
+  FROM deltas GROUP BY k, t),
+cums AS (
+  SELECT k, t AS step,
+    SUM(dl) OVER (PARTITION BY k ORDER BY t) AS dlat,
+    SUM(dn) OVER (PARTITION BY k ORDER BY t) AS dlon
+  FROM stepd),
+pts0 AS (
+  SELECT k AS track_id, 0 AS step,
+    (37000000 + (k % 1000) * 100) * 1e-6 AS lat,
+    (-122000000 + (k % 997) * 100) * 1e-6 AS lon
+  FROM keys
+  UNION ALL
+  SELECT k, step,
+    (37000000 + (k % 1000) * 100 + dlat) * 1e-6,
+    (-122000000 + (k % 997) * 100 + dlon) * 1e-6
+  FROM cums),
+ptl AS (
+  SELECT track_id, list(lat ORDER BY step) AS la, list(lon ORDER BY step) AS lo
+  FROM pts0 GROUP BY track_id),
+rec(track_id, a, b) AS (
+  SELECT track_id, 0, 39 FROM ptl
+  UNION ALL
+  SELECT spl.track_id,
+    CASE WHEN c.side = 0 THEN spl.a ELSE spl.idx END,
+    CASE WHEN c.side = 0 THEN spl.idx ELSE spl.b END
+  FROM (
+    SELECT dd.track_id, dd.a, dd.b,
+      dd.a + list_position(dd.dlist, list_max(dd.dlist)) AS idx,
+      list_max(dd.dlist) AS md
+    FROM (
+      SELECT r.track_id, r.a, r.b,
+        CASE WHEN (p.lo[r.b+1] - p.lo[r.a+1]) * (p.lo[r.b+1] - p.lo[r.a+1])
+                + (p.la[r.b+1] - p.la[r.a+1]) * (p.la[r.b+1] - p.la[r.a+1]) = 0.0::DOUBLE
+        THEN list_transform(range(r.a + 2, r.b + 1), i ->
+          sqrt((p.lo[i] - p.lo[r.a+1]) * (p.lo[i] - p.lo[r.a+1])
+             + (p.la[i] - p.la[r.a+1]) * (p.la[i] - p.la[r.a+1])))
+        ELSE list_transform(range(r.a + 2, r.b + 1), i ->
+          sqrt($rx * $rx + $ry * $ry))
+        END AS dlist
+      FROM rec r JOIN ptl p USING (track_id)
+      WHERE r.b - r.a >= 2) dd
+    ) spl
+  JOIN (VALUES (0), (1)) c(side) ON TRUE
+  WHERE spl.md > 0.0002::DOUBLE),
+keepi AS (
+  SELECT DISTINCT track_id, i FROM (
+    SELECT track_id, a AS i FROM rec
+    UNION ALL SELECT track_id, b FROM rec)),
+klist AS (
+  SELECT k.track_id,
+    list(p.la[k.i + 1] ORDER BY k.i) AS lats,
+    list(p.lo[k.i + 1] ORDER BY k.i) AS lons
+  FROM keepi k JOIN ptl p USING (track_id) GROUP BY k.track_id)
+SELECT track_id, CAST(40 AS INTEGER) AS n_before,
+  CAST(len(lats) AS INTEGER) AS n_after,
+  ROUND(list_reduce(list_prepend(0.0::DOUBLE, lats), (x, y) -> x + y), 9) AS lat_sum,
+  ROUND(list_reduce(list_prepend(0.0::DOUBLE, lons), (x, y) -> x + y), 9) AS lon_sum
+FROM klist ORDER BY track_id"""
+    },
+
     "q_traj_map_match" -> {
       val m = 2147483647L; val a = 48271L
       val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong // 1968059542
