@@ -1353,6 +1353,54 @@ FROM jov GROUP BY cluster, zone HAVING SUM(q4) > 0
 ORDER BY cluster, zone""",
 
     // ---- mirror: per-tile capped sampling -----------------------------------
+    // polygon buffer / fringe: per outside image, distance to each zone =
+    // MIN of pointSegDist over the closed ring's edges (vertex doubles
+    // rebuilt exactly: LAT0/LON0 + (s·P//100 + 0.5)·1e-6), the kernel
+    // formula mirrored op-for-op (sqrt is IEEE-exact); nearest zone via the
+    // first-poly-wins CASE; dist9 = floor(d·1e9 + 0.5) on both engines
+    "q_geo_city_fringe" -> {
+      val t = """LEAST(1.0::DOUBLE, GREATEST(0.0::DOUBLE, ((n.lon - e.ax) * (e.bx - e.ax) + (n.lat - e.ay) * (e.by - e.ay)) / ((e.bx - e.ax) * (e.bx - e.ax) + (e.by - e.ay) * (e.by - e.ay))))"""
+      s"""WITH $imgCte,
+sp AS (SELECT (g - 1) * 1000 AS s FROM p),
+uninc AS (
+  SELECT image_id, lat, lon FROM imgs, sp
+  WHERE ($cityCase) = 'Unincorporated'),
+ev(poly, u1, v1, u2, v2) AS (VALUES
+  ('alpha',10,10,10,40),('alpha',10,40,35,40),('alpha',35,40,35,10),('alpha',35,10,10,10),
+  ('beta',40,50,40,90),('beta',40,90,70,90),('beta',70,90,70,50),('beta',70,50,40,50),
+  ('gamma',70,5,95,5),('gamma',95,5,95,20),('gamma',95,20,80,20),
+  ('gamma',80,20,80,45),('gamma',80,45,70,45),('gamma',70,45,70,5)),
+edges AS (
+  SELECT poly,
+    -122.0::DOUBLE + (CAST(sp.s * v1 // 100 AS DOUBLE) + 0.5::DOUBLE) * 1e-6 AS ax,
+    37.0::DOUBLE + (CAST(sp.s * u1 // 100 AS DOUBLE) + 0.5::DOUBLE) * 1e-6 AS ay,
+    -122.0::DOUBLE + (CAST(sp.s * v2 // 100 AS DOUBLE) + 0.5::DOUBLE) * 1e-6 AS bx,
+    37.0::DOUBLE + (CAST(sp.s * u2 // 100 AS DOUBLE) + 0.5::DOUBLE) * 1e-6 AS by
+  FROM ev, sp),
+dists AS (
+  SELECT n.image_id, e.poly,
+    CASE WHEN (e.bx - e.ax) * (e.bx - e.ax) + (e.by - e.ay) * (e.by - e.ay) = 0.0::DOUBLE
+    THEN sqrt((n.lon - e.ax) * (n.lon - e.ax) + (n.lat - e.ay) * (n.lat - e.ay))
+    ELSE sqrt(
+      (n.lon - (e.ax + $t * (e.bx - e.ax))) * (n.lon - (e.ax + $t * (e.bx - e.ax)))
+      + (n.lat - (e.ay + $t * (e.by - e.ay))) * (n.lat - (e.ay + $t * (e.by - e.ay))))
+    END AS d
+  FROM uninc n, edges e),
+pd AS (SELECT image_id, poly, MIN(d) AS d FROM dists GROUP BY 1, 2),
+pv AS (SELECT image_id,
+    MAX(CASE WHEN poly = 'alpha' THEN d END) AS da,
+    MAX(CASE WHEN poly = 'beta' THEN d END) AS db,
+    MAX(CASE WHEN poly = 'gamma' THEN d END) AS dg
+  FROM pd GROUP BY 1)
+SELECT image_id,
+  CASE WHEN da <= db AND da <= dg THEN 'alpha'
+       WHEN db <= dg THEN 'beta' ELSE 'gamma' END AS fringe_city,
+  CAST(FLOOR(LEAST(da, db, dg) * 1000000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS dist9
+FROM pv
+WHERE LEAST(da, db, dg) <= 0.003::DOUBLE
+ORDER BY image_id"""
+    },
+
     // exact-quota stratified sampling: Knuth scramble + per-(city, fmt)
     // ROW_NUMBER cut over the closed-form geotags — the window form is the
     // semantic spec the k-bounded TopKAgg plan must reproduce exactly

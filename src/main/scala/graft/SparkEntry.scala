@@ -922,6 +922,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // polygon BUFFER / fringe query: images outside every city but within
+    // 3000 µdeg of one, tagged with the nearest zone (first-poly ties).
+    // Zero-shuffle broadcast-constant plan; the oracle mirrors
+    // pointSegDist op-for-op over the closed rings' exact vertex doubles.
+    "q_geo_city_fringe" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      SpatialOps.cityFringe(Pipeline.geoImages(s, dir), Synth.cityPolys(g0),
+          dDeg = 0.003)
+        .orderBy("image_id")
+    }),
+
     // deterministic EXACT-quota stratified sampling over (city, fmt) image
     // strata — the frozen-training-subset op; selection runs through the
     // k-bounded native TopKAgg (map-side combine discards non-contenders

@@ -31,6 +31,50 @@ object SpatialOps {
         fns.point_in_polygon_first(col("lat"), col("lon"), polys, "Unincorporated"))
   }
 
+  /** BUFFERED-REGION membership (polygon dilation / fringe query — the GIS
+    * buffer op every zoning pipeline runs): images NOT inside any zone but
+    * within `dDeg` planar degrees of one, tagged with the nearest zone
+    * (Euclidean distance to the polygon region = min point-to-segment
+    * distance over its CLOSED ring when outside; ties between zones → first
+    * poly in array order, the same convention as the PIP first-match).
+    *
+    * Scale shape: the polygon set rides the plan as broadcast constants
+    * (same contract as PointInPolygonFirst) and every distance is a
+    * codegen'd map-side expression — ZERO shuffles end to end. At the
+    * million-polygon scale the cell-indexed PIP twin's layout applies
+    * (explode polys to cells, equi-join, refine); this is the
+    * broadcast-dimension path.
+    * Output: (image_id, fringe_city, dist9) — distance in nano-degrees. */
+  def cityFringe(geoImages: DataFrame,
+                 polys: Array[(String, Array[Array[Double]])],
+                 dDeg: Double): DataFrame = {
+    require(polys.nonEmpty)
+    val distCols = polys.map { case (_, rings) =>
+      val flat = rings(0) // [lon,lat, lon,lat, ...]
+      val closed = flat.grouped(2).toArray :+ Array(flat(0), flat(1))
+      val ring = array(closed.map(p =>
+        struct(lit(p(1)).as("lat"), lit(p(0)).as("lon"))): _*)
+      fns.point_polyline_dist(col("lat"), col("lon"), ring)
+    }
+    // first-poly-wins argmin: poly i is nearest iff its distance is <= all
+    // later ones and no earlier poly already won (the when-chain encodes it)
+    val nearest = polys.indices.init.foldRight(lit(polys.last._1)) { (i, rest) =>
+      when(polys.indices.drop(i + 1)
+          .map(j => distCols(i) <= distCols(j)).reduce(_ && _),
+        lit(polys(i)._1)).otherwise(rest)
+    }
+    geoImages
+      .withColumn("city0",
+        fns.point_in_polygon_first(col("lat"), col("lon"), polys, "Unincorporated"))
+      .filter(col("city0") === "Unincorporated")
+      .withColumn("mind", least(distCols: _*))
+      .filter(col("mind") <= lit(dDeg))
+      // floor(x·1e9 + 0.5) is HALF_UP spelled identically in both engines —
+      // no ROUND half-tie semantics in the contract
+      .select(col("image_id"), nearest.as("fringe_city"),
+        floor(col("mind") * lit(1e9) + lit(0.5)).cast("long").as("dist9"))
+  }
+
   /** Segment-level cell index: ways exploded into individual segments, each
     * replicated into the cells of its (buffered) bbox. This is THE scale
     * structure for point-vs-way joins: rows are 6 doubles + ids (no geometry

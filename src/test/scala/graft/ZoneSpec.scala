@@ -366,4 +366,24 @@ class ZoneSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("cityFringe: perpendicular distances, nearest-zone tag, first-poly ties, radius cut") {
+    import spark.implicits._
+    val polys = Array(
+      ("A", Array(Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0))), // unit square
+      ("B", Array(Array(5.0, 0.0, 6.0, 0.0, 6.0, 1.0, 5.0, 1.0))))
+    val pts = Seq(
+      ("p1", 0.5, -0.25), // 0.25 left of A
+      ("p2", 0.5, 2.0),   // 1.0 right of A (3.0 to B)
+      ("p3", 0.5, 3.0),   // EXACT tie: 2.0 to each → first poly A
+      ("p4", 0.5, -9.0)   // far outside the 2.5 radius → dropped
+    ).toDF("image_id", "lat", "lon")
+    val got = graft.ops.SpatialOps.cityFringe(pts, polys, dDeg = 2.5)
+      .orderBy("image_id")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("p1", "A", 250000000L),
+      ("p2", "A", 1000000000L),
+      ("p3", "A", 2000000000L)))
+  }
 }
