@@ -30,9 +30,10 @@ object OracleLiterals {
     // because the driver's DuckDB sees only the sf parquet tables, not the
     // reference's GeoJSON files
     "q_golden_alpine", "q_golden_sf_summary", "q_golden_corpus",
-    // thumbnail pixel / downsampled PCM checksums: codec paths DuckDB
-    // cannot re-express
-    "q_image_thumbs", "q_audio_downsample")
+    // downsampled-PCM checksum: the xxhash64 fingerprint has no DuckDB
+    // twin (q_image_thumbs was promoted in round-4 session 7 — the resize
+    // map is integer-div over splitmix pixels, fully SQL-derivable)
+    "q_audio_downsample")
 
   private def load(name: String): Option[String] = {
     val in = getClass.getResourceAsStream(s"/pins/$name.sql")

@@ -2291,6 +2291,22 @@ SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(cell AS BIGINT) AS cell, offset_b // 4096 AS shard, offset_b
 FROM wo ORDER BY image_id""",
 
+    // thumbnails promoted from a pin: thumb pixel (tx,ty) = source splitmix
+    // pixel at (tx·w//4, ty·h//4) — the identical integer-div resize map —
+    // digested per image with the standard position weights
+    "q_image_thumbs" ->
+      (s"""WITH ${pxChainCtes("o_orderkey % 5 <> 3")},
+fin AS (SELECT k, x, y, xor(z2, z2 >> 31) AS z FROM m2),
+txy AS (SELECT a.i AS tx, b.i AS ty
+        FROM generate_series(0, 3) a(i), generate_series(0, 3) b(i)),
+tpix AS (
+  SELECT d.k, d.fmt, t.tx, t.ty, (t.ty * 4 + t.tx) * 3 AS p0, f.z
+  FROM dims d JOIN txy t ON TRUE
+  JOIN fin f ON f.k = d.k AND f.x = t.tx * d.w // 4 AND f.y = t.ty * d.h // 4)
+SELECT k, fmt, CAST(4 AS INTEGER) AS tw, CAST(4 AS INTEGER) AS th,
+  ${digSum("p0")} AS digest
+FROM tpix GROUP BY k, fmt ORDER BY k"""),
+
     // sprite-atlas export: atlas digest = empty-canvas constant
     // (17·Σ(P+1)(P+7) over all 64·64·3 positions) + Σ of every member
     // image's splitmix pixels weighted at their BLIT positions

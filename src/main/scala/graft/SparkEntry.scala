@@ -1253,25 +1253,26 @@ object SparkEntry {
         .orderBy("fmt")
     }),
 
-    // thumbnails (nearest-neighbor resize of the decoded BMPs, re-encoded):
-    // every thumbnail is re-decoded and its exact pixel content pinned via
-    // an order-insensitive checksum (count + total byte sum + xor of
-    // per-image xxhash64(id, pix_sum)) — one pinned row gates all resizes
+    // thumbnails, PROMOTED from a pin to a TRUE SQL oracle (lossless rows):
+    // every 4×4 thumb is re-decoded and its position-weighted pixel digest
+    // emitted per image; DuckDB re-derives every thumb pixel from the
+    // splitmix closed form through the IDENTICAL integer-div resize map
+    // sx = x·w DIV 4, sy = y·h DIV 4 — any resize or codec bug flips a
+    // digest. (jpeg thumbs stay test-gated: the resize kernel is
+    // codec-independent and jpeg DECODE is driver-gated by q_image_psnr's
+    // 40 dB contract.)
     "q_image_thumbs" -> ((s, dir) => {
       import s.implicits._
       val (g0, _, _) = Pipeline.prepared(s, dir)
-      val thumbs = ImageOps.thumbnails(s, Synth.images(s, dir, g0), 4, 4)
-      val pix = thumbs.select(col("image_id"), col("thumb"))
-        .as[(String, Array[Byte])]
-        .map { case (id, b) =>
-          val (rgb, w, h) = graft.synth.Bmp.decode(b)
-          var sum = 0L; var i = 0
-          while (i < rgb.length) { sum += rgb(i) & 0xff; i += 1 }
-          (id, w, h, sum)
-        }.toDF("image_id", "tw", "th", "pix_sum")
-      pix.agg(count(lit(1)).as("n"), max(col("tw")).as("tw"), max(col("th")).as("th"),
-        sum(col("pix_sum")).as("total_pix"),
-        expr("bit_xor(xxhash64(image_id, pix_sum))").as("fp"))
+      val thumbs = ImageOps.thumbnails(s,
+        Synth.images(s, dir, g0).filter(col("fmt") =!= "jpeg"), 4, 4)
+      thumbs.select(col("image_id"), col("fmt"), col("thumb"))
+        .as[(String, String, Array[Byte])]
+        .map { case (id, fmt, b) =>
+          val (rgb, w4, h4) = graft.synth.Bmp.decode(b)
+          (id.drop(3).toLong, fmt, w4, h4, ImageOps.pixelDigest(rgb))
+        }.toDF("k", "fmt", "tw", "th", "digest")
+        .orderBy("k")
     }),
 
     // cross-codec exact dedup, TRUE SQL oracle: every lossless bmp with
