@@ -24,8 +24,11 @@ object OracleLiterals {
     // OracleSql (FNV-1a + banding / rolling hash / splitmix hyperplanes in
     // DuckDB HUGEINT arithmetic; DP as a recursive-split CTE whose
     // first-max argmax is list_position(list_max))
+    // (q_audio_features was promoted in round-4 session 7: the full-corpus
+    // PCM decode re-derived via an (A^j, T_j) power table in HUGEINT —
+    // rms is exact because Σv² < 2^41 and sqrt is IEEE-exact)
     "q_doc_token_hll",
-    "q_image_features", "q_image_psnr", "q_audio_features",
+    "q_image_features", "q_image_psnr",
     // golden-file replays: static reference data (sfDir-independent), pinned
     // because the driver's DuckDB sees only the sf parquet tables, not the
     // reference's GeoJSON files

@@ -2291,6 +2291,55 @@ SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(cell AS BIGINT) AS cell, offset_b // 4096 AS shard, offset_b
 FROM wo ORDER BY image_id""",
 
+    // audio features PROMOTED from a pin: the full 15k-clip corpus decode
+    // re-derived from first principles — a 1199-row (A^j, T_j) table gives
+    // every PCM sample as (A^j·seed + T_j) mod 2^64 >> 48 (signed16); both
+    // mod-2^64 products stay under INT128 so no 32-bit splits are needed.
+    // rms is EXACT cross-engine: Σv² is an integer < 2^41 (exact in
+    // double), sqrt is IEEE correctly rounded, and Math.round(double) is
+    // floor(x + 0.5) spelled identically here.
+    "q_audio_features" ->
+      """WITH RECURSIVE
+pw(j, aj, tj) AS (
+  SELECT 1, 6364136223846793005::HUGEINT, 1442695040888963407::HUGEINT
+  UNION ALL
+  SELECT j + 1,
+    (aj * 6364136223846793005::HUGEINT) % 18446744073709551616::HUGEINT,
+    (tj * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+      % 18446744073709551616::HUGEINT
+  FROM pw WHERE j < 1199),
+clips AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 3 = 0 THEN 16000 ELSE 8000 END AS sr,
+    CAST(400 + (o_orderkey * 2654435761) % 800 AS BIGINT) AS n,
+    (o_orderkey * 7919 + 17)::HUGEINT AS seed
+  FROM orders),
+smp AS (
+  SELECT c.k, c.sr, c.n,
+    ((p.aj * c.seed + p.tj) % 18446744073709551616::HUGEINT)
+      // 281474976710656::HUGEINT AS v16
+  FROM clips c JOIN pw p ON p.j <= c.n),
+sv AS (SELECT k, sr, n,
+    CASE WHEN v16 >= 32768 THEN v16 - 65536 ELSE v16 END AS v FROM smp),
+per AS (
+  SELECT k, sr, n,
+    CAST(SUM(v * v) AS BIGINT) AS sumsq,
+    CAST(MAX(ABS(v)) AS BIGINT) AS peak
+  FROM sv GROUP BY k, sr, n),
+feat AS (
+  SELECT k, sr, n, n * 1000 // sr AS dur_ms,
+    CAST(FLOOR(SQRT(CAST(sumsq AS DOUBLE) / CAST(n AS DOUBLE)) * 1000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS rms_milli,
+    peak
+  FROM per)
+SELECT CAST(sr AS INTEGER) AS sample_rate,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(n) AS BIGINT) AS sum_samples,
+  CAST(SUM(dur_ms) AS BIGINT) AS sum_ms,
+  CAST(SUM(rms_milli) AS BIGINT) AS sum_rms_milli,
+  CAST(SUM(peak) AS BIGINT) AS sum_peak,
+  CAST(COUNT(*) AS BIGINT) AS n_ok
+FROM feat GROUP BY sr ORDER BY sr""",
+
     // thumbnails promoted from a pin: thumb pixel (tx,ty) = source splitmix
     // pixel at (tx·w//4, ty·h//4) — the identical integer-div resize map —
     // digested per image with the standard position weights
