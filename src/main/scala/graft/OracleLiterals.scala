@@ -32,11 +32,10 @@ object OracleLiterals {
     // golden-file replays: static reference data (sfDir-independent), pinned
     // because the driver's DuckDB sees only the sf parquet tables, not the
     // reference's GeoJSON files
-    "q_golden_alpine", "q_golden_sf_summary", "q_golden_corpus",
-    // downsampled-PCM checksum: the xxhash64 fingerprint has no DuckDB
-    // twin (q_image_thumbs was promoted in round-4 session 7 — the resize
-    // map is integer-div over splitmix pixels, fully SQL-derivable)
-    "q_audio_downsample")
+    // (q_image_thumbs and q_audio_downsample were promoted in round-4
+    // session 7 — integer-div resize / odd-j slice over closed-form
+    // payloads, fully SQL-derivable)
+    "q_golden_alpine", "q_golden_sf_summary", "q_golden_corpus")
 
   private def load(name: String): Option[String] = {
     val in = getClass.getResourceAsStream(s"/pins/$name.sql")

@@ -2340,6 +2340,36 @@ SELECT CAST(sr AS INTEGER) AS sample_rate,
   CAST(COUNT(*) AS BIGINT) AS n_ok
 FROM feat GROUP BY sr ORDER BY sr""",
 
+    // audio downsample promoted from a pin: the factor-2 slice keeps
+    // 0-based even samples = odd j in the power-table indexing; per-clip
+    // kept-count and kept-sum re-derived from first principles
+    "q_audio_downsample" ->
+      """WITH RECURSIVE
+pw(j, aj, tj) AS (
+  SELECT 1, 6364136223846793005::HUGEINT, 1442695040888963407::HUGEINT
+  UNION ALL
+  SELECT j + 1,
+    (aj * 6364136223846793005::HUGEINT) % 18446744073709551616::HUGEINT,
+    (tj * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+      % 18446744073709551616::HUGEINT
+  FROM pw WHERE j < 1199),
+clips AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 3 = 0 THEN 16000 ELSE 8000 END AS sr,
+    CAST(400 + (o_orderkey * 2654435761) % 800 AS BIGINT) AS n,
+    (o_orderkey * 7919 + 17)::HUGEINT AS seed
+  FROM orders),
+smp AS (
+  SELECT c.k, c.sr,
+    ((p.aj * c.seed + p.tj) % 18446744073709551616::HUGEINT)
+      // 281474976710656::HUGEINT AS v16
+  FROM clips c JOIN pw p ON p.j <= c.n AND p.j % 2 = 1)
+SELECT k, CAST(sr // 2 AS INTEGER) AS sr,
+  CAST(COUNT(*) AS INTEGER) AS n_samples,
+  CAST(SUM(CASE WHEN v16 >= 32768 THEN v16 - 65536 ELSE v16 END) AS BIGINT)
+    AS sample_sum
+FROM smp GROUP BY k, sr ORDER BY k""",
+
     // thumbnails promoted from a pin: thumb pixel (tx,ty) = source splitmix
     // pixel at (tx·w//4, ty·h//4) — the identical integer-div resize map —
     // digested per image with the standard position weights

@@ -1528,25 +1528,23 @@ object SparkEntry {
         .orderBy("k")
     }),
 
-    // audio downsample (every 2nd frame, re-encoded WAV): each output clip
-    // is re-decoded and every kept PCM sample pinned via an
-    // order-insensitive checksum row (count + total sample sum + xor of
-    // per-clip xxhash64(id, sample_sum)) — same gating shape as thumbnails
+    // audio downsample (every 2nd frame, re-encoded WAV), PROMOTED from a
+    // pin to a TRUE SQL oracle: each output clip is re-decoded and its
+    // kept-sample count + sum emitted PER CLIP; DuckDB re-derives both from
+    // the (A^j, T_j) power table keeping exactly the odd-j samples — the
+    // decode→slice→re-encode→re-decode loop is gated clip by clip.
     "q_audio_downsample" -> ((s, dir) => {
       import s.implicits._
-      val down = AudioOps.downsample(s, Synth.audio(s, dir), factor = 2)
-      val sums = down.select(col("audio_id"), col("bytes"))
+      AudioOps.downsample(s, Synth.audio(s, dir), factor = 2)
+        .select(col("audio_id"), col("bytes"))
         .as[(String, Array[Byte])]
         .map { case (id, b) =>
           val (samples, sr, _) = graft.synth.Wav.decode(b)
           var sum = 0L; var i = 0
           while (i < samples.length) { sum += samples(i); i += 1 }
-          (id, sr, samples.length, sum)
-        }.toDF("audio_id", "sr", "n_samples", "sample_sum")
-      sums.agg(count(lit(1)).as("n"),
-        sum(col("n_samples").cast("long")).as("total_samples"),
-        sum(col("sample_sum")).as("total_sum"),
-        expr("bit_xor(xxhash64(audio_id, sample_sum))").as("fp"))
+          (id.drop(3).toLong, sr, samples.length, sum)
+        }.toDF("k", "sr", "n_samples", "sample_sum")
+        .orderBy("k")
     }),
 
     // ---- events: windowed analytics --------------------------------------
