@@ -324,6 +324,12 @@ object TextOps {
     * are narrow (id, id) rows; the full-outer confusion join touches pairs,
     * never documents.
     *
+    * Threshold note: the truth side's double compare `|∩|/|∪| >= 0.5` is
+    * EXACTLY the oracle's integer `2·|∩| >= |∪|` for set sizes < 2^52 —
+    * a true ratio below 1/2 is at most 1/2 − 1/(2|∪|), farther from 0.5
+    * than the quotient's rounding error, and a ratio of exactly 1/2 is an
+    * exact double — so the two spellings cannot disagree.
+    *
     * Output: ONE row — (n_truth, n_cand, tp, fn, fp, recall_milli,
     * precision_milli), the integer-exact confusion counts. */
   def minHashLshEval(spark: SparkSession, docs: DataFrame,
@@ -333,9 +339,12 @@ object TextOps {
     val flat = docs.select(col("doc_id"), col("text"))
       .withColumn("lang", lit("all")).withColumn("source", lit("all"))
     val truth = ngramJaccardPairs(flat, jaccardMin).select("id1", "id2")
+    // signatures feed BOTH legs of the band self-join — materialize once
+    // (the same treatment minHashLshPairs gives its sig frame)
     val sig = docs.select(col("doc_id"),
         array_distinct(shingles(col("text"))).as("sh"))
       .withColumn("sig", fns.minhash_sig(col("sh"), k))
+      .localCheckpoint(true)
     val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", transform(
