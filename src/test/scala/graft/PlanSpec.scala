@@ -87,4 +87,29 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS plan_spec_a")
     spark.sql("DROP TABLE IF EXISTS plan_spec_b")
   }
+
+  test("cityFringe is a ZERO-exchange plan (broadcast-constant polygons, map-side distances)") {
+    val (g, _, _) = Pipeline.prepared(spark, sf)
+    val df = SpatialOps.cityFringe(Pipeline.geoImages(spark, sf),
+      graft.synth.Synth.cityPolys(g), dDeg = 0.003)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"cityFringe gained a shuffle:\n$plan")
+  }
+
+  test("stratifiedQuota selection runs through the native topk_agg partial/final pair, not a window") {
+    val df = spark.range(100).select(lit("g").as("g"), col("id"))
+    val plan = planOf(graft.ops.SampleOps.stratifiedQuota(df, Seq("g"), col("id"), 5))
+    // the k-bounded aggregate must appear in BOTH partial and final stages
+    // (map-side combine before the exchange), and no window/sort may appear
+    assert(plan.contains("topk_agg"), s"no native topk_agg in:\n$plan")
+    assert(plan.contains("partial_topk_agg"), s"no partial (map-side) stage:\n$plan")
+    assert(!plan.contains("Window"), s"window sneaked into the quota cut:\n$plan")
+  }
+
+  test("bpeEncode broadcasts the vocabulary, never the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (_, vocab) = graft.text.TextOps.bpeTrain(docs.limit(50), nMerges = 1)
+    val plan = planOf(graft.text.TextOps.bpeEncode(docs, vocab))
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+  }
 }
