@@ -251,6 +251,48 @@ m2 AS (
        * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
   FROM (SELECT k, fmt, w, h, x, y, xor(z1, z1 >> 27) AS x2 FROM m1))"""
 
+  /** brute-force cosine top-5 per query (truth side of the ANN evals). */
+  private val embTopkSql =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT q.q_id, e.vec_id AS neighbor,
+    CAST(ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+  FROM q, embeddings e WHERE q.q_id <> e.vec_id),
+ranked AS (
+  SELECT q_id, neighbor, cos9,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk
+  FROM cand)
+SELECT q_id, rk, neighbor, CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
+FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
+
+  /** IVF nprobe=4/16 top-5 per query (mirrors SimOps.ivfTopK exactly). */
+  private val embIvfSql =
+    """WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < 16),
+emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT emb2.vec_id, emb2.e, cent.cid,
+    ROW_NUMBER() OVER (PARTITION BY emb2.vec_id ORDER BY
+      CAST(ROUND(list_cosine_similarity(emb2.e, cent.ce) * 1000000000.0::DOUBLE) AS BIGINT) DESC,
+      cent.cid) AS crk
+  FROM emb2, cent),
+assign AS (SELECT vec_id, e, cid AS list_id FROM scored WHERE crk = 1),
+probes AS (
+  SELECT vec_id AS q_id, e AS qe, cid AS p_list
+  FROM scored WHERE vec_id % 100 = 0 AND crk <= 4),
+cand AS (
+  SELECT p.q_id, a.vec_id AS neighbor,
+    CAST(ROUND(list_cosine_similarity(p.qe, a.e) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+  FROM probes p JOIN assign a ON a.list_id = p.p_list AND a.vec_id <> p.q_id),
+ranked AS (
+  SELECT q_id, neighbor, cos9,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk
+  FROM cand)
+SELECT q_id, rk, neighbor, CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
+FROM ranked WHERE rk <= 5 ORDER BY q_id, rk"""
+
   /** position-weighted pixel digest of one rgb triple whose base flat
     * position is `p` (channel c at p+c contributes (p+c+1)(p+c+7)(v+17)). */
   private def digSum(p: String): String =
@@ -3206,49 +3248,26 @@ SELECT q_id, q_label, rk, neighbor, neighbor_label,
   CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
 FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
 
-    "q_emb_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
-           FROM embeddings WHERE vec_id % 100 = 0),
-cand AS (
-  SELECT q.q_id, e.vec_id AS neighbor,
-    CAST(ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
-  FROM q, embeddings e WHERE q.q_id <> e.vec_id),
-ranked AS (
-  SELECT q_id, neighbor, cos9,
-    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk
-  FROM cand)
-SELECT q_id, rk, neighbor, CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
-FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+    "q_emb_topk" -> embTopkSql,
+
+    // ANN recall harness: per query, how many of the brute-force top-5 the
+    // IVF nprobe=4/16 probe actually surfaced — the recall audit every ANN
+    // deployment ships. Both sides are the EXISTING proven oracle bodies
+    // composed as subqueries; the confusion join is pairs-only.
+    "q_emb_ivf_recall" ->
+      s"""WITH tr AS ($embTopkSql),
+ap AS ($embIvfSql)
+SELECT t.q_id,
+  CAST(SUM(CASE WHEN a.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+  CAST(5 AS BIGINT) AS k
+FROM tr t LEFT JOIN ap a ON a.q_id = t.q_id AND a.neighbor = t.neighbor
+GROUP BY t.q_id ORDER BY t.q_id""",
 
     // IVF: deterministic seed centroids (vec_id < 16), every vector assigned
     // to its argmax-cos9 centroid (ties → smallest cid), queries probe their
     // top-4 lists; exact cosine rank over probed candidates. Mirrors
     // SimOps.ivfTopK exactly (same cos9 rounding + tie-breaks).
-    "q_emb_ivf_topk" ->
-      """WITH cent AS (
-  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-  FROM embeddings WHERE vec_id < 16),
-emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-scored AS (
-  SELECT emb2.vec_id, emb2.e, cent.cid,
-    ROW_NUMBER() OVER (PARTITION BY emb2.vec_id ORDER BY
-      CAST(ROUND(list_cosine_similarity(emb2.e, cent.ce) * 1000000000.0::DOUBLE) AS BIGINT) DESC,
-      cent.cid) AS crk
-  FROM emb2, cent),
-assign AS (SELECT vec_id, e, cid AS list_id FROM scored WHERE crk = 1),
-probes AS (
-  SELECT vec_id AS q_id, e AS qe, cid AS p_list
-  FROM scored WHERE vec_id % 100 = 0 AND crk <= 4),
-cand AS (
-  SELECT p.q_id, a.vec_id AS neighbor,
-    CAST(ROUND(list_cosine_similarity(p.qe, a.e) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
-  FROM probes p JOIN assign a ON a.list_id = p.p_list AND a.vec_id <> p.q_id),
-ranked AS (
-  SELECT q_id, neighbor, cos9,
-    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk
-  FROM cand)
-SELECT q_id, rk, neighbor, CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
-FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
+    "q_emb_ivf_topk" -> embIvfSql,
 
     // multi-table sign-LSH ANN replayed end-to-end (pin → TRUE oracle,
     // round-4 session 6): the 8×4×64 hyperplane table is rebuilt from the

@@ -1082,6 +1082,24 @@ object SparkEntry {
       SimOps.bruteForceTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
         .orderBy("q_id", "rk")),
 
+    // ANN recall harness: per query, how many of the brute-force top-5 the
+    // IVF probe surfaced — promotes the test-layer recall gate into the
+    // driver's oracle gate; both sides are existing proven operators, the
+    // confusion join touches (q_id, neighbor) pairs only
+    "q_emb_ivf_recall" -> ((s, dir) => {
+      val emb = Synth.embeddings(s, dir)
+      val truth = SimOps.bruteForceTopK(emb, col("vec_id") % 100 === 0, k = 5)
+        .select(col("q_id"), col("neighbor"))
+      val approx = SimOps.ivfTopK(emb, col("vec_id") % 100 === 0,
+          k = 5, nlist = 16, nprobe = 4)
+        .select(col("q_id"), col("neighbor"), lit(true).as("hit"))
+      truth.join(approx, Seq("q_id", "neighbor"), "left")
+        .groupBy("q_id")
+        .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("hits"),
+          lit(5L).as("k"))
+        .orderBy("q_id")
+    }),
+
     // contrastive hard negatives: nearest neighbors with a DIFFERENT label
     "q_emb_hard_negatives" -> ((s, dir) =>
       SimOps.hardNegatives(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
