@@ -2967,6 +2967,87 @@ SELECT n_truth, n_cand, tp, fn, fp,
   CASE WHEN n_cand > 0 THEN CAST(tp * 1000 // n_cand AS BIGINT) END AS precision_milli
 FROM agg""",
 
+    // the simhash audit: the SAME planted gray-zone corpus AND the SAME
+    // shingle-Jaccard ground truth as q_doc_minhash_eval (so the two
+    // candidate stages are directly comparable); the full simhash chain
+    // (FNV-1a → multiplicity-weighted bit votes → 4×16 banding →
+    // hamming ≤ 12) re-derived over the planted corpus, pairs-only confusion
+    "q_doc_simhash_eval" ->
+      """WITH RECURSIVE
+dt0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sal AS (SELECT doc_id, tk, ((doc_id % 3 + 1) * len(tk)) // 2 AS m
+  FROM dt0 WHERE doc_id % 29 = 0),
+dt AS (
+  SELECT doc_id, tk FROM dt0
+  UNION ALL
+  SELECT doc_id + 1000000,
+    list_concat(tk, list_transform(range(1, m + 1),
+      j -> 'q' || doc_id || 'x' || j))
+  FROM sal),
+vocab AS (SELECT DISTINCT unnest(tk) AS tok FROM dt),
+fnv(tok, i, h) AS (
+  SELECT tok, 0, 14695981039346656037::HUGEINT FROM vocab
+  UNION ALL
+  SELECT tok, i + 1,
+    (xor(h, ord(substr(tok, i + 1, 1))::HUGEINT) * 1099511628211::HUGEINT)
+      % 18446744073709551616::HUGEINT
+  FROM fnv WHERE i < length(tok)),
+tokhash AS (SELECT tok, h AS hu FROM fnv WHERE i = length(tok)),
+toks AS (SELECT doc_id, unnest(tk) AS tok FROM dt),
+bits AS (
+  SELECT t.doc_id, b.b,
+         SUM(CASE WHEN (th.hu >> b.b) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM toks t
+  JOIN tokhash th ON t.tok = th.tok
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY t.doc_id, b.b),
+sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS su
+  FROM bits GROUP BY doc_id),
+sims AS (
+  SELECT doc_id, su,
+         CASE WHEN su >= 9223372036854775808::HUGEINT
+              THEN (su - 18446744073709551616::HUGEINT)::BIGINT
+              ELSE su::BIGINT END AS s
+  FROM sim),
+banded AS (
+  SELECT doc_id, s, b.band, ((su >> (16 * b.band)) % 65536)::BIGINT AS bucket
+  FROM sims CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+spairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.s AS s1, r.s AS s2
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id),
+cand AS (SELECT id1, id2 FROM spairs WHERE bit_count(xor(s1, s2)) <= 12),
+shl AS (
+  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+    ELSE list_transform(range(0, len(tk) - 2),
+      i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')) END AS shs
+  FROM dt),
+sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (SELECT i.id1, i.id2
+  FROM inter i JOIN sz s1 ON s1.doc_id = i.id1
+    JOIN sz s2 ON s2.doc_id = i.id2
+  WHERE 2 * i.i >= s1.n + s2.n - i.i),
+fo AS (
+  SELECT t.id1 IS NOT NULL AS in_t, c.id1 IS NOT NULL AS in_c
+  FROM truth t FULL OUTER JOIN cand c ON t.id1 = c.id1 AND t.id2 = c.id2),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+    CAST(SUM(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+    CAST(SUM(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN NOT in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS fp
+  FROM fo)
+SELECT n_truth, n_cand, tp, fn, fp,
+  CASE WHEN n_truth > 0 THEN CAST(tp * 1000 // n_truth AS BIGINT) END AS recall_milli,
+  CASE WHEN n_cand > 0 THEN CAST(tp * 1000 // n_cand AS BIGINT) END AS precision_milli
+FROM agg""",
+
     "q_doc_simhash" ->
       """WITH RECURSIVE
 vocab AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),

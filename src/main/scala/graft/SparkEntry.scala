@@ -46,6 +46,22 @@ object SparkEntry {
 
   /** Flagship query on sf0.001: full intersections pipeline (J1+J2-J5+J6,
     * W1, A4-A7, X1) with city assignment. */
+  /** mutated near-dup twins for the dedup audits: every doc_id % 29 doc
+    * gets a +1000000-id copy with ⌈n/2⌉ / n / ⌈3n/2⌉ unique salt tokens
+    * appended (by doc_id % 3), landing Jaccard ≈ 0.66 / 0.49 / 0.40 — the
+    * gray zone where banded candidate stages genuinely miss. The salt is
+    * built BEFORE the doc_id rename (a same-select alias would win
+    * lateral-column-alias resolution inside the transform lambda). */
+  private def mutatedTwins(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 29 === 0)
+      .withColumn("n", size(split(col("text"), " ")))
+      .withColumn("m", expr("CAST(((doc_id % 3 + 1) * n) DIV 2 AS INT)"))
+      .withColumn("text", concat(col("text"), lit(" "),
+        array_join(transform(sequence(lit(1), col("m")),
+          j => concat(lit("q"), col("doc_id").cast("string"), lit("x"),
+            j.cast("string"))), " ")))
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+
   def entry(spark: SparkSession): DataFrame =
     Pipeline.features(spark, "/root/testdata/sf0.001")
 
@@ -898,18 +914,16 @@ object SparkEntry {
     // the brute-force exact-Jaccard pair set.
     "q_doc_minhash_eval" -> ((s, dir) => {
       val docs = Synth.documents(s, dir).select("doc_id", "text")
-      val planted = docs.filter(col("doc_id") % 29 === 0)
-        .withColumn("n", size(split(col("text"), " ")))
-        .withColumn("m", expr("CAST(((doc_id % 3 + 1) * n) DIV 2 AS INT)"))
-        // salt BEFORE renaming doc_id: a same-select alias would win
-        // lateral-column-alias resolution inside the transform lambda and
-        // silently salt with the shifted id
-        .withColumn("text", concat(col("text"), lit(" "),
-          array_join(transform(sequence(lit(1), col("m")),
-            j => concat(lit("q"), col("doc_id").cast("string"), lit("x"),
-              j.cast("string"))), " ")))
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
-      TextOps.minHashLshEval(s, docs.unionByName(planted))
+      TextOps.minHashLshEval(s, docs.unionByName(mutatedTwins(docs)))
+    }),
+
+    // the simhash twin of the audit: the SAME planted gray-zone corpus, the
+    // 4×16-band + hamming ≤ 12 candidate stage vs exact TOKEN-set Jaccard
+    // truth — measures what the single-64-bit-sketch trade costs where
+    // minhash's tunable banding would be reconfigured instead
+    "q_doc_simhash_eval" -> ((s, dir) => {
+      val docs = Synth.documents(s, dir).select("doc_id", "text")
+      TextOps.simHashEval(s, docs.unionByName(mutatedTwins(docs)))
     }),
 
     // BPE APPLY: the corpus encoded with the 6 trained rules via dictionary

@@ -285,13 +285,17 @@ object TextOps {
     * prefix-filter theorem (no true pair can be filtered).
     */
   def ngramJaccardPairs(docs: DataFrame, jaccardMin: Double): DataFrame = {
-    require(jaccardMin > 0.0, "prefix-filtered form requires a positive threshold")
     // shingling (transform + array_distinct over every token window) is the
     // dominant per-pass cost and this operator is multi-pass by nature
     // (inverted index, df table, both verify sides) — materialize the
     // shingled form ONCE; every downstream pass reads it instead of
     // re-deriving shingles from text (measured 10 s → ~5 s at sf0.1)
-    val d = shingled(docs).localCheckpoint(true)
+    jaccardPairsOf(shingled(docs), jaccardMin)
+  }
+
+  private def jaccardPairsOf(sets: DataFrame, jaccardMin: Double): DataFrame = {
+    require(jaccardMin > 0.0, "prefix-filtered form requires a positive threshold")
+    val d = sets.localCheckpoint(true)
     val cand = prefixCandidatesOf(d, jaccardMin)
     val s1 = d.select(col("lang"), col("source"), col("doc_id").as("id1"),
       col("sh").as("sh1"), col("nsh").as("n1"))
@@ -355,6 +359,26 @@ object TextOps {
     val r = banded.select(col("band"), col("key"), col("doc_id").as("id2"))
     val cand = l.join(r, Seq("band", "key")).filter(col("id1") < col("id2"))
       .select("id1", "id2").dropDuplicates("id1", "id2")
+    confusionCounts(truth, cand)
+  }
+
+  /** The simhash twin of minHashLshEval, against the SAME shingle-Jaccard
+    * ground truth — so the two candidate stages' recall/precision are
+    * directly comparable on one corpus. Simhash trades minhash's tunable
+    * (bands × rows) family for one 64-bit sketch per doc — 1/8th the
+    * signature state — and this audit measures what that trade costs.
+    * Same pairs-only scale shape as minHashLshEval. */
+  def simHashEval(spark: SparkSession, docs: DataFrame,
+                  maxHam: Int = 12, jaccardMin: Double = 0.5): DataFrame = {
+    val flat = docs.select(col("doc_id"), col("text"))
+      .withColumn("lang", lit("all")).withColumn("source", lit("all"))
+    val truth = ngramJaccardPairs(flat, jaccardMin).select("id1", "id2")
+    val cand = simHashPairs(docs, maxHam).select("id1", "id2")
+    confusionCounts(truth, cand)
+  }
+
+  /** ONE-row integer-exact confusion summary of two (id1, id2) pair sets. */
+  private def confusionCounts(truth: DataFrame, cand: DataFrame): DataFrame =
     truth.withColumn("t", lit(true))
       .join(cand.withColumn("c", lit(true)), Seq("id1", "id2"), "full_outer")
       .agg(
@@ -366,7 +390,6 @@ object TextOps {
       .select(col("n_truth"), col("n_cand"), col("tp"), col("fn"), col("fp"),
         when(col("n_truth") > 0, expr("tp * 1000 DIV n_truth")).as("recall_milli"),
         when(col("n_cand") > 0, expr("tp * 1000 DIV n_cand")).as("precision_milli"))
-  }
 
   /** BM25 ranked retrieval (Robertson/Spärck Jones Okapi BM25, the public
     * formula; k1 = 1.2, b = 0.75): top-k documents per query over a
