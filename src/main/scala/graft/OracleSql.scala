@@ -1395,6 +1395,51 @@ FROM jov GROUP BY cluster, zone HAVING SUM(q4) > 0
 ORDER BY cluster, zone""",
 
     // ---- mirror: per-tile capped sampling -----------------------------------
+    // vector-tile sink: the encoded byte stream re-derived digit by digit —
+    // grid vertices → µdeg rounding → cell bucketing → per-run deltas (first
+    // vs CELL ORIGIN, then vs previous) → zigzag → 1/2/3-digit base-128
+    // varints with continuation bits → position-weighted byte digest
+    "q_way_vector_tiles" ->
+      s"""WITH $gridCte,
+hv AS (
+  SELECT r.r AS way_id, c.c AS k, r.lat AS lat, c.lon AS lon FROM rr r, cc c
+  UNION ALL
+  SELECT 1000000 + c.c, r.r, r.lat, c.lon FROM rr r, cc c),
+uv AS (SELECT way_id, k,
+  CAST(ROUND((lat - 37.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS u,
+  CAST(ROUND((lon + 122.0::DOUBLE) * 1000000.0::DOUBLE) AS BIGINT) AS v
+  FROM hv),
+cl AS (SELECT *, (u // 5000) * 100000 + (v // 5000) AS cell FROM uv),
+dl AS (SELECT cell, way_id, k,
+  u - COALESCE(LAG(u) OVER w, (cell // 100000) * 5000) AS du,
+  v - COALESCE(LAG(v) OVER w, (cell % 100000) * 5000) AS dv
+  FROM cl WINDOW w AS (PARTITION BY cell, way_id ORDER BY k)),
+zz0 AS (SELECT cell, way_id, k,
+  CASE WHEN du >= 0 THEN 2 * du ELSE -2 * du - 1 END AS zu,
+  CASE WHEN dv >= 0 THEN 2 * dv ELSE -2 * dv - 1 END AS zv FROM dl),
+zz AS (SELECT cell, way_id, k,
+  list_concat(
+    CASE WHEN zu < 128 THEN [zu]
+         WHEN zu < 16384 THEN [zu % 128 + 128, zu // 128]
+         ELSE [zu % 128 + 128, (zu // 128) % 128 + 128, zu // 16384] END,
+    CASE WHEN zv < 128 THEN [zv]
+         WHEN zv < 16384 THEN [zv % 128 + 128, zv // 128]
+         ELSE [zv % 128 + 128, (zv // 128) % 128 + 128, zv // 16384] END) AS bl
+  FROM zz0),
+off AS (SELECT cell, way_id, k, bl,
+  COALESCE(SUM(len(bl)) OVER (PARTITION BY cell, way_id ORDER BY k
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM zz),
+byt AS (SELECT cell, way_id,
+  o + unnest(range(0, len(bl))) AS p, unnest(bl) AS b FROM off),
+cnts AS (SELECT cell, way_id, CAST(COUNT(*) AS BIGINT) AS n_pts
+  FROM cl GROUP BY 1, 2),
+dg AS (SELECT cell, way_id, CAST(COUNT(*) AS BIGINT) AS n_bytes,
+  CAST(SUM((p + 1) * (p + 7) * (b + 17)) AS BIGINT) AS digest
+  FROM byt GROUP BY 1, 2)
+SELECT c.cell, c.way_id, c.n_pts, d.n_bytes, d.digest
+FROM cnts c JOIN dg d USING (cell, way_id) ORDER BY cell, way_id""",
+
     // polygon buffer / fringe: per outside image, distance to each zone =
     // MIN of pointSegDist over the closed ring's edges (vertex doubles
     // rebuilt exactly: LAT0/LON0 + (s·P//100 + 0.5)·1e-6), the kernel

@@ -936,6 +936,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // vector-tile sink: every (cell, way) vertex run serialized as the
+    // MVT-style zigzag+varint coordinate stream and byte-digest-pinned;
+    // DuckDB rebuilds every varint digit from the grid closed form.
+    // Named streets only (u, v ≥ 0, so integer DIV ≡ floor in both engines).
+    "q_way_vector_tiles" -> ((s, dir) => {
+      val (_, raw, _) = Pipeline.prepared(s, dir)
+      SpatialOps.vectorTiles(s, raw.filter(col("id") < 2000000L),
+          Synth.LAT0, Synth.LON0)
+        .orderBy("cell", "way_id")
+    }),
+
     // polygon BUFFER / fringe query: images outside every city but within
     // 3000 µdeg of one, tagged with the nearest zone (first-poly ties).
     // Zero-shuffle broadcast-constant plan; the oracle mirrors

@@ -75,6 +75,60 @@ object SpatialOps {
         floor(col("mind") * lit(1e9) + lit(0.5)).cast("long").as("dist9"))
   }
 
+  /** VECTOR-TILE ENCODER (the vector leg of the raster↔vector export
+    * story; Mapbox-Vector-Tile-style geometry encoding, public spec): each
+    * way's vertices are bucketed into integer-µdeg cells and every
+    * (cell, way) run is serialized as the MVT wire format's coordinate
+    * stream — per vertex, Δu and Δv zigzag-mapped (2d / −2d−1) and written
+    * as base-128 varints with continuation bits, the first vertex relative
+    * to the CELL ORIGIN, the rest to the previous in-cell vertex. The
+    * output row digests the encoded byte stream, so every varint digit of
+    * every delta of every vertex is pinned.
+    *
+    * Scale shape: one shuffle on (cell, way); each tile run is encoded in
+    * isolation map-side after the exchange and only
+    * (cell, way_id, n_pts, n_bytes, digest) leaves the executor — the
+    * payload a real tile sink would upload, minus the upload. */
+  def vectorTiles(spark: SparkSession, ways: DataFrame,
+                  lat0: Double, lon0: Double,
+                  cellMicro: Long = 5000L): DataFrame = {
+    import spark.implicits._
+    val verts = ways
+      .select(col("id").as("way_id"), posexplode(col("geometry")).as(Seq("k", "pt")))
+      .select(col("way_id"), col("k"),
+        expr(s"CAST(ROUND((pt.lat - ${lat0}D) * 1000000.0D) AS BIGINT)").as("u"),
+        expr(s"CAST(ROUND((pt.lon - ${lon0}D) * 1000000.0D) AS BIGINT)").as("v"))
+      .withColumn("cell",
+        expr(s"(u DIV $cellMicro) * 100000 + (v DIV $cellMicro)"))
+      .select("cell", "way_id", "k", "u", "v")
+      .as[(Long, Long, Int, Long, Long)]
+    verts.groupByKey(r => (r._1, r._2)).mapGroups { (key, it) =>
+      val (cell, wayId) = key
+      val pts = it.toArray.sortBy(_._3)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def zig(d: Long): Long = if (d >= 0) 2 * d else -2 * d - 1
+      def putVarint(z0: Long): Unit = {
+        var z = z0
+        while (z >= 128) { out += ((z % 128) + 128).toByte; z /= 128 }
+        out += z.toByte
+      }
+      var pu = (cell / 100000) * cellMicro // cell origin
+      var pv = (cell % 100000) * cellMicro
+      pts.foreach { case (_, _, _, u, v) =>
+        putVarint(zig(u - pu)); putVarint(zig(v - pv))
+        pu = u; pv = v
+      }
+      var dig = 0L
+      var i = 0
+      while (i < out.length) {
+        val p = i.toLong
+        dig += (p + 1L) * (p + 7L) * ((out(i) & 0xff) + 17L)
+        i += 1
+      }
+      (cell, wayId, pts.length.toLong, out.length.toLong, dig)
+    }.toDF("cell", "way_id", "n_pts", "n_bytes", "digest")
+  }
+
   /** Segment-level cell index: ways exploded into individual segments, each
     * replicated into the cells of its (buffered) bbox. This is THE scale
     * structure for point-vs-way joins: rows are 6 doubles + ids (no geometry

@@ -367,6 +367,27 @@ class ZoneSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("vectorTiles: hand-derived zigzag varints, continuation bits, negative deltas") {
+    import spark.implicits._
+    // vertices (u,v): (0,0) → (100,200) → (50,100), all in cell 0
+    val geom = Seq((0, 0), (100, 200), (50, 100)).map { case (u, v) =>
+      (u * 1e-6, v * 1e-6)
+    }
+    val df = Seq((7L, geom)).toDF("id", "g")
+      .select(col("id"), expr("transform(g, p -> struct(p._1 AS lat, p._2 AS lon))").as("geometry"))
+    val row = graft.ops.SpatialOps.vectorTiles(spark, df, 0.0, 0.0).head()
+    // deltas (0,0) (100,200) (−50,−100) → zigzag 0,0,200,400,99,199 →
+    // varints [0][0][200,1][144,3][99][199,1]
+    val bytes = Seq(0, 0, 200, 1, 144, 3, 99, 199, 1)
+    val dig = bytes.zipWithIndex.map { case (b, p) =>
+      (p + 1L) * (p + 7L) * (b + 17L)
+    }.sum
+    assert(row.getLong(0) === 0L)   // cell
+    assert(row.getLong(2) === 3L)   // n_pts
+    assert(row.getLong(3) === bytes.length.toLong)
+    assert(row.getLong(4) === dig)
+  }
+
   test("cityFringe: perpendicular distances, nearest-zone tag, first-poly ties, radius cut") {
     import spark.implicits._
     val polys = Array(
