@@ -917,6 +917,16 @@ object SparkEntry {
       TextOps.minHashLshEval(s, docs.unionByName(mutatedTwins(docs)))
     }),
 
+    // the recall CURVE: the same audit swept across Jaccard thresholds
+    // 0.4/0.5/0.6/0.7 — one PPJoin truth pass carrying exact |∩|/|∪|,
+    // re-thresholded on integers per row; shows the banding curve
+    // empirically (recall rises with J, precision-at-t falls)
+    "q_doc_minhash_sweep" -> ((s, dir) => {
+      val docs = Synth.documents(s, dir).select("doc_id", "text")
+      TextOps.minHashLshThresholdSweep(s, docs.unionByName(mutatedTwins(docs)))
+        .orderBy("t_milli")
+    }),
+
     // the simhash twin of the audit: the SAME planted gray-zone corpus, the
     // 4×16-band + hamming ≤ 12 candidate stage vs exact TOKEN-set Jaccard
     // truth — measures what the single-64-bit-sketch trade costs where

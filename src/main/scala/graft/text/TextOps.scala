@@ -293,7 +293,13 @@ object TextOps {
     jaccardPairsOf(shingled(docs), jaccardMin)
   }
 
-  private def jaccardPairsOf(sets: DataFrame, jaccardMin: Double): DataFrame = {
+  private def jaccardPairsOf(sets: DataFrame, jaccardMin: Double): DataFrame =
+    jaccardPairsDetailed(sets, jaccardMin)
+      .select("lang", "source", "id1", "id2", "jaccard")
+
+  /** the same pairs carrying the EXACT integer |∩| and |∪| alongside the
+    * double ratio — the threshold-sweep audit compares on the integers. */
+  private def jaccardPairsDetailed(sets: DataFrame, jaccardMin: Double): DataFrame = {
     require(jaccardMin > 0.0, "prefix-filtered form requires a positive threshold")
     val d = sets.localCheckpoint(true)
     val cand = prefixCandidatesOf(d, jaccardMin)
@@ -305,10 +311,11 @@ object TextOps {
       .join(s1, Seq("lang", "source", "id1"))
       .join(s2, Seq("lang", "source", "id2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+        col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= jaccardMin)
-      .select("lang", "source", "id1", "id2", "jaccard")
+      .select("lang", "source", "id1", "id2", "inter", "uni", "jaccard")
   }
 
   /** Dedup-QUALITY EVALUATION harness: how good is the MinHash-LSH
@@ -375,6 +382,64 @@ object TextOps {
     val truth = ngramJaccardPairs(flat, jaccardMin).select("id1", "id2")
     val cand = simHashPairs(docs, maxHam).select("id1", "id2")
     confusionCounts(truth, cand)
+  }
+
+  /** The RECALL CURVE of the MinHash-LSH candidate stage: per Jaccard
+    * threshold, the integer-exact confusion counts against the exact pair
+    * set at that threshold — the banding curve P[cand|J] = 1−(1−J^r)^b made
+    * empirical, which is how an operator chooses (bands, rows) for a target
+    * threshold. Truth pairs come from ONE PPJoin pass at the lowest
+    * threshold carrying exact |∩|/|∪|; each row then re-thresholds on the
+    * integers (1000·|∩| ≥ t·|∪| — no double in the contract). fp at
+    * threshold t counts every candidate pair below t, so n_cand is constant
+    * across rows and precision falls as t rises — the real trade surface. */
+  def minHashLshThresholdSweep(spark: SparkSession, docs: DataFrame,
+                               bands: Int = 8, rows: Int = 4,
+                               thresholdsMilli: Seq[Int] = Seq(400, 500, 600, 700))
+      : DataFrame = {
+    require(thresholdsMilli.nonEmpty)
+    val tMin = thresholdsMilli.min / 1000.0
+    val k = bands * rows
+    val flat = docs.select(col("doc_id"), col("text"))
+      .withColumn("lang", lit("all")).withColumn("source", lit("all"))
+    val truth = jaccardPairsDetailed(
+      flat.select(col("lang"), col("source"), col("doc_id"),
+          array_distinct(shingles(col("text"))).as("sh"))
+        .withColumn("nsh", size(col("sh"))), tMin)
+      .select(col("id1"), col("id2"),
+        col("inter").cast("long").as("i"), col("uni").cast("long").as("u"))
+    val sig = docs.select(col("doc_id"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      .withColumn("sig", fns.minhash_sig(col("sh"), k))
+      .localCheckpoint(true)
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", transform(
+          slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
+          x => x.cast("string"))))))
+      .toDF("doc_id", "band", "key")
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("id1"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("id2"))
+    val cand = l.join(r, Seq("band", "key")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").dropDuplicates("id1", "id2")
+      .localCheckpoint(true)
+    val nCand = cand.count()
+    val joined = truth
+      .join(cand.withColumn("c", lit(true)), Seq("id1", "id2"), "left")
+      .localCheckpoint(true)
+    val perT = thresholdsMilli.sorted.map { t =>
+      joined
+        .filter(lit(1000L) * col("i") >= lit(t.toLong) * col("u"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("tp"))
+        .select(lit(t.toLong).as("t_milli"), col("n_truth"),
+          lit(nCand).as("n_cand"), col("tp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          (lit(nCand) - col("tp")).as("fp"),
+          when(col("n_truth") > 0, expr("tp * 1000 DIV n_truth")).as("recall_milli"),
+          when(lit(nCand) > 0, expr(s"tp * 1000 DIV ${nCand}L")).as("precision_milli"))
+    }
+    perT.reduce(_ unionByName _)
   }
 
   /** ONE-row integer-exact confusion summary of two (id1, id2) pair sets. */
