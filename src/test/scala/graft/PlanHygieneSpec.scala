@@ -26,7 +26,11 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private val allPairsByDesign =
-    Set("q_emb_topk", "q_emb_pq_topk", "q_doc_hybrid_rrf", "q_emb_hard_negatives")
+    // q_emb_ivf_recall's TRUTH side is the documented brute-force baseline
+    // (that is the point of a recall audit) — the IVF side under audit is
+    // the bucketed path
+    Set("q_emb_topk", "q_emb_pq_topk", "q_doc_hybrid_rrf",
+      "q_emb_hard_negatives", "q_emb_ivf_recall")
 
   test("no registered query plans a cartesian or nested-loop join (whitelist: brute-force baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
