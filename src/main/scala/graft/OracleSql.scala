@@ -2378,6 +2378,32 @@ SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(cell AS BIGINT) AS cell, offset_b // 4096 AS shard, offset_b
 FROM wo ORDER BY image_id""",
 
+    // decode-robustness contract: the oracle ASSERTS the outcome from k
+    // arithmetic alone — corrupt classes decode 0, clean classes decode
+    // all; any crash, silent garbage "success", or clean-payload rejection
+    // on either media path breaks the match
+    "q_media_decode_robust" ->
+      """WITH icls AS (
+  SELECT CASE WHEN o_orderkey % 5 = 1 THEN 'png' ELSE 'bmp' END AS fmt,
+    CASE WHEN o_orderkey % 31 = 0 THEN 'trunc'
+         WHEN o_orderkey % 37 = 0 THEN 'garble' ELSE 'clean' END AS cls
+  FROM orders WHERE o_orderkey % 5 <> 3),
+acls AS (
+  SELECT 'wav' AS fmt,
+    CASE WHEN o_orderkey % 31 = 0 THEN 'trunc'
+         WHEN o_orderkey % 37 = 0 THEN 'garble' ELSE 'clean' END AS cls
+  FROM orders),
+img AS (
+  SELECT 'image' AS medium, fmt, cls, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN cls = 'clean' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+  FROM icls GROUP BY 1, 2, 3),
+aud AS (
+  SELECT 'audio' AS medium, fmt, cls, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN cls = 'clean' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+  FROM acls GROUP BY 1, 2, 3)
+SELECT * FROM img UNION ALL SELECT * FROM aud
+ORDER BY medium, fmt, cls""",
+
     // audio features PROMOTED from a pin: the full 15k-clip corpus decode
     // re-derived from first principles — a 1199-row (A^j, T_j) table gives
     // every PCM sample as (A^j·seed + T_j) mod 2^64 >> 48 (signed16); both

@@ -1400,6 +1400,43 @@ object SparkEntry {
         .orderBy("dup_id")
     }),
 
+    // DECODE-ROBUSTNESS gate: planted corrupt payloads (10-byte truncation
+    // at k % 31, garbled magic at k % 37) across the image AND audio decode
+    // paths — every corrupt row must land in decode_ok=false and every
+    // clean row must decode; a decoder that throws (dead job), silently
+    // "succeeds" on garbage, or rejects a clean payload breaks the count.
+    // jpeg is excluded: ImageIO may legally partial-decode a truncated
+    // JPEG, which is codec-defined, not contract-testable.
+    "q_media_decode_robust" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val corrupt = udf((bytes: Array[Byte], k: Long) =>
+        if (k % 31 == 0) bytes.take(10)
+        else if (k % 37 == 0) {
+          val b = bytes.clone(); b(0) = 'X'.toByte; b(1) = 'X'.toByte; b
+        } else bytes)
+      val cls = expr(
+        "CASE WHEN k % 31 = 0 THEN 'trunc' WHEN k % 37 = 0 THEN 'garble' ELSE 'clean' END")
+      val imgs = Synth.images(s, dir, g0).filter(col("fmt") =!= "jpeg")
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .withColumn("bytes", corrupt(col("bytes"), col("k")))
+      val imgCounts = ImageOps.decodeFeatures(s, imgs)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .withColumn("cls", cls)
+        .groupBy(lit("image").as("medium"), col("fmt"), col("cls"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"))
+      val auds = Synth.audio(s, dir)
+        .withColumn("k", expr("CAST(substr(audio_id, 4, 20) AS BIGINT)"))
+        .withColumn("bytes", corrupt(col("bytes"), col("k")))
+      val audCounts = AudioOps.decodeFeatures(s, auds)
+        .withColumn("k", expr("CAST(substr(audio_id, 4, 20) AS BIGINT)"))
+        .withColumn("cls", cls)
+        .groupBy(lit("audio").as("medium"), col("fmt"), col("cls"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"))
+      imgCounts.unionByName(audCounts).orderBy("medium", "fmt", "cls")
+    }),
+
     // sprite-atlas export: every 16-image spatial shard physically
     // composed onto a 64×64 canvas and digested — DuckDB re-derives each
     // atlas digest as empty-canvas constant + Σ splitmix pixels under the

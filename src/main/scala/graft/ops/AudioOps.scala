@@ -47,7 +47,11 @@ object AudioOps {
               nFrames.toLong * 1000L / sr, math.round(rms * 1000.0), peak,
               decode_ok = true)
           } catch {
-            case _: IllegalArgumentException | _: java.nio.BufferUnderflowException =>
+            // NonFatal, not a named pair: a negative RIFF size field throws
+            // NegativeArraySizeException, garbage offsets IndexOutOfBounds —
+            // any malformed payload must land in the decode_ok=false row,
+            // never kill the job
+            case scala.util.control.NonFatal(_) =>
               AudioFeatures(id, fmt, 0, 0, 0, 0L, 0L, 0, decode_ok = false)
           }
         }
@@ -77,7 +81,11 @@ object AudioOps {
             }
             Some((id, Wav.encode(kept, sr / factor, ch), sr / factor))
           } catch {
-            case _: IllegalArgumentException | _: java.nio.BufferUnderflowException => None
+            // NonFatal, not a named pair: a negative RIFF size field throws
+            // NegativeArraySizeException, garbage offsets IndexOutOfBounds —
+            // any malformed payload must land in the decode_ok=false row,
+            // never kill the job
+            case scala.util.control.NonFatal(_) => None
           }
         }
       }.toDF("audio_id", "bytes", "sample_rate")

@@ -67,6 +67,11 @@ object Bmp {
     val w = b.getInt(18)
     val h = b.getInt(22)
     require(b.getShort(28) == 24, "only 24-bit BMP supported")
+    // corrupt size fields must fail like any other malformed payload — an
+    // unchecked w·h from a bit-flipped header would allocate GBs and die
+    // with a FATAL OutOfMemoryError no decode_ok=false path can absorb
+    require(off >= 0 && w > 0 && h > 0 && w.toLong * h <= (1L << 28),
+      s"implausible BMP header: off=$off w=$w h=$h")
     val rowSize = (w * 3 + 3) / 4 * 4
     val rgb = new Array[Byte](w * h * 3)
     var y = 0

@@ -119,11 +119,16 @@ object Codec {
 
   /** Dispatch decode across the three real codecs; None for unknown fmts
     * (the only remaining stub path — exercised by tests, never by synth). */
-  def decodeAny(fmt: String, bytes: Array[Byte]): Option[(Array[Byte], Int, Int)] = fmt match {
-    case "bmp"          => Some(Bmp.decode(bytes))
-    case "png" | "jpeg" => Some(decode(bytes))
-    case _              => None
-  }
+  /** None for unknown container formats AND for malformed payloads of known
+    * ones — at corpus scale a truncated or bit-flipped file is routine, and
+    * a decoder that throws turns one bad record into a dead job. Callers
+    * uniformly treat None as decode_ok=false / row-dropped. */
+  def decodeAny(fmt: String, bytes: Array[Byte]): Option[(Array[Byte], Int, Int)] =
+    try fmt match {
+      case "bmp"          => Some(Bmp.decode(bytes))
+      case "png" | "jpeg" => Some(decode(bytes))
+      case _              => None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The reference pixel pattern a synthetic image of `fmt` was encoded
     * from (the PSNR ground truth). */

@@ -81,6 +81,11 @@ object Wav {
           require(bits == 16, s"only 16-bit PCM supported: $bits")
           buf.position(fmtStart + size + (size & 1)) // skip extension + pad
         case "data" =>
+          // a corrupt size field must fail here: unchecked it either reads
+          // past the buffer or allocates GBs (2^31-ish sizes) — a FATAL
+          // OutOfMemoryError no decode_ok=false path can absorb
+          require(size >= 0 && size <= buf.remaining(),
+            s"bad data chunk size $size (${buf.remaining()} bytes remain)")
           val n = size / 2
           val s = new Array[Short](n)
           var i = 0

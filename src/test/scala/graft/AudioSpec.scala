@@ -95,4 +95,34 @@ class AudioSpec extends AnyFunSuite {
       assert(jdk.sameElements(s1))
     }
   }
+
+  test("corrupt payloads: decode paths return failure rows, never throw") {
+    import graft.synth.{Bmp, Codec, Wav}
+    val good = Bmp.encode(Bmp.pixels(42L, 5, 4), 5, 4)
+    // truncation, garbled magic, and an implausible size field all -> None
+    assert(Codec.decodeAny("bmp", good.take(10)).isEmpty)
+    val garbled = good.clone(); garbled(0) = 'X'.toByte
+    assert(Codec.decodeAny("bmp", garbled).isEmpty)
+    val hugeDims = good.clone()
+    // little-endian width field at offset 18 -> 2^30 (would allocate GBs)
+    hugeDims(18) = 0; hugeDims(19) = 0; hugeDims(20) = 0; hugeDims(21) = 64
+    assert(Codec.decodeAny("bmp", hugeDims).isEmpty)
+    val png = Codec.encodePng(Bmp.pixels(42L, 5, 4), 5, 4)
+    assert(Codec.decodeAny("png", png.take(8)).isEmpty)
+    assert(Codec.decodeAny("bmp", good).isDefined) // clean still decodes
+    // audio: negative/garbage size fields must not escape the failure row
+    val wav = Wav.forSeed(7L, 8000, 100)
+    val negSize = wav.clone()
+    negSize(40) = -1; negSize(41) = -1; negSize(42) = -1; negSize(43) = -1
+    intercept[IllegalArgumentException](Wav.decode(negSize)) // size guard fires
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val df = Seq(("a", "wav", negSize), ("b", "wav", wav.take(10)),
+      ("c", "wav", wav)).toDF("audio_id", "fmt", "bytes")
+    val rows = graft.ops.AudioOps.decodeFeatures(spark0, df)
+      .select("audio_id", "decode_ok").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // ...but the operator absorbs EVERY malformed payload
+    assert(rows === Map("a" -> false, "b" -> false, "c" -> true))
+  }
 }
