@@ -280,9 +280,14 @@ object ImageOps {
               // fixed-size frames: pure offset arithmetic, dropped frames
               // never touched
               val fsize = Bmp.encodedSize(w, h)
-              (0 until n by everyK).iterator.map { f =>
-                (id, f, java.util.Arrays.copyOfRange(bytes, f * fsize, (f + 1) * fsize))
-              }
+              // a truncated payload (or a lying n_frames field) must yield
+              // the frames that ARE there, not an ArrayIndexOutOfBounds —
+              // same corrupt-corpus contract as the decoders
+              (0 until n by everyK).iterator
+                .filter(f => (f + 1).toLong * fsize <= bytes.length)
+                .map { f =>
+                  (id, f, java.util.Arrays.copyOfRange(bytes, f * fsize, (f + 1) * fsize))
+                }
             case "jpeg" | "mjpeg" =>
               // variable-size frames: one linear marker scan, NO decode.
               // The EOI marker FF D9 is unambiguous inside a baseline JFIF

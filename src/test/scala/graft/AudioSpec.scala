@@ -125,4 +125,19 @@ class AudioSpec extends AnyFunSuite {
     // ...but the operator absorbs EVERY malformed payload
     assert(rows === Map("a" -> false, "b" -> false, "c" -> true))
   }
+
+  test("frame sampling on a truncated video yields exactly the complete frames") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    import graft.synth.Bmp
+    val (w, h, n) = (4, 3, 5)
+    val full = (0 until n).map(f => Bmp.encode(Bmp.pixels(f.toLong, w, h), w, h))
+      .reduce(_ ++ _)
+    val cut = full.take(full.length - 7) // last frame incomplete
+    val df = Seq(("v1", "bmp", w, h, n, cut))
+      .toDF("video_id", "fmt", "w", "h", "n_frames", "bytes")
+    val got = graft.ops.ImageOps.sampleFrames(spark0, df, everyK = 2)
+      .select("frame_idx").as[Int].collect().sorted.toSeq
+    assert(got === Seq(0, 2)) // frame 4 (sampled) is truncated -> dropped
+  }
 }
