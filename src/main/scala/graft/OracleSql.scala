@@ -251,6 +251,100 @@ m2 AS (
        * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
   FROM (SELECT k, fmt, w, h, x, y, xor(z1, z1 >> 27) AS x2 FROM m1))"""
 
+  /** shared audit-corpus CTEs: documents + the mutated gray-zone twins
+    * (SparkEntry.mutatedTwins mirrored — range(1, m+1) is empty for m = 0,
+    * matching the guarded Spark append). Emits dt(doc_id, tk). */
+  private val saltedDocsCtes =
+    """dt0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sal AS (SELECT doc_id, tk, ((doc_id % 3 + 1) * len(tk)) // 2 AS m
+  FROM dt0 WHERE doc_id % 29 = 0),
+dt AS (
+  SELECT doc_id, tk FROM dt0
+  UNION ALL
+  SELECT doc_id + 1000000,
+    list_concat(tk, list_transform(range(1, m + 1),
+      j -> 'q' || doc_id || 'x' || j))
+  FROM sal)"""
+
+  /** distinct word-3-gram shingle sets of dt. Emits sh(doc_id, s). */
+  private val docShingleCtes =
+    """shl AS (
+  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+    ELSE list_transform(range(0, len(tk) - 2),
+      i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')) END AS shs
+  FROM dt),
+sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl)"""
+
+  /** the full minhash candidate stage over sh: FNV-1a 64 per distinct
+    * shingle → splitmix mix per permutation → per-doc MIN signature →
+    * 4-row band keys → band-equality pairs. Emits cand(id1, id2). */
+  private val minhashCandCtes =
+    """vocab AS (SELECT DISTINCT s FROM sh),
+fnv(s, i, hf) AS (
+  SELECT s, 0, 14695981039346656037::HUGEINT FROM vocab
+  UNION ALL
+  SELECT s, i + 1,
+    (xor(hf, ord(substr(s, i + 1, 1))::HUGEINT) * 1099511628211::HUGEINT)
+      % 18446744073709551616::HUGEINT
+  FROM fnv WHERE i < length(s)),
+h0 AS (SELECT s, hf AS h FROM fnv WHERE i = length(s)),
+js AS (SELECT i AS j FROM generate_series(0, 31) t(i)),
+z0 AS (SELECT s, j,
+  (h + 11400714819323198485::HUGEINT * (j + 1)::HUGEINT)
+    % 18446744073709551616::HUGEINT AS z
+  FROM h0, js),
+zm1 AS (
+  SELECT s, j,
+    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z
+  FROM (SELECT s, j, xor(z, z >> 30) AS x1 FROM z0)),
+zm2 AS (
+  SELECT s, j,
+    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z
+  FROM (SELECT s, j, xor(z, z >> 27) AS x2 FROM zm1)),
+mixed AS (SELECT s, j,
+  xor(z, z >> 31) % 9223372036854775808::HUGEINT AS m FROM zm2),
+sig AS (SELECT sh.doc_id, mx.j, MIN(mx.m) AS mh
+  FROM sh JOIN mixed mx ON sh.s = mx.s GROUP BY 1, 2),
+bk AS (SELECT doc_id, j // 4 AS band,
+  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS key
+  FROM sig GROUP BY doc_id, j // 4),
+cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+  WHERE l.doc_id < r.doc_id)"""
+
+  /** exact shingle-Jaccard ground truth over sh at 2·|∩| ≥ |∪|.
+    * Emits truth(id1, id2) (plus sz/inter for the sweep's reuse). */
+  private val jaccardTruthCtes =
+    """sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (SELECT i.id1, i.id2
+  FROM inter i JOIN sz s1 ON s1.doc_id = i.id1
+    JOIN sz s2 ON s2.doc_id = i.id2
+  WHERE 2 * i.i >= s1.n + s2.n - i.i)"""
+
+  /** pairs-only confusion tail over truth + cand (each defined upstream). */
+  private val confusionTailSql =
+    """fo AS (
+  SELECT t.id1 IS NOT NULL AS in_t, c.id1 IS NOT NULL AS in_c
+  FROM truth t FULL OUTER JOIN cand c ON t.id1 = c.id1 AND t.id2 = c.id2),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+    CAST(SUM(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+    CAST(SUM(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN NOT in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS fp
+  FROM fo)
+SELECT n_truth, n_cand, tp, fn, fp,
+  CASE WHEN n_truth > 0 THEN CAST(tp * 1000 // n_truth AS BIGINT) END AS recall_milli,
+  CASE WHEN n_cand > 0 THEN CAST(tp * 1000 // n_cand AS BIGINT) END AS precision_milli
+FROM agg"""
+
   /** brute-force cosine top-5 per query (truth side of the ANN evals). */
   private val embTopkSql =
     """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -2962,144 +3056,23 @@ GROUP BY c.k, c.sample_rate, c.n_samples ORDER BY c.k""",
     // the integer comparison 2·|∩| ≥ |∪|. The confusion counts are the
     // integer-exact audit of the banding filter's real miss rate.
     "q_doc_minhash_eval" ->
-      """WITH RECURSIVE
-dt0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-sal AS (SELECT doc_id, tk, ((doc_id % 3 + 1) * len(tk)) // 2 AS m
-  FROM dt0 WHERE doc_id % 29 = 0),
-dt AS (
-  SELECT doc_id, tk FROM dt0
-  UNION ALL
-  SELECT doc_id + 1000000,
-    list_concat(tk, list_transform(range(1, m + 1),
-      j -> 'q' || doc_id || 'x' || j))
-  FROM sal),
-shl AS (
-  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-    ELSE list_transform(range(0, len(tk) - 2),
-      i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')) END AS shs
-  FROM dt),
-sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl),
-vocab AS (SELECT DISTINCT s FROM sh),
-fnv(s, i, hf) AS (
-  SELECT s, 0, 14695981039346656037::HUGEINT FROM vocab
-  UNION ALL
-  SELECT s, i + 1,
-    (xor(hf, ord(substr(s, i + 1, 1))::HUGEINT) * 1099511628211::HUGEINT)
-      % 18446744073709551616::HUGEINT
-  FROM fnv WHERE i < length(s)),
-h0 AS (SELECT s, hf AS h FROM fnv WHERE i = length(s)),
-js AS (SELECT i AS j FROM generate_series(0, 31) t(i)),
-z0 AS (SELECT s, j,
-  (h + 11400714819323198485::HUGEINT * (j + 1)::HUGEINT)
-    % 18446744073709551616::HUGEINT AS z
-  FROM h0, js),
-zm1 AS (
-  SELECT s, j,
-    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
-     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
-       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z
-  FROM (SELECT s, j, xor(z, z >> 30) AS x1 FROM z0)),
-zm2 AS (
-  SELECT s, j,
-    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
-     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
-       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z
-  FROM (SELECT s, j, xor(z, z >> 27) AS x2 FROM zm1)),
-mixed AS (SELECT s, j,
-  xor(z, z >> 31) % 9223372036854775808::HUGEINT AS m FROM zm2),
-sig AS (SELECT sh.doc_id, mx.j, MIN(mx.m) AS mh
-  FROM sh JOIN mixed mx ON sh.s = mx.s GROUP BY 1, 2),
-bk AS (SELECT doc_id, j // 4 AS band,
-  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS key
-  FROM sig GROUP BY doc_id, j // 4),
-cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-  FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
-  WHERE l.doc_id < r.doc_id),
-sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-truth AS (SELECT i.id1, i.id2
-  FROM inter i JOIN sz s1 ON s1.doc_id = i.id1
-    JOIN sz s2 ON s2.doc_id = i.id2
-  WHERE 2 * i.i >= s1.n + s2.n - i.i),
-fo AS (
-  SELECT t.id1 IS NOT NULL AS in_t, c.id1 IS NOT NULL AS in_c
-  FROM truth t FULL OUTER JOIN cand c ON t.id1 = c.id1 AND t.id2 = c.id2),
-agg AS (
-  SELECT CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
-    CAST(SUM(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
-    CAST(SUM(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-    CAST(SUM(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-    CAST(SUM(CASE WHEN NOT in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS fp
-  FROM fo)
-SELECT n_truth, n_cand, tp, fn, fp,
-  CASE WHEN n_truth > 0 THEN CAST(tp * 1000 // n_truth AS BIGINT) END AS recall_milli,
-  CASE WHEN n_cand > 0 THEN CAST(tp * 1000 // n_cand AS BIGINT) END AS precision_milli
-FROM agg""",
+      (s"""WITH RECURSIVE
+$saltedDocsCtes,
+$docShingleCtes,
+$minhashCandCtes,
+$jaccardTruthCtes,
+$confusionTailSql"""),
 
     // the recall curve: the q_doc_minhash_eval chain with the truth side
     // kept as exact (|∩|, |∪|) integers and re-thresholded per sweep row
     // (1000·|∩| ≥ t·|∪|); LEFT JOIN from the threshold table so empty
     // buckets still emit a zero row exactly like Spark's global aggregate
     "q_doc_minhash_sweep" ->
-      """WITH RECURSIVE
-dt0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-sal AS (SELECT doc_id, tk, ((doc_id % 3 + 1) * len(tk)) // 2 AS m
-  FROM dt0 WHERE doc_id % 29 = 0),
-dt AS (
-  SELECT doc_id, tk FROM dt0
-  UNION ALL
-  SELECT doc_id + 1000000,
-    list_concat(tk, list_transform(range(1, m + 1),
-      j -> 'q' || doc_id || 'x' || j))
-  FROM sal),
-shl AS (
-  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-    ELSE list_transform(range(0, len(tk) - 2),
-      i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')) END AS shs
-  FROM dt),
-sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl),
-vocab AS (SELECT DISTINCT s FROM sh),
-fnv(s, i, hf) AS (
-  SELECT s, 0, 14695981039346656037::HUGEINT FROM vocab
-  UNION ALL
-  SELECT s, i + 1,
-    (xor(hf, ord(substr(s, i + 1, 1))::HUGEINT) * 1099511628211::HUGEINT)
-      % 18446744073709551616::HUGEINT
-  FROM fnv WHERE i < length(s)),
-h0 AS (SELECT s, hf AS h FROM fnv WHERE i = length(s)),
-js AS (SELECT i AS j FROM generate_series(0, 31) t(i)),
-z0 AS (SELECT s, j,
-  (h + 11400714819323198485::HUGEINT * (j + 1)::HUGEINT)
-    % 18446744073709551616::HUGEINT AS z
-  FROM h0, js),
-zm1 AS (
-  SELECT s, j,
-    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
-     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
-       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z
-  FROM (SELECT s, j, xor(z, z >> 30) AS x1 FROM z0)),
-zm2 AS (
-  SELECT s, j,
-    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
-     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
-       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z
-  FROM (SELECT s, j, xor(z, z >> 27) AS x2 FROM zm1)),
-mixed AS (SELECT s, j,
-  xor(z, z >> 31) % 9223372036854775808::HUGEINT AS m FROM zm2),
-sig AS (SELECT sh.doc_id, mx.j, MIN(mx.m) AS mh
-  FROM sh JOIN mixed mx ON sh.s = mx.s GROUP BY 1, 2),
-bk AS (SELECT doc_id, j // 4 AS band,
-  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS key
-  FROM sig GROUP BY doc_id, j // 4),
-cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-  FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
-  WHERE l.doc_id < r.doc_id),
-sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
+      (s"""WITH RECURSIVE
+$saltedDocsCtes,
+$docShingleCtes,
+$minhashCandCtes,
+$jaccardTruthCtes,
 jp AS (SELECT i.id1, i.id2, i.i AS i, s1.n + s2.n - i.i AS u
   FROM inter i JOIN sz s1 ON s1.doc_id = i.id1
     JOIN sz s2 ON s2.doc_id = i.id2
@@ -3117,7 +3090,7 @@ SELECT CAST(ag.t AS BIGINT) AS t_milli, ag.n_truth, nc.n_cand, ag.tp,
   ag.n_truth - ag.tp AS fn, nc.n_cand - ag.tp AS fp,
   CASE WHEN ag.n_truth > 0 THEN CAST(ag.tp * 1000 // ag.n_truth AS BIGINT) END AS recall_milli,
   CASE WHEN nc.n_cand > 0 THEN CAST(ag.tp * 1000 // nc.n_cand AS BIGINT) END AS precision_milli
-FROM ag, nc ORDER BY t_milli""",
+FROM ag, nc ORDER BY t_milli"""),
 
     // the simhash audit: the SAME planted gray-zone corpus AND the SAME
     // shingle-Jaccard ground truth as q_doc_minhash_eval (so the two
@@ -3125,26 +3098,17 @@ FROM ag, nc ORDER BY t_milli""",
     // (FNV-1a → multiplicity-weighted bit votes → 4×16 banding →
     // hamming ≤ 12) re-derived over the planted corpus, pairs-only confusion
     "q_doc_simhash_eval" ->
-      """WITH RECURSIVE
-dt0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-sal AS (SELECT doc_id, tk, ((doc_id % 3 + 1) * len(tk)) // 2 AS m
-  FROM dt0 WHERE doc_id % 29 = 0),
-dt AS (
-  SELECT doc_id, tk FROM dt0
-  UNION ALL
-  SELECT doc_id + 1000000,
-    list_concat(tk, list_transform(range(1, m + 1),
-      j -> 'q' || doc_id || 'x' || j))
-  FROM sal),
-vocab AS (SELECT DISTINCT unnest(tk) AS tok FROM dt),
-fnv(tok, i, h) AS (
-  SELECT tok, 0, 14695981039346656037::HUGEINT FROM vocab
+      (s"""WITH RECURSIVE
+$saltedDocsCtes,
+svocab AS (SELECT DISTINCT unnest(tk) AS tok FROM dt),
+sfnv(tok, i, h) AS (
+  SELECT tok, 0, 14695981039346656037::HUGEINT FROM svocab
   UNION ALL
   SELECT tok, i + 1,
     (xor(h, ord(substr(tok, i + 1, 1))::HUGEINT) * 1099511628211::HUGEINT)
       % 18446744073709551616::HUGEINT
-  FROM fnv WHERE i < length(tok)),
-tokhash AS (SELECT tok, h AS hu FROM fnv WHERE i = length(tok)),
+  FROM sfnv WHERE i < length(tok)),
+tokhash AS (SELECT tok, h AS hu FROM sfnv WHERE i = length(tok)),
 toks AS (SELECT doc_id, unnest(tk) AS tok FROM dt),
 bits AS (
   SELECT t.doc_id, b.b,
@@ -3171,34 +3135,9 @@ spairs AS (
   FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
   WHERE l.doc_id < r.doc_id),
 cand AS (SELECT id1, id2 FROM spairs WHERE bit_count(xor(s1, s2)) <= 12),
-shl AS (
-  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-    ELSE list_transform(range(0, len(tk) - 2),
-      i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')) END AS shs
-  FROM dt),
-sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl),
-sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-truth AS (SELECT i.id1, i.id2
-  FROM inter i JOIN sz s1 ON s1.doc_id = i.id1
-    JOIN sz s2 ON s2.doc_id = i.id2
-  WHERE 2 * i.i >= s1.n + s2.n - i.i),
-fo AS (
-  SELECT t.id1 IS NOT NULL AS in_t, c.id1 IS NOT NULL AS in_c
-  FROM truth t FULL OUTER JOIN cand c ON t.id1 = c.id1 AND t.id2 = c.id2),
-agg AS (
-  SELECT CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
-    CAST(SUM(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
-    CAST(SUM(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-    CAST(SUM(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-    CAST(SUM(CASE WHEN NOT in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS fp
-  FROM fo)
-SELECT n_truth, n_cand, tp, fn, fp,
-  CASE WHEN n_truth > 0 THEN CAST(tp * 1000 // n_truth AS BIGINT) END AS recall_milli,
-  CASE WHEN n_cand > 0 THEN CAST(tp * 1000 // n_cand AS BIGINT) END AS precision_milli
-FROM agg""",
+$docShingleCtes,
+$jaccardTruthCtes,
+$confusionTailSql"""),
 
     "q_doc_simhash" ->
       """WITH RECURSIVE

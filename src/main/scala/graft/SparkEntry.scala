@@ -46,24 +46,29 @@ object SparkEntry {
 
   /** Flagship query on sf0.001: full intersections pipeline (J1+J2-J5+J6,
     * W1, A4-A7, X1) with city assignment. */
+  def entry(spark: SparkSession): DataFrame =
+    Pipeline.features(spark, "/root/testdata/sf0.001")
+
   /** mutated near-dup twins for the dedup audits: every doc_id % 29 doc
     * gets a +1000000-id copy with ⌈n/2⌉ / n / ⌈3n/2⌉ unique salt tokens
     * appended (by doc_id % 3), landing Jaccard ≈ 0.66 / 0.49 / 0.40 — the
     * gray zone where banded candidate stages genuinely miss. The salt is
     * built BEFORE the doc_id rename (a same-select alias would win
-    * lateral-column-alias resolution inside the transform lambda). */
+    * lateral-column-alias resolution inside the transform lambda), and only
+    * when m ≥ 1 — Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty,
+    * so an unguarded append would diverge from the oracle's range(1, 1)
+    * on a one-token doc. */
   private def mutatedTwins(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 29 === 0)
       .withColumn("n", size(split(col("text"), " ")))
       .withColumn("m", expr("CAST(((doc_id % 3 + 1) * n) DIV 2 AS INT)"))
-      .withColumn("text", concat(col("text"), lit(" "),
-        array_join(transform(sequence(lit(1), col("m")),
-          j => concat(lit("q"), col("doc_id").cast("string"), lit("x"),
-            j.cast("string"))), " ")))
+      .withColumn("text",
+        when(col("m") >= 1, concat(col("text"), lit(" "),
+          array_join(transform(sequence(lit(1), col("m")),
+            j => concat(lit("q"), col("doc_id").cast("string"), lit("x"),
+              j.cast("string"))), " ")))
+        .otherwise(col("text")))
       .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
-
-  def entry(spark: SparkSession): DataFrame =
-    Pipeline.features(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- spatial core (reference parity) --------------------------------

@@ -65,6 +65,12 @@ object Wav {
     while (buf.remaining() >= 8 && (data == null || sampleRate < 0)) {
       val id = tag4()
       val size = buf.getInt
+      // ONE guard for every branch: a negative size would move the cursor
+      // BACKWARD on the skip paths — an infinite loop no NonFatal catch can
+      // absorb — and an oversized one reads past the buffer or allocates
+      // GBs (fatal OOM) on the data path
+      require(size >= 0 && size <= buf.remaining(),
+        s"bad chunk size $size for '$id' (${buf.remaining()} bytes remain)")
       id match {
         case "fmt " =>
           val fmtStart = buf.position()
@@ -81,11 +87,6 @@ object Wav {
           require(bits == 16, s"only 16-bit PCM supported: $bits")
           buf.position(fmtStart + size + (size & 1)) // skip extension + pad
         case "data" =>
-          // a corrupt size field must fail here: unchecked it either reads
-          // past the buffer or allocates GBs (2^31-ish sizes) — a FATAL
-          // OutOfMemoryError no decode_ok=false path can absorb
-          require(size >= 0 && size <= buf.remaining(),
-            s"bad data chunk size $size (${buf.remaining()} bytes remain)")
           val n = size / 2
           val s = new Array[Short](n)
           var i = 0

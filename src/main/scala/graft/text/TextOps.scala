@@ -346,27 +346,38 @@ object TextOps {
   def minHashLshEval(spark: SparkSession, docs: DataFrame,
                      bands: Int = 8, rows: Int = 4,
                      jaccardMin: Double = 0.5): DataFrame = {
-    val k = bands * rows
-    val flat = docs.select(col("doc_id"), col("text"))
-      .withColumn("lang", lit("all")).withColumn("source", lit("all"))
-    val truth = ngramJaccardPairs(flat, jaccardMin).select("id1", "id2")
-    // signatures feed BOTH legs of the band self-join — materialize once
-    // (the same treatment minHashLshPairs gives its sig frame)
-    val sig = docs.select(col("doc_id"),
-        array_distinct(shingles(col("text"))).as("sh"))
-      .withColumn("sig", fns.minhash_sig(col("sh"), k))
+    val sh = globalShingleSets(docs)
+    val truth = jaccardPairsOf(sh, jaccardMin).select("id1", "id2")
+    confusionCounts(truth, minhashBandCandidates(sh, bands, rows))
+  }
+
+  /** distinct-shingle sets in the (lang, source)-flattened GLOBAL scope the
+    * audits run in — shingled ONCE and materialized, shared by the truth
+    * and signature passes (the module's materialize-shingles-once rule). */
+  private def globalShingleSets(docs: DataFrame): DataFrame =
+    docs.select(lit("all").as("lang"), lit("all").as("source"),
+        col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .withColumn("nsh", size(col("sh")))
       .localCheckpoint(true)
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", transform(
-          slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
-          x => x.cast("string"))))))
+
+  /** the minhash band-equality candidate stage over shingle sets: signature
+    * → per-band slice keys (slice EQUALITY, not 32-bit hash() buckets, so
+    * the set is engine-reproducible) → distinct same-key pairs. Signatures
+    * feed BOTH legs of the self-join — materialized once. */
+  private def minhashBandCandidates(sh: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = sh
+      .withColumn("sig", fns.minhash_sig(col("sh"), bands * rows))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", transform(
+            slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
+            x => x.cast("string"))))))
       .toDF("doc_id", "band", "key")
+      .localCheckpoint(true)
     val l = banded.select(col("band"), col("key"), col("doc_id").as("id1"))
     val r = banded.select(col("band"), col("key"), col("doc_id").as("id2"))
-    val cand = l.join(r, Seq("band", "key")).filter(col("id1") < col("id2"))
+    l.join(r, Seq("band", "key")).filter(col("id1") < col("id2"))
       .select("id1", "id2").dropDuplicates("id1", "id2")
-    confusionCounts(truth, cand)
   }
 
   /** The simhash twin of minHashLshEval, against the SAME shingle-Jaccard
@@ -377,9 +388,8 @@ object TextOps {
     * Same pairs-only scale shape as minHashLshEval. */
   def simHashEval(spark: SparkSession, docs: DataFrame,
                   maxHam: Int = 12, jaccardMin: Double = 0.5): DataFrame = {
-    val flat = docs.select(col("doc_id"), col("text"))
-      .withColumn("lang", lit("all")).withColumn("source", lit("all"))
-    val truth = ngramJaccardPairs(flat, jaccardMin).select("id1", "id2")
+    val truth = jaccardPairsOf(globalShingleSets(docs), jaccardMin)
+      .select("id1", "id2")
     val cand = simHashPairs(docs, maxHam).select("id1", "id2")
     confusionCounts(truth, cand)
   }
@@ -399,30 +409,11 @@ object TextOps {
       : DataFrame = {
     require(thresholdsMilli.nonEmpty)
     val tMin = thresholdsMilli.min / 1000.0
-    val k = bands * rows
-    val flat = docs.select(col("doc_id"), col("text"))
-      .withColumn("lang", lit("all")).withColumn("source", lit("all"))
-    val truth = jaccardPairsDetailed(
-      flat.select(col("lang"), col("source"), col("doc_id"),
-          array_distinct(shingles(col("text"))).as("sh"))
-        .withColumn("nsh", size(col("sh"))), tMin)
+    val sh = globalShingleSets(docs)
+    val truth = jaccardPairsDetailed(sh, tMin)
       .select(col("id1"), col("id2"),
         col("inter").cast("long").as("i"), col("uni").cast("long").as("u"))
-    val sig = docs.select(col("doc_id"),
-        array_distinct(shingles(col("text"))).as("sh"))
-      .withColumn("sig", fns.minhash_sig(col("sh"), k))
-      .localCheckpoint(true)
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", transform(
-          slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
-          x => x.cast("string"))))))
-      .toDF("doc_id", "band", "key")
-    val l = banded.select(col("band"), col("key"), col("doc_id").as("id1"))
-    val r = banded.select(col("band"), col("key"), col("doc_id").as("id2"))
-    val cand = l.join(r, Seq("band", "key")).filter(col("id1") < col("id2"))
-      .select("id1", "id2").dropDuplicates("id1", "id2")
-      .localCheckpoint(true)
+    val cand = minhashBandCandidates(sh, bands, rows).localCheckpoint(true)
     val nCand = cand.count()
     val joined = truth
       .join(cand.withColumn("c", lit(true)), Seq("id1", "id2"), "left")
@@ -430,8 +421,10 @@ object TextOps {
     val perT = thresholdsMilli.sorted.map { t =>
       joined
         .filter(lit(1000L) * col("i") >= lit(t.toLong) * col("u"))
+        // coalesce: sum over an EMPTY bucket is NULL, but the contract (and
+        // the oracle's LEFT-JOIN zero row) is tp = 0
         .agg(count(lit(1)).as("n_truth"),
-          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("tp"))
+          coalesce(sum(when(col("c").isNotNull, 1L).otherwise(0L)), lit(0L)).as("tp"))
         .select(lit(t.toLong).as("t_milli"), col("n_truth"),
           lit(nCand).as("n_cand"), col("tp"),
           (col("n_truth") - col("tp")).as("fn"),

@@ -115,6 +115,13 @@ class AudioSpec extends AnyFunSuite {
     val negSize = wav.clone()
     negSize(40) = -1; negSize(41) = -1; negSize(42) = -1; negSize(43) = -1
     intercept[IllegalArgumentException](Wav.decode(negSize)) // size guard fires
+    // unknown chunk with NEGATIVE size: pre-guard this moved the cursor
+    // BACKWARD onto the same header bytes -> an infinite loop no NonFatal
+    // catch could absorb; the central chunk-size guard must throw instead
+    val loop = "RIFF".getBytes("US-ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](-8, -1, -1, -1) ++ new Array[Byte](16)
+    intercept[IllegalArgumentException](Wav.decode(loop))
     val spark0 = SparkTestSession.spark
     import spark0.implicits._
     val df = Seq(("a", "wav", negSize), ("b", "wav", wav.take(10)),
