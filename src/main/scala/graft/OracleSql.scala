@@ -2472,6 +2472,48 @@ SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(cell AS BIGINT) AS cell, offset_b // 4096 AS shard, offset_b
 FROM wo ORDER BY image_id""",
 
+    // crop dedup: all 4×4 window fingerprints rebuilt from the splitmix
+    // closed form with WINDOW-LOCAL position weights (translation
+    // invariance is the whole point); the planted crop's pixel (x', y') is
+    // the source's (x'+1, y'+1), so its windows are the source's shifted
+    // windows; pair counts and the exact (cw−3)(ch−3) containment test
+    // replayed verbatim
+    "q_image_crop_dups" ->
+      (s"""WITH ${pxChainCtes("o_orderkey % 21 = 0 AND o_orderkey % 5 <> 3")},
+fin AS (SELECT k, fmt, w, h, x, y, xor(z2, z2 >> 31) AS z FROM m2),
+imgp AS (
+  SELECT 'img' || k AS image_id, w, h, x, y, z FROM fin
+  UNION ALL
+  SELECT 'img' || k || '_c', w - 2, h - 2, x - 1, y - 1, z
+  FROM fin WHERE fmt = 'bmp' AND x BETWEEN 1 AND w - 2 AND y BETWEEN 1 AND h - 2),
+dims2 AS (SELECT DISTINCT image_id, w, h FROM imgp),
+oxs AS (SELECT i AS o FROM generate_series(0, 15) t(i)),
+wins AS (
+  SELECT d.image_id, d.w, d.h, ox.o AS ox, oy.o AS oy
+  FROM dims2 d, oxs ox, oxs oy
+  WHERE ox.o + 4 <= d.w AND oy.o + 4 <= d.h),
+fpt AS (
+  SELECT wn.image_id, wn.w, wn.h, wn.ox, wn.oy,
+    CAST(SUM(
+      ((py.o * 4 + px.o) * 3 + 1) * ((py.o * 4 + px.o) * 3 + 7) * (v.z % 256 + 17)
+      + ((py.o * 4 + px.o) * 3 + 2) * ((py.o * 4 + px.o) * 3 + 8) * ((v.z // 256) % 256 + 17)
+      + ((py.o * 4 + px.o) * 3 + 3) * ((py.o * 4 + px.o) * 3 + 9) * ((v.z // 65536) % 256 + 17))
+      AS BIGINT) AS fp
+  FROM wins wn
+  CROSS JOIN (SELECT i AS o FROM generate_series(0, 3) t(i)) px
+  CROSS JOIN (SELECT i AS o FROM generate_series(0, 3) t(i)) py
+  JOIN imgp v ON v.image_id = wn.image_id
+    AND v.x = wn.ox + px.o AND v.y = wn.oy + py.o
+  GROUP BY 1, 2, 3, 4, 5),
+fps AS (SELECT DISTINCT image_id, w, h, fp FROM fpt),
+prs AS (
+  SELECT a.image_id AS id1, b.image_id AS id2, b.w AS w2, b.h AS h2,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.image_id < b.image_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id1, id2, n_shared, n_shared = (w2 - 3) * (h2 - 3) AS is_crop
+FROM prs WHERE n_shared >= 4 ORDER BY id1, id2"""),
+
     // decode-robustness contract: the oracle ASSERTS the outcome from k
     // arithmetic alone — corrupt classes decode 0, clean classes decode
     // all; any crash, silent garbage "success", or clean-payload rejection

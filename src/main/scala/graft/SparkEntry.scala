@@ -1405,6 +1405,44 @@ object SparkEntry {
         .orderBy("dup_id")
     }),
 
+    // CROP dedup: every sampled bmp gets a planted (1,1)-offset crop of
+    // itself — a duplicate class that shares NO whole-image signal (digest,
+    // orbit, phash all change) but every interior 4×4 patch fingerprint.
+    // DuckDB rebuilds all fingerprints from the splitmix closed form (the
+    // crop's windows are the source's shifted windows), replays the
+    // inverted-index pair counts and the exact containment test.
+    "q_image_crop_dups" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val base = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("fmt") =!= "jpeg" && col("k") % 21 === 0)
+        .drop("k")
+      val cropEnc = udf((phash: Long, w: Int, h: Int) => {
+        val rgb = graft.synth.Bmp.pixels(phash, w, h)
+        val cw = w - 2; val ch = h - 2
+        val out = new Array[Byte](cw * ch * 3)
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) {
+            val si = ((y + 1) * w + x + 1) * 3
+            val di = (y * cw + x) * 3
+            out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+            x += 1
+          }
+          y += 1
+        }
+        graft.synth.Bmp.encode(out, cw, ch)
+      })
+      val planted = base.filter(col("fmt") === "bmp")
+        .select(concat(col("image_id"), lit("_c")).as("image_id"),
+          cropEnc(col("phash"), col("w"), col("h")).as("bytes"),
+          (col("w") - 2).as("w"), (col("h") - 2).as("h"),
+          lit("bmp").as("fmt"), col("caption"), col("phash"))
+      ImageOps.cropDups(s, base.unionByName(planted))
+        .orderBy("id1", "id2")
+    }),
+
     // DECODE-ROBUSTNESS gate: planted corrupt payloads (10-byte truncation
     // at k % 31, garbled magic at k % 37) across the image AND audio decode
     // paths — every corrupt row must land in decode_ok=false and every

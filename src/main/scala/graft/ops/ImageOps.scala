@@ -532,6 +532,73 @@ object ImageOps {
         (col("caption") === col("keep_caption")).as("captions_match"))
   }
 
+  /** CROP / SUB-IMAGE dedup — the duplicate class every whole-image signal
+    * misses: a cropped copy shares NO digest (content moved), no orbit
+    * digest, and generally no phash with its source, yet it is pure
+    * redundant training signal. Detection is the classic patch-fingerprint
+    * inverted index: every 4×4 pixel window gets a translation-INVARIANT
+    * fingerprint (position weights relative to the WINDOW origin), images
+    * sharing ≥ minShared distinct fingerprints become candidate pairs, and
+    * full containment is decided by the closed-form window count — a crop
+    * of size (cw, ch) is fully contained iff the pair shares exactly
+    * (cw−3)·(ch−3) fingerprints.
+    *
+    * Scale shape: fingerprints are computed map-side in the decode pass
+    * (deduped per image before emission); the inverted index is an
+    * equi-join on the 8-byte fingerprint over narrow (fp, id, dims) rows —
+    * never all-pairs, bytes never travel; the pair aggregate is a count.
+    * Output: (id1, id2, n_shared, is_crop) — is_crop ⇔ id2's full window
+    * set is shared. */
+  def cropDups(spark: SparkSession, images: DataFrame,
+               minShared: Int = 4, patch: Int = 4): DataFrame = {
+    import spark.implicits._
+    val patches = images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).toSeq.flatMap { case (rgb, w, h) =>
+            val fps = scala.collection.mutable.HashSet.empty[Long]
+            var oy = 0
+            while (oy + patch <= h) {
+              var ox = 0
+              while (ox + patch <= w) {
+                var d = 0L
+                var py = 0
+                while (py < patch) {
+                  var px = 0
+                  while (px < patch) {
+                    val si = ((oy + py) * w + ox + px) * 3
+                    val lp = (py * patch + px) * 3
+                    var c = 0
+                    while (c < 3) {
+                      d += (lp + c + 1L) * (lp + c + 7L) * ((rgb(si + c) & 0xff) + 17L)
+                      c += 1
+                    }
+                    px += 1
+                  }
+                  py += 1
+                }
+                fps += d
+                ox += 1
+              }
+              oy += 1
+            }
+            fps.iterator.map(d => (id, w, h, d))
+          }
+        }
+      }.toDF("image_id", "w", "h", "fp")
+    val l = patches.select(col("fp"), col("image_id").as("id1"))
+    val r = patches.select(col("fp"), col("image_id").as("id2"),
+      col("w").as("w2"), col("h").as("h2"))
+    l.join(r, Seq("fp")).filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2", "w2", "h2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id1"), col("id2"), col("n_shared"),
+        (col("n_shared") ===
+          (col("w2") - (patch - 1)) * (col("h2") - (patch - 1))).as("is_crop"))
+  }
+
   /** SPRITE-ATLAS EXPORT (dataset-browser leg of the export stage): images
     * are bucketed into spatial cells, ordered by image_id, chopped into
     * 16-image shards, and each shard is PHYSICALLY composed onto a 64×64

@@ -312,6 +312,25 @@ class ImageCurationSpec extends AnyFunSuite {
       Seq((0L, 16L), (1L, 1L)))
   }
 
+  test("cropDups: planted crop found with exact containment; unrelated images never pair") {
+    val (w, h) = (8, 7)
+    val rgb = Bmp.pixels(999L, w, h)
+    val (cw, ch) = (w - 2, h - 2)
+    val crop = new Array[Byte](cw * ch * 3)
+    for (y <- 0 until ch; x <- 0 until cw; c <- 0 until 3)
+      crop((y * cw + x) * 3 + c) = rgb(((y + 1) * w + x + 1) * 3 + c)
+    val df = Seq(
+      ("a", "bmp", Bmp.encode(rgb, w, h)),
+      ("a_c", "bmp", Bmp.encode(crop, cw, ch)),
+      ("b", "bmp", Bmp.encode(Bmp.pixels(777L, w, h), w, h)))
+      .toDF("image_id", "fmt", "bytes")
+    val rows = ImageOps.cropDups(spark, df).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "a" && rows(0).getString(1) === "a_c")
+    assert(rows(0).getAs[Long]("n_shared") === ((cw - 3) * (ch - 3)).toLong)
+    assert(rows(0).getAs[Boolean]("is_crop"))
+  }
+
   test("crossmodalDedup splits pixel twins by caption equality") {
     val (w, h) = (4, 4)
     val px = Bmp.encode(Bmp.pixels(7L, w, h), w, h)
