@@ -1602,7 +1602,7 @@ geo AS (
         FROM base, p)),
 strat AS (
   SELECT k, fmt, $cityCase AS city,
-    (k * 2654435761 + 12345) % 2147483648 AS skey
+    ((k % 2147483648) * 2654435761 + 12345) % 2147483648 AS skey
   FROM geo, (SELECT (g - 1) * 1000 AS s FROM p) sp),
 rk AS (SELECT *,
   ROW_NUMBER() OVER (PARTITION BY city, fmt ORDER BY skey, k) AS r
@@ -1618,7 +1618,7 @@ t AS (SELECT pid,
   CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT) * 67108864 +
   CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 32768.0::DOUBLE) AS BIGINT)
   AS tile_id,
-  (pid * 2654435761) % 4294967296 AS priority
+  ((pid % 2147483648) * 2654435761) % 4294967296 AS priority
   FROM pts),
 r AS (SELECT pid, tile_id, priority,
       ROW_NUMBER() OVER (PARTITION BY tile_id ORDER BY priority, pid) AS rk FROM t)

@@ -111,7 +111,13 @@ object ClusterOps {
   def capPerTile(points: DataFrame, zoom: Int, cap: Int): DataFrame = {
     require(cap >= 1, "cap must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val prio = pmod(col("pid") * lit(2654435761L), lit(4294967296L)).as("priority")
+    // pid is pre-reduced mod 2^31 before the Knuth multiply so the i64
+    // product stays below 2^31·2654435761 < 2^63 for EVERY pid — without
+    // it the scramble silently wraps in Spark (and overflows hard in the
+    // DuckDB oracle) once ids pass ~3.47e9, well inside 10^12-image scale.
+    // The oracle SQL spells the identical pre-reduction.
+    val prio = pmod(pmod(col("pid"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L)).as("priority")
     val w = Window.partitionBy(col("tile_id")).orderBy(col("priority"), col("pid"))
     points
       .select(col("pid"), fns.tile_id(col("lat"), col("lon"), zoom).as("tile_id"), prio)

@@ -16,9 +16,12 @@ object SampleOps {
     *
     * The scramble (id·2654435761 + 12345 mod 2^31, Knuth's multiplicative
     * hash; the multiplier is odd so the map is injective mod 2^31 — no
-    * ties) decorrelates the keep set from ingest order. Exact for
-    * ids < ~3.4e9 (beyond that the i64 product would overflow; widen to a
-    * two-limb scramble first).
+    * ties for ids < 2^31) decorrelates the keep set from ingest order.
+    * The id is pre-reduced mod 2^31 BEFORE the multiply — algebraically a
+    * no-op (m·(id mod 2^31) ≡ m·id mod 2^31), but it bounds the i64
+    * product below 2^31·m < 2^63 for EVERY id, so the scramble never
+    * silently wraps at scale (and the DuckDB oracle spells the identical
+    * pre-reduction, so the engines agree at any id).
     *
     * Scale shape: selection runs through the native k-bounded TopKAgg, so
     * map-side combine discards non-contenders BEFORE the exchange — the
@@ -34,7 +37,8 @@ object SampleOps {
   def stratifiedQuota(df: DataFrame, strata: Seq[String], idCol: Column,
                       quota: Int): DataFrame = {
     require(strata.nonEmpty, "stratifiedQuota: at least one stratum column")
-    val skey = pmod(idCol * lit(2654435761L) + lit(12345L), lit(2147483648L))
+    val skey = pmod(pmod(idCol, lit(2147483648L)) * lit(2654435761L) + lit(12345L),
+      lit(2147483648L))
     df.select(strata.map(col) :+ skey.as("skey") :+ idCol.as("id"): _*)
       .groupBy(strata.map(col): _*)
       // TopKAgg ranks (value DESC, tag ASC); negate for smallest-first

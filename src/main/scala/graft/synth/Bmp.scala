@@ -69,10 +69,17 @@ object Bmp {
     require(b.getShort(28) == 24, "only 24-bit BMP supported")
     // corrupt size fields must fail like any other malformed payload — an
     // unchecked w·h from a bit-flipped header would allocate GBs and die
-    // with a FATAL OutOfMemoryError no decode_ok=false path can absorb
-    require(off >= 0 && w > 0 && h > 0 && w.toLong * h <= (1L << 28),
-      s"implausible BMP header: off=$off w=$w h=$h")
-    val rowSize = (w * 3 + 3) / 4 * 4
+    // with a FATAL OutOfMemoryError no decode_ok=false path can absorb.
+    // The bound is the ACTUAL payload: the buffer must back every pixel row
+    // the header claims, so no corrupt-but-"plausible" header can allocate
+    // more than ~the payload size (w·h·3 ≤ rowSize·h ≤ bmp.length ≤ 2 GiB),
+    // and many concurrent tasks on corrupt records stay memory-bounded.
+    require(off >= 0 && w > 0 && h > 0, s"implausible BMP header: off=$off w=$w h=$h")
+    val rowSize = ((w.toLong * 3 + 3) / 4 * 4).toInt
+    require(w.toLong * 3 + 3 <= Int.MaxValue &&
+      off.toLong + rowSize.toLong * h <= bmp.length,
+      s"BMP header claims more pixels than the payload backs: " +
+        s"off=$off w=$w h=$h len=${bmp.length}")
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

@@ -289,8 +289,12 @@ object TextOps {
     // dominant per-pass cost and this operator is multi-pass by nature
     // (inverted index, df table, both verify sides) — materialize the
     // shingled form ONCE; every downstream pass reads it instead of
-    // re-deriving shingles from text (measured 10 s → ~5 s at sf0.1)
-    jaccardPairsOf(shingled(docs), jaccardMin)
+    // re-deriving shingles from text (measured 10 s → ~5 s at sf0.1).
+    // The checkpoint lives HERE, not inside jaccardPairsDetailed: the audit
+    // entry points pass globalShingleSets output that is already
+    // materialized, and a second checkpoint would write the shingled corpus
+    // twice per audit query.
+    jaccardPairsOf(shingled(docs).localCheckpoint(true), jaccardMin)
   }
 
   private def jaccardPairsOf(sets: DataFrame, jaccardMin: Double): DataFrame =
@@ -298,10 +302,16 @@ object TextOps {
       .select("lang", "source", "id1", "id2", "jaccard")
 
   /** the same pairs carrying the EXACT integer |∩| and |∪| alongside the
-    * double ratio — the threshold-sweep audit compares on the integers. */
+    * double ratio — the threshold-sweep audit compares on the integers.
+    *
+    * CONTRACT: `sets` must already be materialized (every caller passes a
+    * localCheckpointed frame — globalShingleSets or ngramJaccardPairs's own
+    * checkpoint). It is read by four passes below (inverted index, df
+    * table, both verify legs); checkpointing AGAIN here would materialize
+    * the shingled corpus twice per audit query. */
   private def jaccardPairsDetailed(sets: DataFrame, jaccardMin: Double): DataFrame = {
     require(jaccardMin > 0.0, "prefix-filtered form requires a positive threshold")
-    val d = sets.localCheckpoint(true)
+    val d = sets
     val cand = prefixCandidatesOf(d, jaccardMin)
     val s1 = d.select(col("lang"), col("source"), col("doc_id").as("id1"),
       col("sh").as("sh1"), col("nsh").as("n1"))
