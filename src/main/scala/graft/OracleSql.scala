@@ -3740,12 +3740,14 @@ FROM docs2 ORDER BY doc_id""",
     // same deterministically-derived ping/caption feeds
     "q_stream_join" ->
       s"""WITH $imgCte,
+sliced AS (
+  SELECT * FROM imgs WHERE CAST(SUBSTRING(image_id, 4) AS BIGINT) % 11 = 0),
 pings AS (
-  SELECT image_id, lat, lon, 1767225600 + (u % 240) AS ping_sec FROM imgs),
+  SELECT image_id, lat, lon, 1767225600 + (u % 240) AS ping_sec FROM sliced),
 caps AS (
   SELECT image_id, 'c' || image_id AS caption,
     1767225600 + (u % 240) + (v % 360) - 180 AS cap_sec
-  FROM imgs WHERE v % 3 = 0)
+  FROM sliced WHERE v % 3 = 0)
 SELECT p.image_id, p.lat, p.lon, CAST(p.ping_sec AS BIGINT) AS ping_sec,
   CAST(c.cap_sec AS BIGINT) AS cap_sec, c.caption
 FROM pings p JOIN caps c ON p.image_id = c.image_id

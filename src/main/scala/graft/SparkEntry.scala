@@ -1829,12 +1829,16 @@ object SparkEntry {
     // roughly a third of captioned images land outside the ±120 s window)
     // joined with watermarks on BOTH sides; the oracle is the equivalent
     // batch interval join. No stateful timeout here, so a single replay
-    // batch + processAllAvailable is deterministic.
+    // batch + processAllAvailable is deterministic. Both feeds take the
+    // same 1/11 id slice as q_stream_geofence — it bounds the
+    // replay-harness collect (driver memory stays O(sf/11) instead of
+    // O(sf)), not the operator: pingCaptionJoin itself never collects.
     "q_stream_join" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val base = 1767225600L // 2026-01-01T00:00:00Z
       val gi = Pipeline.geoImages(s, dir)
+        .filter(expr("CAST(substring(image_id, 4) AS BIGINT) % 11 = 0"))
       val pings = gi.select(col("image_id"), col("lat"), col("lon"),
           (lit(base) + col("u") % 240).cast("timestamp").as("ts"))
         .as[(String, Double, Double, java.sql.Timestamp)].collect()
