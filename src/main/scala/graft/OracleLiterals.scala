@@ -28,7 +28,11 @@ object OracleLiterals {
     // PCM decode re-derived via an (A^j, T_j) power table in HUGEINT —
     // rms is exact because Σv² < 2^41 and sqrt is IEEE-exact)
     "q_doc_token_hll",
-    "q_image_features", "q_image_psnr",
+    // (q_image_psnr was promoted in round 5: the gated surface moved from
+    // centi-dB, which needs log10, to exact integer SSE facts — lossless
+    // bit-exactness and the 40 dB contract as the integer compare
+    // 10⁴·sse ≤ 255²·npix — all first-principles-derivable in SQL)
+    "q_image_features",
     // golden-file replays: static reference data (sfDir-independent), pinned
     // because the driver's DuckDB sees only the sf parquet tables, not the
     // reference's GeoJSON files

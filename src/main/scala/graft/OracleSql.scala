@@ -2330,6 +2330,30 @@ FROM ranked WHERE rk = 1 ORDER BY doc_id""",
       """SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS dupes
 FROM documents GROUP BY text ORDER BY keep_doc_id""",
 
+    // full-corpus decode-fidelity oracle (promoted from a pin in round 5):
+    // the gated surface is exact integer SSE facts the corpus formula
+    // determines from first principles — every lossless (bmp/png) decode
+    // must be BIT-EXACT vs the splitmix source (n_bitexact_lossless = n,
+    // total_sse_lossless = 0), every decode must succeed, every caption
+    // must equal its formula, and every row must clear the 40 dB contract
+    // via the pure-integer compare 10⁴·sse ≤ 255²·npix (lossless rows at
+    // sse = 0 pass trivially; the jpeg row gates the input_hint's
+    // documented q=0.95 smooth-gradient ≥40 dB contract). No log10
+    // anywhere: a decode regression flips an integer count, never a float.
+    "q_image_psnr" ->
+      """WITH f AS (
+  SELECT CASE WHEN o_orderkey % 5 = 1 THEN 'png'
+              WHEN o_orderkey % 5 = 3 THEN 'jpeg'
+              ELSE 'bmp' END AS fmt
+  FROM orders)
+SELECT fmt, COUNT(*) AS n,
+  COUNT(*) AS n_decode_ok,
+  COUNT(*) AS n_ge_40db,
+  CAST(CASE WHEN fmt <> 'jpeg' THEN COUNT(*) ELSE 0 END AS BIGINT) AS n_bitexact_lossless,
+  CAST(0 AS BIGINT) AS total_sse_lossless,
+  COUNT(*) AS n_caption_ok
+FROM f GROUP BY fmt ORDER BY fmt""",
+
     // independent DECODE oracle: per sampled lossless image, DuckDB
     // rebuilds the splitmix source pixels from o_orderkey (h1/h2 LCGs →
     // phash → per-(x,y) splitmix64 in HUGEINT mod-2^64, ≥2^63 multipliers

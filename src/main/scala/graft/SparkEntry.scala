@@ -1295,18 +1295,29 @@ object SparkEntry {
     }),
 
     // decoded-pixel fidelity vs the synthesis-time source pattern, the
-    // input_hint contract verbatim: lossless rows (bmp/png) must be
-    // bit-exact (PSNR pegged at the 999.00 dB cap), lossy rows (jpeg,
-    // q=0.95 smooth gradients) must clear 40 dB; caption equality rides the
-    // same row. min/avg PSNR in integer centi-dB pin exactly.
+    // input_hint contract verbatim — PROMOTED from a pin to a TRUE SQL
+    // oracle by moving the gated surface from centi-dB (needs log10) to
+    // exact integer SSE: lossless rows (bmp/png) must be BIT-EXACT
+    // (sse = 0, so n_bitexact_lossless = n and total_sse_lossless = 0 are
+    // first-principles facts the oracle derives from the corpus formula
+    // alone), lossy rows (jpeg, q=0.95 smooth gradients) must clear 40 dB
+    // via the pure-integer compare 10⁴·sse ≤ 255²·npix; caption equality
+    // rides the same row. Any decode regression (channel swap, row order,
+    // inflate bug, JPEG drift below 40 dB) flips a gated count. The cdB
+    // depth the old pin carried lives on in CodecSpec's per-size jpeg
+    // PSNR assertions.
     "q_image_psnr" -> ((s, dir) => {
-      val psnr = ImageOps.psnrVsSource(s,
+      val fid = ImageOps.decodeSse(s,
         Synth.images(s, dir, Pipeline.prepared(s, dir)._1))
-      psnr.groupBy(col("fmt"))
+      fid.groupBy(col("fmt"))
         .agg(count(lit(1)).as("n"),
-          min(col("psnr_cdb")).as("min_cdb"),
-          (sum(col("psnr_cdb")) / count(lit(1))).cast("long").as("avg_cdb"),
-          sum(when(col("psnr_cdb") >= 4000L, 1L).otherwise(0L)).as("n_ge_40db"),
+          sum(when(col("sse") >= 0L, 1L).otherwise(0L)).as("n_decode_ok"),
+          sum(when(col("sse") >= 0L && col("sse") * 10000L <= lit(65025L) * col("npix"),
+            1L).otherwise(0L)).as("n_ge_40db"),
+          sum(when(col("fmt") =!= "jpeg" && col("sse") === 0L, 1L).otherwise(0L))
+            .as("n_bitexact_lossless"),
+          sum(when(col("fmt") =!= "jpeg", col("sse")).otherwise(0L)).cast("long")
+            .as("total_sse_lossless"),
           sum(when(col("caption_ok"), 1L).otherwise(0L)).as("n_caption_ok"))
         .orderBy("fmt")
     }),

@@ -237,11 +237,47 @@ object ImageOps {
       .select("k", "cell", "shard", "offset", "len")
   }
 
+  /** Exact integer decode fidelity vs the synthesis-time source pattern:
+    * per image, sse = Σ over all 3·w·h channel samples of (decoded −
+    * source)² and npix = 3·w·h (sse = −1 marks a decode failure). Every
+    * term is a perfect-square integer ≤ 255², so sse ≤ 65025·npix stays
+    * far inside i64 and the PSNR≥40 dB contract becomes the PURE-INTEGER
+    * compare 10⁴·sse ≤ 255²·npix (PSNR = 10·log₁₀(255²·npix/sse) ≥ 40 ⇔
+    * 10⁴·sse ≤ 65025·npix; sse = 0 ⇔ bit-exact ⇔ PSNR ∞) — no float log
+    * anywhere on the gated path, which is what lets q_image_psnr be a TRUE
+    * DuckDB oracle instead of a pin. Caption equality rides the same row. */
+  def decodeSse(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "w", "h", "bytes", "phash", "caption")
+      .as[(String, String, Int, Int, Array[Byte], Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, fmt, w, h, bytes, phash, caption) =>
+          val (sse, npix) = Codec.decodeAny(fmt, bytes) match {
+            case Some((rgb, _, _)) =>
+              val src = Codec.sourcePixels(fmt, phash, w, h)
+              var se = 0L; var i = 0
+              val n = math.min(src.length, rgb.length)
+              while (i < n) {
+                val d = (src(i) & 0xff) - (rgb(i) & 0xff)
+                se += (d * d).toLong
+                i += 1
+              }
+              // a size mismatch is a decode bug, not a fidelity score
+              (if (src.length == rgb.length) se else -1L, 3L * w * h)
+            case None => (-1L, 3L * w * h)
+          }
+          (id, fmt, sse, npix, caption == s"caption ${id.stripPrefix("img")}")
+        }
+      }.toDF("image_id", "fmt", "sse", "npix", "caption_ok")
+  }
+
   /** Per-row decoded-pixel verification vs the synthesis-time source pattern
     * (the input_hint contract: "decoded-pixel allclose — PSNR≥40dB for lossy
     * formats — plus caption equality"). Lossless rows must match bit-exactly
     * (PSNR ∞, stored as the cap); lossy rows must clear 40 dB. PSNR is
-    * reported in integer centi-dB so the aggregate pins exactly. */
+    * reported in integer centi-dB; the gated aggregate (q_image_psnr) runs
+    * on the integer-exact [[decodeSse]] twin instead so it can be a TRUE
+    * SQL oracle — this cdB form remains the human-readable fidelity API. */
   def psnrVsSource(spark: SparkSession, images: DataFrame, capCdb: Long = 99900L): DataFrame = {
     import spark.implicits._
     images.select("image_id", "fmt", "w", "h", "bytes", "phash", "caption")
