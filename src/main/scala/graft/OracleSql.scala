@@ -454,11 +454,11 @@ nw AS (
   SELECT 1000000 + c.i, r.i * 1000000 + c.i
   FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
   UNION ALL
-  SELECT 2000000, 900000000 + k.i FROM ser k, p WHERE k.i < p.g
-  UNION ALL SELECT 5000000, 900000001
-  UNION ALL SELECT 5000000, 910000001
-  UNION ALL SELECT 5000001, 910000001
-  UNION ALL SELECT 5000001, 910000002
+  SELECT 2000000, 900000000000 + k.i FROM ser k, p WHERE k.i < p.g
+  UNION ALL SELECT 5000000, 900000000001
+  UNION ALL SELECT 5000000, 910000000001
+  UNION ALL SELECT 5000001, 910000000001
+  UNION ALL SELECT 5000001, 910000000002
   UNION ALL SELECT 6000000, 1000001
   UNION ALL SELECT 6000000, 1000002),
 pge AS (
@@ -480,11 +480,11 @@ nw AS (
   SELECT 1000000 + c.i, r.i * 1000000 + c.i
   FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
   UNION ALL
-  SELECT 2000000, 900000000 + k.i FROM ser k, p WHERE k.i < p.g
-  UNION ALL SELECT 5000000, 900000001
-  UNION ALL SELECT 5000000, 910000001
-  UNION ALL SELECT 5000001, 910000001
-  UNION ALL SELECT 5000001, 910000002
+  SELECT 2000000, 900000000000 + k.i FROM ser k, p WHERE k.i < p.g
+  UNION ALL SELECT 5000000, 900000000001
+  UNION ALL SELECT 5000000, 910000000001
+  UNION ALL SELECT 5000001, 910000000001
+  UNION ALL SELECT 5000001, 910000000002
   UNION ALL SELECT 6000000, 1000001
   UNION ALL SELECT 6000000, 1000002),
 deg AS (SELECT node_id, COUNT(*) AS n_ways FROM nw GROUP BY node_id)
@@ -677,10 +677,10 @@ ends AS (
   UNION ALL
   SELECT (p.g - 1) * 1000000 + c.c, c.vname FROM cc c, p
   UNION ALL
-  SELECT 900000000, 'I 80;US 50'
-  UNION ALL SELECT 900000000 + p.g - 1, 'I 80;US 50' FROM p
-  UNION ALL SELECT 900000001, 'I 80;US 50'
-  UNION ALL SELECT 910000002, 'I 80;US 50'
+  SELECT 900000000000, 'I 80;US 50'
+  UNION ALL SELECT 900000000000 + p.g - 1, 'I 80;US 50' FROM p
+  UNION ALL SELECT 900000000001, 'I 80;US 50'
+  UNION ALL SELECT 910000000002, 'I 80;US 50'
 )
 SELECT node_id, array_to_string(list_sort(list(nm)), '/') AS dead
 FROM ends GROUP BY node_id ORDER BY node_id""",
@@ -2058,11 +2058,11 @@ nw AS (
   SELECT 1000000 + c.i, r.i * 1000000 + c.i
   FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
   UNION ALL
-  SELECT 2000000, 900000000 + k.i FROM ser k, p WHERE k.i < p.g
-  UNION ALL SELECT 5000000, 900000001
-  UNION ALL SELECT 5000000, 910000001
-  UNION ALL SELECT 5000001, 910000001
-  UNION ALL SELECT 5000001, 910000002
+  SELECT 2000000, 900000000000 + k.i FROM ser k, p WHERE k.i < p.g
+  UNION ALL SELECT 5000000, 900000000001
+  UNION ALL SELECT 5000000, 910000000001
+  UNION ALL SELECT 5000001, 910000000001
+  UNION ALL SELECT 5000001, 910000000002
   UNION ALL SELECT 6000000, 1000001
   UNION ALL SELECT 6000000, 1000002),
 pge AS (

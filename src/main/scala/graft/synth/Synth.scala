@@ -33,13 +33,24 @@ object Synth {
   val LINK1_ID = 5000000L
   val LINK2_ID = 5000001L
   val CIRCLE_ID = 6000000L
-  val MOTORWAY_NODE0 = 900000000L
-  val LINK_NODE0 = 910000000L
+  // the special-way node spaces sit FAR above any grid node id
+  // (row·10⁶ + col < g·10⁶ + g ≈ 4.1·10⁹ at the clamp) — at 9·10⁸, the old
+  // values, a grid with g > 900 rows would have COLLIDED its row-900+ node
+  // ids with the motorway's, manufacturing spurious topological
+  // intersections at scale factors ≥ ~0.2 (mirrored in OracleSql's nw CTEs)
+  val MOTORWAY_NODE0 = 900000000000L
+  val LINK_NODE0 = 910000000000L
 
-  /** grid dimension: ceil(sqrt(count(orders))) clamped to [16, 512]. */
+  /** grid dimension: ceil(sqrt(count(orders))) clamped to [16, 4096].
+    * The clamp is a guard against absurd inputs, NOT a density knob: it
+    * must sit above ceil(sqrt(count)) for every scale factor actually run,
+    * so the world keeps its ~1-image-per-cell, constant-way-density
+    * invariant as sf grows (a binding clamp would silently densify the
+    * geo world and make distance-join costs super-linear in sf — at the
+    * old 512 cap, sf1.0's 1.5M orders would have hit it). */
   def gridSize(spark: SparkSession, sfDir: String): Int = {
     val cnt = orders(spark, sfDir).count()
-    math.max(16, math.min(512, math.ceil(math.sqrt(cnt.toDouble)).toLong)).toInt
+    math.max(16, math.min(4096, math.ceil(math.sqrt(cnt.toDouble)).toLong)).toInt
   }
 
   /** deterministic GPS-trace random walk for one track key: LCG steps of
