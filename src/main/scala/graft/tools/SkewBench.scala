@@ -55,7 +55,14 @@ object SkewBench {
     val (g, _, wayData) = Pipeline.prepared(spark, sfDir)
     val base = Pipeline.geoImages(spark, sfDir).select("image_id", "lat", "lon")
     val nBase = base.count()
-    val hotN = nBase / 10 // one cell carrying 10% of the corpus
+    // hot-cell size = hotX × corpus (env knob). The default 0.1 (10% of the
+    // corpus in one cell) is already a ~15,000× average-cell-population
+    // outlier, but at sf0.1 that is only ~0.3 s of single-task join work —
+    // too little to make the plain variant straggle at local[32]. The
+    // recorded PERF.md gate runs hotX=10 (one cell carrying 10× the whole
+    // corpus), which makes the unmitigated single-key task the wall.
+    val hotX = sys.env.getOrElse("SPARK_GRAFT_SKEW_HOT_X", "0.1").toDouble
+    val hotN = (nBase * hotX).toLong
     // hot cell: the res-3 cell at the grid center (never on a cell edge)
     val cLat = synth.Synth.LAT0 + (g / 2) * 0.001 + 0.0004
     val cLon = synth.Synth.LON0 + (g / 2) * 0.001 + 0.0004
