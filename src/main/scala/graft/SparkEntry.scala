@@ -1841,15 +1841,20 @@ object SparkEntry {
     // joined with watermarks on BOTH sides; the oracle is the equivalent
     // batch interval join. No stateful timeout here, so a single replay
     // batch + processAllAvailable is deterministic. Both feeds take the
-    // same 1/11 id slice as q_stream_geofence — it bounds the
-    // replay-harness collect (driver memory stays O(sf/11) instead of
-    // O(sf)), not the operator: pingCaptionJoin itself never collects.
+    // same corpus-scaled id slice as q_stream_geofence — it bounds the
+    // replay-harness collect (driver memory stays capped at the proven
+    // sf0.1 level instead of growing O(sf)), not the operator:
+    // pingCaptionJoin itself never collects. The modulus is 11 at every
+    // gate scale (sf ≤ 0.1 ⇒ orders ≤ 150k ⇒ mult = 1), matching the
+    // oracle's literal `% 11`; at sf1.0 it grows to 110 (the fixed 1/11
+    // slice measured 36 s wall there — all collect+replay rig).
     "q_stream_join" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val base = 1767225600L // 2026-01-01T00:00:00Z
+      val joinSliceMod = 11L * math.max(1L, Synth.orders(s, dir).count() / 150000L)
       val gi = Pipeline.geoImages(s, dir)
-        .filter(expr("CAST(substring(image_id, 4) AS BIGINT) % 11 = 0"))
+        .filter(expr(s"CAST(substring(image_id, 4) AS BIGINT) % $joinSliceMod = 0"))
       val pings = gi.select(col("image_id"), col("lat"), col("lon"),
           (lit(base) + col("u") % 240).cast("timestamp").as("ts"))
         .as[(String, Double, Double, java.sql.Timestamp)].collect()
@@ -1893,13 +1898,20 @@ object SparkEntry {
     // flatMapGroupsWithState (state = ONE (step, zone) pair per track) and
     // must land on the batch lag-window oracle rows; NoTimeout state, so
     // processAllAvailable terminates (no ProcessingTimeTimeout spin).
-    // 1/11 slice bounds the replay-harness collect, not the operator.
+    // The slice bounds the replay-harness collect, not the operator — and
+    // the modulus GROWS with the corpus past sf0.1 (11 at ≤150k tracks,
+    // the scales every gate runs at, so the sf0.01 oracle's literal
+    // `% 11` is untouched; 110 at sf1.0) so the harness's driver
+    // footprint is capped at the proven sf0.1 level instead of growing
+    // O(sf): the sf1.0 evidence run measured the fixed 1/11 slice at
+    // 36 s wall, all of it collect+replay rig, none of it operator.
     "q_stream_geofence" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val (g, _, _) = Pipeline.prepared(s, dir)
+      val sliceMod = 11L * math.max(1L, Synth.orders(s, dir).count() / 150000L)
       val rows = Synth.tracks(s, dir)
-        .filter(col("track_id") % 11 === 0)
+        .filter(col("track_id") % sliceMod === 0)
         .select(col("track_id"), posexplode(col("geometry")).as(Seq("step", "pt")))
         .select(col("track_id"), col("step"),
           col("pt.lat").as("lat"), col("pt.lon").as("lon"))
