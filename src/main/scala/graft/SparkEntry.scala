@@ -1853,19 +1853,30 @@ object SparkEntry {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val base = 1767225600L // 2026-01-01T00:00:00Z
       val joinSliceMod = 11L * math.max(1L, Synth.orders(s, dir).count() / 150000L)
+      // cache the sliced feed table: both collects below read the same
+      // synthesized rows, so the splitmix image synthesis runs once
       val gi = Pipeline.geoImages(s, dir)
         .filter(expr(s"CAST(substring(image_id, 4) AS BIGINT) % $joinSliceMod = 0"))
-      val pings = gi.select(col("image_id"), col("lat"), col("lon"),
-          (lit(base) + col("u") % 240).cast("timestamp").as("ts"))
-        .as[(String, Double, Double, java.sql.Timestamp)].collect()
-      val caps = gi.filter(col("v") % 3 === 0)
-        .select(col("image_id"), concat(lit("c"), col("image_id")).as("caption"),
-          (lit(base) + col("u") % 240 + (col("v") % 360) - 180).cast("timestamp").as("ts"))
-        .as[(String, String, java.sql.Timestamp)].collect()
+        .cache()
+      val (pings, caps) = try {
+        (gi.select(col("image_id"), col("lat"), col("lon"),
+            (lit(base) + col("u") % 240).cast("timestamp").as("ts"))
+          .as[(String, Double, Double, java.sql.Timestamp)].collect(),
+         gi.filter(col("v") % 3 === 0)
+          .select(col("image_id"), concat(lit("c"), col("image_id")).as("caption"),
+            (lit(base) + col("u") % 240 + (col("v") % 360) - 180).cast("timestamp").as("ts"))
+          .as[(String, String, java.sql.Timestamp)].collect())
+      } finally gi.unpersist()
       val pMem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Double, Double, java.sql.Timestamp)]
       val cMem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, String, java.sql.Timestamp)]
+      // the replayed feed is ≤ the sf0.1 slice (~50k rows); 32 state-store
+      // partitions are pure per-task overhead at that volume, and an inner
+      // interval join's output is partition-count-invariant — run the
+      // micro-batches at 8 and restore the session default after
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = Streaming.pingCaptionJoin(
           pMem.toDF().toDF("image_id", "lat", "lon", "ts"),
           cMem.toDF().toDF("image_id", "caption", "ts"), joinWindowSec = 120)
@@ -1874,7 +1885,10 @@ object SparkEntry {
       try {
         pMem.addData(pings.toIndexedSeq); cMem.addData(caps.toIndexedSeq)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       s.table("graft_q_stream_join")
         .select(col("image_id"), col("lat"), col("lon"),
           col("ping_sec"), col("cap_sec"), col("caption"))
