@@ -3649,6 +3649,42 @@ FROM all_imgs a JOIN all_imgs b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
 ORDER BY id1, id2""",
 
+    // optimizer-rule range join: the naive point-in-interval (BETWEEN)
+    // theta-join rewritten by RangeJoinRewrite must equal this brute-force
+    // join; promo windows are the same integer arithmetic over orders keys
+    "q_rule_range_join" ->
+      """WITH iv AS (
+  SELECT o_orderkey,
+    1704067200000000 + ((o_orderkey * 40503) % 2592000) * 1000000 AS s,
+    1704067200000000 + ((o_orderkey * 40503) % 2592000) * 1000000
+      + (300 + (o_orderkey % 97) * 60) * 1000000 AS e
+  FROM orders)
+SELECT iv.o_orderkey, COUNT(*) AS n_events,
+  CAST(SUM(ev.event_id) AS BIGINT) AS sum_eid
+FROM iv JOIN events ev
+  ON epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) <= iv.e
+GROUP BY iv.o_orderkey
+ORDER BY iv.o_orderkey""",
+
+    // interval-overlap twin: brute-force sA<=eB AND sB<=eA over the same
+    // promo windows × per-event activity windows
+    "q_events_interval_join" ->
+      """WITH iv AS (
+  SELECT o_orderkey,
+    1704067200000000 + ((o_orderkey * 40503) % 2592000) * 1000000 AS s,
+    1704067200000000 + ((o_orderkey * 40503) % 2592000) * 1000000
+      + (300 + (o_orderkey % 97) * 60) * 1000000 AS e
+  FROM orders),
+aw AS (
+  SELECT event_id, epoch_us(ts) AS s2,
+    epoch_us(ts) + (60 + event_id % 540) * 1000000 AS e2
+  FROM events)
+SELECT iv.o_orderkey, COUNT(*) AS n_overlaps,
+  CAST(SUM(aw.event_id) AS BIGINT) AS sum_eid
+FROM iv JOIN aw ON iv.s <= aw.e2 AND aw.s2 <= iv.e
+GROUP BY iv.o_orderkey
+ORDER BY iv.o_orderkey""",
+
     // phash components: the brute-force ≤3-hamming pair graph closed with a
     // recursive CTE (same construction as q_doc_dedup_components) —
     // component = min image_id, survivor = the minimum itself

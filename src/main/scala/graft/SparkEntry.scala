@@ -654,6 +654,54 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Catalyst extension (graft.plans.RangeJoinRewrite): the query is the
+    // NAIVE point-in-interval theta-join (BETWEEN — a BroadcastNestedLoopJoin
+    // without the rule); the injected rule re-plans it as the bin-bucketed
+    // equi-join with the original predicate as the exact refinement. Promo
+    // windows are pure integer arithmetic over orders keys rebased onto the
+    // events month, so the oracle rebuilds them verbatim and brute-forces
+    // the same BETWEEN join.
+    "q_rule_range_join" -> ((s, dir) => {
+      graft.plans.GraftPlans.enable(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.BinConfKey, "3600000000")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("p"))
+      val promoS = (lit(1704067200000000L) +
+        ((col("o_orderkey") * lit(40503L)) % lit(2592000L)) * lit(1000000L))
+      val promoE = promoS +
+        (lit(300L) + (col("o_orderkey") % lit(97L)) * lit(60L)) * lit(1000000L)
+      val iv = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), promoS.as("s"), promoE.as("e"))
+      iv.join(ev, col("p") >= col("s") && col("p") <= col("e"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_eid"))
+        .orderBy("o_orderkey")
+    }),
+
+    // interval-OVERLAP twin through the same rule: order promo windows ×
+    // per-event activity windows, the NAIVE overlap theta-join
+    // (sA <= eB AND sB <= eA) re-planned as the binned equi-join with a
+    // first-shared-bin conjunct — each overlapping pair exactly once, no
+    // dedup shuffle. Brute-force overlap join is the oracle.
+    "q_events_interval_join" -> ((s, dir) => {
+      graft.plans.GraftPlans.enable(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.BinConfKey, "3600000000")
+      val promoS = (lit(1704067200000000L) +
+        ((col("o_orderkey") * lit(40503L)) % lit(2592000L)) * lit(1000000L))
+      val promoE = promoS +
+        (lit(300L) + (col("o_orderkey") % lit(97L)) * lit(60L)) * lit(1000000L)
+      val iv = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), promoS.as("s"), promoE.as("e"))
+      val aw = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("s2"),
+          (unix_micros(col("ts").cast("timestamp")) +
+            (lit(60L) + col("event_id") % lit(540L)) * lit(1000000L)).as("e2"))
+      iv.join(aw, col("s") <= col("e2") && col("s2") <= col("e"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_overlaps"), sum(col("event_id")).as("sum_eid"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- spatial clustering + spatial curation --------------------------
     // DBSCAN over the geotagged image corpus: ε-pairs via the SAME
     // DistanceJoinRewrite cell join as q_rule_distance_join, core points by

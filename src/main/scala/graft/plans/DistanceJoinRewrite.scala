@@ -169,6 +169,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DistanceJoinRewrite)
     ext.injectOptimizerRule(_ => HammingJoinRewrite)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
     GraftFunctions.all.foreach(ext.injectFunction)
   }
 }
@@ -180,7 +181,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftPlans {
   def enable(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
-    val add = Seq(DistanceJoinRewrite, HammingJoinRewrite).filterNot(cur.contains)
+    val add = Seq(DistanceJoinRewrite, HammingJoinRewrite, RangeJoinRewrite)
+      .filterNot(cur.contains)
     if (add.nonEmpty)
       spark.experimental.extraOptimizations = cur ++ add
     org.apache.spark.sql.graft.FunctionBridge.register(spark, GraftFunctions.all)

@@ -277,4 +277,129 @@ class RuleSpec extends AnyFunSuite {
       bit_count(col("p1").bitwiseXOR(col("p2"))) <= lit(3))
     assert(!j.queryExecution.optimizedPlan.toString.contains("_graft_band"))
   }
+
+  // ---- RangeJoinRewrite ----------------------------------------------------
+
+  private def withoutRange[A](body: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_ == graft.plans.RangeJoinRewrite)
+    try body
+    finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def withBin[A](bin: Long)(body: => A): A = {
+    val key = graft.plans.RangeJoinRewrite.BinConfKey
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, bin.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** intervals scattered over [0, 5000) with lengths 1..~400; negative-shift
+    * variant exercises floorDiv binning below zero */
+  private def intervals(n: Int, tag: String, shift: Long = 0L): DataFrame =
+    spark.range(n).select(
+      col("id").as(s"${tag}_id"),
+      (col("id") * 7919L % 5000L + lit(shift)).as(s"${tag}_s"),
+      (col("id") * 7919L % 5000L + col("id") * 131L % 400L + 1L + lit(shift))
+        .as(s"${tag}_e"))
+
+  private def points(n: Int, tag: String, shift: Long = 0L): DataFrame =
+    spark.range(n).select(
+      col("id").as(s"${tag}_id"),
+      (col("id") * 104729L % 5400L + lit(shift)).as(s"${tag}_p"))
+
+  test("range rewrite: point-in-interval plans as binned equi-join, exact rows, each pair once") {
+    val iv = intervals(300, "a")
+    val pt = points(500, "b")
+    def join() = iv.join(pt,
+        col("b_p") >= col("a_s") && col("b_p") <= col("a_e"))
+      .select(col("a_id"), col("b_id"))
+    val expected = withoutRange {
+      val naive = join()
+      assert(naive.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "sanity: naive must be a nested loop")
+      naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(expected.nonEmpty)
+    GraftPlans.enable(spark)
+    withBin(64L) { // interval len ≤ 400 → up to ~8 bins/row
+      val j = join()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"rule must replace the nested loop\n$plan")
+      assert(plan.contains("_graft_rbin"), "bin key missing from plan")
+      val rows = j.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length === rows.toSet.size,
+        "first-shared-bin must emit each pair exactly once")
+      assert(rows.toSet === expected)
+    }
+  }
+
+  test("range rewrite: interval overlap (incl. negative values) exact, each pair once") {
+    // shift = -2700 puts roughly half of every interval below zero, so the
+    // floorDiv (not truncate) binning is load-bearing
+    val a = intervals(250, "a", shift = -2700L)
+    val b = intervals(350, "b", shift = -2713L)
+    def join() = a.join(b,
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select(col("a_id"), col("b_id"))
+    val expected = withoutRange {
+      join().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(expected.nonEmpty)
+    GraftPlans.enable(spark)
+    withBin(64L) {
+      val j = join()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"))
+      assert(plan.contains("_graft_rbin"))
+      val rows = j.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length === rows.toSet.size)
+      assert(rows.toSet === expected)
+    }
+  }
+
+  test("range rewrite: strict < bounds are enforced by the retained predicate") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 20L)).toDF("a_id", "a_s", "a_e")
+    val b = Seq((1L, 20L), (2L, 15L), (3L, 10L)).toDF("b_id", "b_p")
+    GraftPlans.enable(spark)
+    withBin(64L) {
+      val j = a.join(b, col("b_p") > col("a_s") && col("b_p") < col("a_e"))
+        .select(col("b_id"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("_graft_rbin"))
+      // 20 fails p<e, 10 fails p>s — only 15 qualifies
+      assert(j.collect().map(_.getLong(0)).toSet === Set(2L))
+    }
+  }
+
+  test("range rule does not fire when an equi-key already exists") {
+    val a = intervals(40, "a").withColumn("k", col("a_id") % 7)
+    val b = points(40, "b").withColumn("k", col("b_id") % 7)
+    GraftPlans.enable(spark)
+    val j = a.join(b, a("k") === b("k") &&
+      col("b_p") >= col("a_s") && col("b_p") <= col("a_e"))
+    assert(!j.queryExecution.optimizedPlan.toString.contains("_graft_rbin"))
+  }
+
+  test("range rewrite: over-wide interval fails loudly, not unboundedly") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, Long.MaxValue / 4)).toDF("a_id", "a_s", "a_e")
+    val b = Seq((1L, 5L)).toDF("b_id", "b_p")
+    GraftPlans.enable(spark)
+    withBin(64L) {
+      val e = intercept[Exception] {
+        a.join(b, col("b_p") >= col("a_s") && col("b_p") <= col("a_e")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("spark.graft.range.bin")), msgs(e).mkString("|"))
+    }
+  }
 }
