@@ -1680,6 +1680,29 @@ SELECT (lonI + 20000000) * 100000000 + (latI + 20000000) AS cell,
 FROM pix GROUP BY lonI, latI
 ORDER BY cell""",
 
+    // raster→vector polygonize closed form: the street grid's OFF regions
+    // are exactly the rectangles between consecutive street-column pixels ×
+    // consecutive street-row pixels (gap ≥ 2 ⇔ at least one OFF pixel);
+    // block_id = packed bottom-left OFF pixel (the CC minimum run id, since
+    // every run of a rectangular block shares lon_lo and the label packs
+    // lon before lat). The Twin anomaly (c=12 at +0.0113) makes widths
+    // non-uniform: 2 and 16 around it, 9 elsewhere.
+    "q_raster_polygonize" ->
+      s"""WITH $gridCte,
+cpix AS (SELECT DISTINCT CAST(FLOOR(lon * 10000.0::DOUBLE) AS BIGINT) AS ci FROM cc),
+rpix AS (SELECT DISTINCT CAST(FLOOR(lat * 10000.0::DOUBLE) AS BIGINT) AS ri FROM rr),
+cgap AS (SELECT ci, LEAD(ci) OVER (ORDER BY ci) AS cn FROM cpix),
+rgap AS (SELECT ri, LEAD(ri) OVER (ORDER BY ri) AS rn FROM rpix),
+cbl AS (SELECT ci + 1 AS lon_min, cn - 1 AS lon_max FROM cgap
+        WHERE cn IS NOT NULL AND cn - ci >= 2),
+rbl AS (SELECT ri + 1 AS lat_min, rn - 1 AS lat_max FROM rgap
+        WHERE rn IS NOT NULL AND rn - ri >= 2)
+SELECT (lon_min + 20000000) * 100000000 + (lat_min + 20000000) AS block_id,
+       (lon_max - lon_min + 1) * (lat_max - lat_min + 1) AS n_pixels,
+       lat_max - lat_min + 1 AS n_rows,
+       lon_min, lon_max, lat_min, lat_max
+FROM cbl, rbl ORDER BY block_id""",
+
     // spatially-buffered split: tile hash ((t % 1000003)·2654435761 mod 2^32
     // mod 10 — products < 2^63, exact in both engines), 3×3 dilation of the
     // DISTINCT test-tile set (x wraps at 2^15, y clamped), left join

@@ -591,6 +591,20 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // raster→vector POLYGONIZE (the closing leg of the raster↔vector pair):
+    // 4-connected OFF regions of the street-grid raster = city BLOCKS,
+    // labeled via RLE runs + RangeBins-binned adjacency edges + distributed
+    // CC — cost O(ink + height), never O(raster area). Closed-form oracle:
+    // blocks are the cross product of consecutive street-column pixel gaps
+    // (width 9, except the Twin pair's 2 and 16) × street-row gaps, with
+    // block_id = the packed bottom-left OFF pixel.
+    "q_raster_polygonize" -> ((s, dir) => {
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      val raster = SpatialOps.rasterizeWays(wayData.filter(col("way_id") < 2000000L), res = 4)
+      SpatialOps.polygonizeRaster(raster.select("lon_idx", "lat_idx"))
+        .orderBy("block_id")
+    }),
+
     // geohash encoder (closed-form contract, see GeohashOps): per-cell image
     // counts at precision 7 — TRUE SQL oracle (the bit interleave + base-32
     // mapping is plain integer arithmetic DuckDB reruns verbatim)

@@ -390,4 +390,119 @@ object SpatialOps {
       .withColumn("city", coalesce(col("poly_name"), lit(default)))
       .drop("poly_name")
   }
+
+  /** RASTER→VECTOR POLYGONIZE — the closing leg of the raster↔vector pair
+    * (rasterizeWays renders vectors INTO a raster; this extracts the vector
+    * regions back OUT): labels every 4-connected component of OFF pixels
+    * within the ON-pixel bounding box and returns one row per region —
+    * applied to a road raster this is city-BLOCK extraction, the classic
+    * OSM polygonize workload.
+    *
+    * Never materializes the raster area. The OFF set is run-length encoded:
+    *  - per occupied row, the maximal OFF intervals between consecutive ON
+    *    pixels (one `lag`/`lead` window pass partitioned by row — parallel
+    *    across rows);
+    *  - maximal bands of completely-empty rows coalesce into ONE full-width
+    *    multi-row run each (a window over the DISTINCT occupied-row table,
+    *    whose size is bounded by the raster HEIGHT — ≤ 180·10^res rows
+    *    regardless of data volume, so its single-task sort is O(height),
+    *    not O(data)).
+    * Total runs = O(ink + height), the same cost class as the rasterizer.
+    *
+    * Region labeling is the dedup pipeline's own machinery: runs in
+    * vertically adjacent rows whose lon intervals overlap are CC edges, and
+    * [[graft.ops.GraphOps.connectedComponents]] (large/small-star, O(log n)
+    * rounds, nothing graph-sized on the driver) closes them. Edge
+    * generation reuses the RangeJoinRewrite expressions ([[graft.plans.RangeBins]]
+    * / [[graft.plans.FloorDivBin]]): each run explodes into the fixed-width
+    * lon bins it covers, candidates equi-join on (row boundary, bin) — never
+    * a per-boundary all-pairs — and the first-shared-bin conjunct keeps each
+    * adjacent pair exactly once before the exact interval-overlap refine.
+    * The bin width auto-sizes to ceil(rasterWidth/2048) so a full-width run
+    * explodes into ≤2049 bins (inside RangeBins' loud 4096 guard).
+    *
+    * Run id = packed bottom-left pixel (GridCell.pack layout), so the
+    * region label (CC minimum) is the packed leftmost-then-bottom run
+    * origin — closed-form predictable on rectangular regions.
+    *
+    * Input contract: `pixels` has one DISTINCT row per ON pixel
+    * (lon_idx, lat_idx) — rasterizeWays' per-pixel aggregate satisfies it.
+    * Output: (block_id, n_pixels, n_rows, lon_min, lon_max, lat_min,
+    * lat_max) per OFF region. Reference analogue: the city-block faces the
+    * reference's way grid implies (gpsBins.js binning world) but never
+    * computes — a pipeline addition, not a port. */
+  def polygonizeRaster(pixels: DataFrame, minBin: Long = 64L): DataFrame = {
+    import graft.cells.GridCell.{OFF, SCALE}
+    val px = pixels.select(col("lon_idx").cast("long"), col("lat_idx").cast("long"))
+      .localCheckpoint(true)
+    // raster domain = ON bbox: four longs to the driver, once
+    val bb = px.agg(min("lon_idx"), max("lon_idx"), min("lat_idx"), max("lat_idx")).head()
+    require(!bb.isNullAt(0), "polygonizeRaster: empty raster")
+    val (l0, l1) = (bb.getLong(0), bb.getLong(1))
+
+    // horizontal OFF runs inside occupied rows: gaps between consecutive ON
+    // pixels, plus the leading run from the domain edge (trailing runs fall
+    // out of the lead() gap at the sentinel below)
+    val w = Window.partitionBy("lat_idx").orderBy("lon_idx")
+    // gap/leading run ending at this ON pixel (prev sentinel l0-2 makes a
+    // row-leading pixel at lon_idx > l0 emit [l0, lon_idx-1]); trailing run
+    // of the row is emitted by the row's last ON pixel
+    val candidates = array(
+      struct(greatest(col("prev") + 1L, lit(l0)).as("lo"), (col("lon_idx") - 1L).as("hi")),
+      struct(when(col("nxt").isNull, col("lon_idx") + 1L).as("lo"), lit(l1).as("hi")))
+    val keep = (r: org.apache.spark.sql.Column) =>
+      r.getField("lo").isNotNull && r.getField("lo") <= r.getField("hi")
+    val rowRuns = px
+      .withColumn("prev", coalesce(lag(col("lon_idx"), 1).over(w), lit(l0 - 2L)))
+      .withColumn("nxt", lead(col("lon_idx"), 1).over(w))
+      .select(col("lat_idx"), explode(filter(candidates, keep)).as("run"))
+      .select(col("run.lo").as("lon_lo"), col("run.hi").as("lon_hi"),
+        col("lat_idx").as("lat_lo"), col("lat_idx").as("lat_hi"))
+
+    // completely-empty row bands between consecutive occupied rows: one
+    // full-width multi-row run each. The DISTINCT occupied-row table is
+    // bounded by raster height (≤ 180·10^res), so the global-order window's
+    // single task is O(height) — independent of data volume.
+    val wr = Window.orderBy("lat_idx")
+    val bandRuns = px.select("lat_idx").distinct()
+      .withColumn("prev", lag(col("lat_idx"), 1).over(wr))
+      .filter(col("prev").isNotNull && col("lat_idx") - col("prev") >= 2L)
+      .select(lit(l0).as("lon_lo"), lit(l1).as("lon_hi"),
+        (col("prev") + 1L).as("lat_lo"), (col("lat_idx") - 1L).as("lat_hi"))
+
+    val runs = rowRuns.unionByName(bandRuns)
+      .withColumn("run_id", (col("lon_lo") + OFF) * SCALE + (col("lat_lo") + OFF))
+      .localCheckpoint(true)
+
+    // CC edges: runs in vertically adjacent rows with overlapping lon
+    // intervals. Bin the lon axis (RangeJoinRewrite's own expressions) so
+    // the per-boundary match is an equi-join on (boundary, bin); the
+    // first-shared-bin conjunct emits each qualifying pair exactly once.
+    val bin = math.max(minBin, Math.floorDiv(l1 - l0, 2048L) + 1L)
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    def binned(df: DataFrame, lo: String, hi: String) = df.withColumn("bin", explode(column(
+      graft.plans.RangeBins(expression(col(lo)), expression(col(hi)), bin))))
+    val below = binned(runs.select(col("run_id").as("src"), (col("lat_hi") + 1L).as("bndry"),
+      col("lon_lo").as("a_lo"), col("lon_hi").as("a_hi")), "a_lo", "a_hi")
+    val above = binned(runs.select(col("run_id").as("dst"), col("lat_lo").as("bndry"),
+      col("lon_lo").as("b_lo"), col("lon_hi").as("b_hi")), "b_lo", "b_hi")
+    val firstShared = column(graft.plans.FloorDivBin(
+      expression(greatest(col("a_lo"), col("b_lo"))), bin))
+    val edges = below.join(above, Seq("bndry", "bin"))
+      .filter(col("bin") === firstShared &&
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("src", "dst")
+
+    // label = component minimum (packed leftmost-then-bottom run origin);
+    // runs with no edges are their own single-run regions
+    val labeled = runs.join(
+        GraphOps.connectedComponents(edges).withColumnRenamed("id", "run_id"),
+        Seq("run_id"), "left")
+      .withColumn("block_id", coalesce(col("component"), col("run_id")))
+    labeled.groupBy("block_id").agg(
+      sum((col("lon_hi") - col("lon_lo") + 1L) * (col("lat_hi") - col("lat_lo") + 1L)).as("n_pixels"),
+      sum(col("lat_hi") - col("lat_lo") + 1L).as("n_rows"),
+      min("lon_lo").as("lon_min"), max("lon_hi").as("lon_max"),
+      min("lat_lo").as("lat_min"), max("lat_hi").as("lat_max"))
+  }
 }
