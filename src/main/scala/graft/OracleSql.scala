@@ -3511,6 +3511,20 @@ FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
 
     "q_emb_topk" -> embTopkSql,
 
+    // caption–image alignment: pair join on vec_id 2k ↔ 2k+1, nano-rounded
+    // cosine (the q_emb_topk-proven list_cosine_similarity parity), keep at
+    // cos9 >= 0
+    "q_emb_align" ->
+      """WITH img AS (SELECT vec_id // 2 AS pair_id, CAST(embedding AS DOUBLE[]) AS ie
+         FROM embeddings WHERE vec_id % 2 = 0),
+cap AS (SELECT (vec_id - 1) // 2 AS pair_id, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings WHERE vec_id % 2 = 1),
+sc AS (SELECT i.pair_id,
+         CAST(ROUND(list_cosine_similarity(i.ie, c.ce) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+       FROM img i JOIN cap c USING (pair_id))
+SELECT pair_id, CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim, cos9 >= 0 AS keep
+FROM sc ORDER BY pair_id""",
+
     // ANN recall harness: per query, how many of the brute-force top-5 the
     // IVF nprobe=4/16 probe actually surfaced — the recall audit every ANN
     // deployment ships. Both sides are the EXISTING proven oracle bodies

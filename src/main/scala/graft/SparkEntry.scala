@@ -1184,6 +1184,13 @@ object SparkEntry {
       SimOps.bruteForceTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
         .orderBy("q_id", "rk")),
 
+    // caption–image alignment (CLIP-score) filter: the LAION/DataComp
+    // curation gate over paired modality embeddings (vec_id 2k ↔ 2k+1),
+    // threshold cos9 ≥ 0 — O(n) equi-join + map-side dot, never a search
+    "q_emb_align" -> ((s, dir) =>
+      SimOps.captionAlignment(Synth.embeddings(s, dir), thresholdNano = 0L)
+        .orderBy("pair_id")),
+
     // ANN recall harness: per query, how many of the brute-force top-5 the
     // IVF probe surfaced — promotes the test-layer recall gate into the
     // driver's oracle gate; both sides are existing proven operators, the

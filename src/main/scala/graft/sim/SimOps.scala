@@ -27,6 +27,32 @@ object SimOps {
         (col("cos9").cast("double") / lit(1e9)).as("cos_sim"))
   }
 
+  /** Caption–image ALIGNMENT filter — the CLIP-score curation gate of the
+    * public image–text pipelines (LAION's cosine threshold, Schuhmann et
+    * al. 2021; DataComp's primary filtering baseline, Gadre et al. 2023):
+    * each pair carries an image-modality and a text-modality embedding
+    * (vec_id 2k ↔ 2k+1 here), the pair's alignment is their cosine, and
+    * pairs below the threshold (nano-rounded, the engine-reproducible cos9
+    * convention) are flagged for drop.
+    *
+    * Scale shape: alignment is the CHEAPEST stage of the curation funnel
+    * and the one that discards the most data, so it must be O(n) — this is
+    * a same-key equi-join of the two modality projections (one narrow
+    * shuffle, co-partitionable with the at-rest layout) + a map-side
+    * codegen'd dot product. Never a similarity search. */
+  def captionAlignment(embeddings: DataFrame, thresholdNano: Long): DataFrame = {
+    val img = embeddings.filter(col("vec_id") % 2 === 0)
+      .select(expr("vec_id DIV 2").as("pair_id"), col("embedding").as("img_emb"))
+    val cap = embeddings.filter(col("vec_id") % 2 === 1)
+      .select(expr("(vec_id - 1) DIV 2").as("pair_id"), col("embedding").as("cap_emb"))
+    img.join(cap, Seq("pair_id"))
+      .withColumn("cos9",
+        round(fns.cosine_sim(col("img_emb"), col("cap_emb")) * lit(1e9), 0).cast("long"))
+      .select(col("pair_id"),
+        (col("cos9").cast("double") / lit(1e9)).as("cos_sim"),
+        (col("cos9") >= thresholdNano).as("keep"))
+  }
+
   /** deterministic pseudo-random hyperplanes for sign-LSH (splitmix64 per
     * (table, plane, dim), mapped to [-1, 1)). */
   def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =

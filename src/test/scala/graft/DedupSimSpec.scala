@@ -121,6 +121,21 @@ class DedupSimSpec extends AnyFunSuite {
     assert(fp(1L) === fp(3L))
   }
 
+  test("caption alignment: identical pairs keep (cos 1), opposite drop (cos -1), orthogonal keep at >= 0") {
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 0),  // pair 0: identical → cos 1, keep
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),  // pair 1: opposite → cos -1, drop
+      (3L, Array(-1.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f), 0),  // pair 2: orthogonal → cos 0, keep (>= 0)
+      (5L, Array(0.0f, 1.0f), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.sim.SimOps.captionAlignment(df, thresholdNano = 0L)
+      .orderBy("pair_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq((0L, 1.0, true), (1L, -1.0, false), (2L, 0.0, true)))
+  }
+
   test("LSH ANN recall ≥ 0.6 vs brute force on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val pred = col("vec_id") % 50 === 0
