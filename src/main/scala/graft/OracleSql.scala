@@ -1703,6 +1703,34 @@ SELECT (lon_min + 20000000) * 100000000 + (lat_min + 20000000) AS block_id,
        lon_min, lon_max, lat_min, lat_max
 FROM cbl, rbl ORDER BY block_id""",
 
+    // polygonize capstone: closed-form blocks × closed-form image pixels —
+    // per-block image counts by exact integer pixel containment (an image
+    // on a street pixel falls between blocks and counts nowhere),
+    // zero-image blocks kept at 0
+    "q_image_block_density" ->
+      s"""WITH $imgCte,
+cpix AS (SELECT DISTINCT CAST(FLOOR(lon * 10000.0::DOUBLE) AS BIGINT) AS ci FROM cc),
+rpix AS (SELECT DISTINCT CAST(FLOOR(lat * 10000.0::DOUBLE) AS BIGINT) AS ri FROM rr),
+cgap AS (SELECT ci, LEAD(ci) OVER (ORDER BY ci) AS cn FROM cpix),
+rgap AS (SELECT ri, LEAD(ri) OVER (ORDER BY ri) AS rn FROM rpix),
+cbl AS (SELECT ci + 1 AS lon_min, cn - 1 AS lon_max FROM cgap
+        WHERE cn IS NOT NULL AND cn - ci >= 2),
+rbl AS (SELECT ri + 1 AS lat_min, rn - 1 AS lat_max FROM rgap
+        WHERE rn IS NOT NULL AND rn - ri >= 2),
+blocks AS (
+  SELECT (lon_min + 20000000) * 100000000 + (lat_min + 20000000) AS block_id,
+         (lon_max - lon_min + 1) * (lat_max - lat_min + 1) AS n_pixels,
+         lon_min, lon_max, lat_min, lat_max
+  FROM cbl, rbl),
+ip AS (SELECT CAST(FLOOR(lon * 10000.0::DOUBLE) AS BIGINT) AS ilon,
+              CAST(FLOOR(lat * 10000.0::DOUBLE) AS BIGINT) AS ilat FROM imgs),
+cnt AS (SELECT b.block_id, COUNT(*) AS n_images
+        FROM blocks b JOIN ip ON ip.ilon BETWEEN b.lon_min AND b.lon_max
+                             AND ip.ilat BETWEEN b.lat_min AND b.lat_max
+        GROUP BY b.block_id)
+SELECT b.block_id, b.n_pixels, COALESCE(c.n_images, 0) AS n_images
+FROM blocks b LEFT JOIN cnt c USING (block_id) ORDER BY b.block_id""",
+
     // spatially-buffered split: tile hash ((t % 1000003)·2654435761 mod 2^32
     // mod 10 — products < 2^63, exact in both engines), 3×3 dilation of the
     // DISTINCT test-tile set (x wraps at 2^15, y clamped), left join

@@ -605,6 +605,19 @@ object SparkEntry {
         .orderBy("block_id")
     }),
 
+    // polygonize capstone: geotagged images assigned to city blocks by
+    // exact integer-pixel containment (cell-bucketed candidates, never a
+    // theta join), zero-image blocks kept — block-granular image density.
+    // Oracle: closed-form blocks range-joined to the closed-form image
+    // pixels in DuckDB.
+    "q_image_block_density" -> ((s, dir) => {
+      val (_, _, wayData) = Pipeline.prepared(s, dir)
+      val raster = SpatialOps.rasterizeWays(wayData.filter(col("way_id") < 2000000L), res = 4)
+      val blocks = SpatialOps.polygonizeRaster(raster.select("lon_idx", "lat_idx"))
+      SpatialOps.blockImageDensity(blocks, Pipeline.geoImages(s, dir))
+        .orderBy("block_id")
+    }),
+
     // geohash encoder (closed-form contract, see GeohashOps): per-cell image
     // counts at precision 7 — TRUE SQL oracle (the bit interleave + base-32
     // mapping is plain integer arithmetic DuckDB reruns verbatim)

@@ -505,4 +505,43 @@ object SpatialOps {
       min("lon_lo").as("lon_min"), max("lon_hi").as("lon_max"),
       min("lat_lo").as("lat_min"), max("lat_hi").as("lat_max"))
   }
+
+  /** Images per city BLOCK — the polygonize capstone: geotagged images
+    * assigned to the OFF-region bounding boxes [[polygonizeRaster]] emits
+    * (for the street grid these ARE the blocks), giving block-granular
+    * image density — the tile statistic a curation pipeline shards and
+    * rebalances by.
+    *
+    * Join shape: blocks explode into their coarse covering cells
+    * (`cells_covering` — a handful per block), images bucket by the same
+    * cell, the candidate equi-join refines by EXACT integer pixel
+    * containment (floor(coord·10^res), the rasterizer's own floor
+    * convention — an image sitting ON a street pixel belongs to no block).
+    * The image side is never replicated; the block side is SHUFFLE_HASH
+    * (at planet scale blocks ∝ area — too big to broadcast, small enough
+    * to hash-build per partition). Zero-image blocks are kept (count 0):
+    * the empty blocks are the coverage story, not noise. */
+  def blockImageDensity(blocks: DataFrame, images: DataFrame,
+                        res: Int = 4, cellRes: Int = 3): DataFrame = {
+    val p = graft.cells.GridCell.pow10(res)
+    val bc = blocks.select(col("block_id"), col("lon_min"), col("lon_max"),
+        col("lat_min"), col("lat_max"))
+      .withColumn("cell", explode(fns.cells_covering(
+        col("lat_min").cast("double") / p, col("lon_min").cast("double") / p,
+        (col("lat_max") + 1L).cast("double") / p, (col("lon_max") + 1L).cast("double") / p,
+        cellRes)))
+    val imgs = images
+      .select(col("image_id"),
+        fns.cell_encode(col("lat"), col("lon"), cellRes).as("cell"),
+        floor(col("lon") * p).cast("long").as("ilon"),
+        floor(col("lat") * p).cast("long").as("ilat"))
+    val counted = imgs.join(bc.hint("SHUFFLE_HASH"), Seq("cell"))
+      .filter(col("ilon").between(col("lon_min"), col("lon_max")) &&
+        col("ilat").between(col("lat_min"), col("lat_max")))
+      .groupBy("block_id").agg(count(lit(1)).as("n_images"))
+    blocks.select("block_id", "n_pixels")
+      .join(counted, Seq("block_id"), "left")
+      .select(col("block_id"), col("n_pixels"),
+        coalesce(col("n_images"), lit(0L)).as("n_images"))
+  }
 }

@@ -97,6 +97,29 @@ class PolygonizeSpec extends AnyFunSuite {
     assert(gotGap === floodFill(gapped))
   }
 
+  test("block image density: exact pixel containment, street-pixel images count nowhere, empty blocks kept") {
+    import spark.implicits._
+    // cross of ON row y=2 and ON column x=2 inside a 5x5 ring wall: four
+    // 1-pixel... use a simpler world: full border walls + cross → 4 blocks
+    val wall = (0L to 4L).flatMap(i => Seq((i, 0L), (i, 4L), (0L, i), (4L, i))).toSet
+    val cross = (0L to 4L).flatMap(i => Seq((i, 2L), (2L, i))).toSet
+    val on = wall ++ cross
+    val blocks = SpatialOps.polygonizeRaster(on.toSeq.toDF("lon_idx", "lat_idx"))
+    assert(blocks.count() === 4) // four 1-pixel corners of the cross
+    // images at res 4: pixel (1,1) twice, pixel (3,3) once, pixel (2,2) on
+    // the street cross (counts nowhere), one far outside every block
+    def at(px: Long, py: Long, k: Int) = (s"i$px$py$k", py.toDouble / 1e4 + 0.00005, px.toDouble / 1e4 + 0.00005)
+    val images = Seq(at(1, 1, 0), at(1, 1, 1), at(3, 3, 0), at(2, 2, 0),
+      ("far", 10.0, 10.0)).toDF("image_id", "lat", "lon")
+    val got = graft.ops.SpatialOps.blockImageDensity(blocks, images)
+      .orderBy("block_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 4)
+    assert(got.map(_._2).toSeq === Seq(1L, 1L, 1L, 1L)) // all blocks 1 pixel
+    assert(got.map(_._3).sum === 3L)                    // 2 + 1, street/far images dropped
+    assert(got.map(_._3).toSeq.sorted === Seq(0L, 0L, 1L, 2L))
+  }
+
   test("randomized rasters match the flood-fill reference, and OFF+ON tiles the bbox") {
     for (seed <- Seq(7, 23, 91)) {
       val rnd = new scala.util.Random(seed)
