@@ -521,9 +521,13 @@ object SpatialOps {
     * (at planet scale blocks ∝ area — too big to broadcast, small enough
     * to hash-build per partition). Zero-image blocks are kept (count 0):
     * the empty blocks are the coverage story, not noise. */
-  def blockImageDensity(blocks: DataFrame, images: DataFrame,
+  def blockImageDensity(blocks0: DataFrame, images: DataFrame,
                         res: Int = 4, cellRes: Int = 3): DataFrame = {
     val p = graft.cells.GridCell.pow10(res)
+    // blocks feed two consumers (covering-cell explode + the keep-empty
+    // left join); materialize once so the upstream labeling aggregate is
+    // not recomputed
+    val blocks = blocks0.localCheckpoint(true)
     val bc = blocks.select(col("block_id"), col("lon_min"), col("lon_max"),
         col("lat_min"), col("lat_max"))
       .withColumn("cell", explode(fns.cells_covering(
