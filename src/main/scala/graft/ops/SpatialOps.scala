@@ -406,7 +406,12 @@ object SpatialOps {
     *    multi-row run each (a window over the DISTINCT occupied-row table,
     *    whose size is bounded by the raster HEIGHT — ≤ 180·10^res rows
     *    regardless of data volume, so its single-task sort is O(height),
-    *    not O(data)).
+    *    not O(data));
+    *  - runs with the IDENTICAL lon interval in consecutive rows merge into
+    *    one multi-row run before labeling (one partitioned window per
+    *    interval stack), so a rectangular region is ONE run and the CC
+    *    graph holds only genuine shape transitions — on a street grid it
+    *    is empty.
     * Total runs = O(ink + height), the same cost class as the rasterizer.
     *
     * Region labeling is the dedup pipeline's own machinery: runs in
@@ -470,7 +475,23 @@ object SpatialOps {
       .select(lit(l0).as("lon_lo"), lit(l1).as("lon_hi"),
         (col("prev") + 1L).as("lat_lo"), (col("lat_idx") - 1L).as("lat_hi"))
 
+    // vertical coalescing: runs with the IDENTICAL lon interval stacked in
+    // consecutive rows are one region by construction (4-connected via every
+    // column), so merge each maximal stack into one multi-row run BEFORE the
+    // CC — a rectangular region collapses to a single run and contributes
+    // ZERO CC edges (the grid-city case: the CC loop sees an empty graph).
+    // One window per (lon_lo, lon_hi) stack — fully partitioned, bounded by
+    // raster height per stack. Labels are unchanged: the region minimum run
+    // id survives merging (only lat-dominated candidates within a stack are
+    // removed).
+    val wv = Window.partitionBy("lon_lo", "lon_hi").orderBy("lat_lo")
     val runs = rowRuns.unionByName(bandRuns)
+      .withColumn("brk",
+        when(col("lat_lo") === lag(col("lat_hi"), 1).over(wv) + 1L, 0L).otherwise(1L))
+      .withColumn("grp", sum("brk").over(wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("lon_lo"), col("lon_hi"), col("grp"))
+      .agg(min("lat_lo").as("lat_lo"), max("lat_hi").as("lat_hi"))
+      .drop("grp")
       .withColumn("run_id", (col("lon_lo") + OFF) * SCALE + (col("lat_lo") + OFF))
       .localCheckpoint(true)
 
