@@ -1862,6 +1862,47 @@ SELECT n_tiles, w_pairs, p_sum, si_sum, s1_sum, s2_sum,
     ELSE CAST(NULL AS BIGINT) END AS moran_micro
 FROM ta CROSS JOIN pa""",
 
+    // ---- mirror: local Moran's I (LISA) --------------------------------------
+    // q_geo_moran's tiles + q_geo_hotspots' offset join, self excluded; the
+    // two sign factors and the denominator are exact BIGINTs, the magnitude
+    // is the verbatim Spark double dag
+    "q_geo_lisa" ->
+      s"""WITH $imgCte,
+tiles AS (SELECT
+  14 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT)
+  AS tile_id, CAST(COUNT(*) AS BIGINT) AS n FROM imgs GROUP BY 1),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(n) AS BIGINT) AS sg,
+             CAST(SUM(n * n) AS BIGINT) AS s2g FROM tiles),
+off AS (SELECT a.du, b.dv FROM (VALUES (-1),(0),(1)) a(du), (VALUES (-1),(0),(1)) b(dv)
+        WHERE NOT (a.du = 0 AND b.dv = 0)),
+hood AS (
+  SELECT t.tile_id, CAST(COUNT(*) AS BIGINT) AS w_i, CAST(SUM(nb.n) AS BIGINT) AS s_i
+  FROM tiles t, off o, tiles nb
+  WHERE nb.tile_id = t.tile_id + o.du * 67108864 + o.dv
+  GROUP BY t.tile_id),
+base AS (
+  SELECT t.tile_id, t.n,
+    CAST(COALESCE(h.w_i, 0) AS BIGINT) AS w_i,
+    CAST(COALESCE(h.s_i, 0) AS BIGINT) AS s_i,
+    t.n * nt - sg AS f1,
+    CAST(COALESCE(h.s_i, 0) AS BIGINT) * nt - CAST(COALESCE(h.w_i, 0) AS BIGINT) * sg AS f2,
+    nt, sg, s2g
+  FROM tiles t LEFT JOIN hood h USING (tile_id) CROSS JOIN g)
+SELECT tile_id, n, w_i, s_i, f1, f2,
+  CASE WHEN w_i = 0 OR f1 = 0 OR f2 = 0 THEN 'NA'
+       WHEN f1 > 0 AND f2 > 0 THEN 'HH'
+       WHEN f1 < 0 AND f2 < 0 THEN 'LL'
+       WHEN f1 > 0 THEN 'HL' ELSE 'LH' END AS quadrant,
+  CASE WHEN nt > 1 AND nt * s2g - sg * sg > 0
+    THEN CAST(ROUND(CAST(f1 AS DOUBLE) * CAST(f2 AS DOUBLE)
+      / (CAST(nt AS DOUBLE) * CAST(s2g AS DOUBLE)
+         - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+      * 1000000.0::DOUBLE) AS BIGINT)
+    ELSE CAST(NULL AS BIGINT) END AS i_micro
+FROM base ORDER BY tile_id""",
+
     // ---- mirror: per-tile canonical representative --------------------------
     "q_tile_rep" ->
       s"""WITH $imgCte,
@@ -1914,6 +1955,41 @@ tr AS (SELECT track_id, step, zone,
 SELECT track_id, CAST(step AS INTEGER) AS step, prev AS from_zone, zone AS to_zone
 FROM tr WHERE prev IS NOT NULL AND prev <> zone
 ORDER BY track_id, step"""
+    },
+
+    // ---- mirror: origin–destination flow matrix ------------------------------
+    // only the track ENDPOINT is needed, so the geofence machinery loses its
+    // window: the destination offset is the plain SUM of all 39 per-axis LCG
+    // deltas; zones via the same integer cityCase, shares in exact ppm
+    "q_traj_od_matrix" -> {
+      val m = 2147483647L; val a = 48271L
+      val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong
+      val powers = (1 to 78)
+        .map(j => s"($j,${BigInt(a).modPow(BigInt(j), BigInt(m))})").mkString(",")
+      s"""WITH $gridCte,
+pw(j, apow) AS (VALUES $powers),
+keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0 FROM orders),
+deltas AS (
+  SELECT k, j % 2 = 1 AS is_lat,
+    ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d
+  FROM keys, pw),
+ends AS (
+  SELECT k, SUM(CASE WHEN is_lat THEN d ELSE 0 END) AS dlat,
+         SUM(CASE WHEN NOT is_lat THEN d ELSE 0 END) AS dlon
+  FROM deltas GROUP BY k),
+upts AS (
+  SELECT k AS track_id, 0 AS pos, (k % 1000) * 100 AS u, (k % 997) * 100 AS v FROM keys
+  UNION ALL
+  SELECT k, 1, (k % 1000) * 100 + dlat, (k % 997) * 100 + dlon FROM ends),
+zs AS (SELECT track_id, pos, $cityCase AS zone
+       FROM upts, (SELECT (g - 1) * 1000 AS s FROM p) sp),
+od AS (SELECT o.zone AS from_zone, d.zone AS to_zone
+       FROM zs o JOIN zs d USING (track_id) WHERE o.pos = 0 AND d.pos = 1),
+fl AS (SELECT from_zone, to_zone, CAST(COUNT(*) AS BIGINT) AS flows
+       FROM od GROUP BY 1, 2)
+SELECT from_zone, to_zone, flows,
+  CAST((flows * 1000000) // SUM(flows) OVER (PARTITION BY from_zone) AS BIGINT) AS share_ppm
+FROM fl ORDER BY from_zone, to_zone"""
     },
 
     // streaming geofence twin: the SAME lag-window truth as q_traj_geofence

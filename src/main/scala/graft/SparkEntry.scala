@@ -848,6 +848,14 @@ object SparkEntry {
       graft.ops.GeoStatsOps.moranI(
         Pipeline.geoImages(s, dir).select(col("lat"), col("lon")), zoom = 14)),
 
+    // local Moran's I (LISA): the per-tile decomposition of q_geo_moran —
+    // HH/LL cluster vs HL/LH outlier quadrants from two exact BIGINT sign
+    // factors, magnitude via the one shared double dag
+    "q_geo_lisa" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.localMoran(
+          Pipeline.geoImages(s, dir).select(col("lat"), col("lon")), zoom = 14)
+        .orderBy("tile_id")),
+
     // per-tile canonical representative (atlas/mosaic building block):
     // lexicographic (phash, image_id) struct-min per occupied z15 tile
     "q_tile_rep" -> ((s, dir) =>
@@ -865,6 +873,16 @@ object SparkEntry {
       graft.ops.GeoStatsOps.geofenceTransitions(
           Synth.tracks(s, dir), Synth.cityPolys(g))
         .orderBy("track_id", "step")
+    }),
+
+    // origin–destination flow matrix: one (first-point zone, last-point
+    // zone) pair per track, counted per ordered zone pair with exact ppm
+    // outflow shares — no explode, one bounded groupBy; the oracle rebuilds
+    // each track's endpoint from the LCG delta total (no window needed)
+    "q_traj_od_matrix" -> ((s, dir) => {
+      val (g, _, _) = Pipeline.prepared(s, dir)
+      graft.ops.GeoStatsOps.odMatrix(Synth.tracks(s, dir), Synth.cityPolys(g))
+        .orderBy("from_zone", "to_zone")
     }),
 
     // dwell (stay-segment) detection: maximal runs of ≥3 consecutive steps

@@ -370,4 +370,111 @@ object GeoStatsOps {
       .select(col("probe_id"), col("n_samples"), col("sum_w"),
         expr("sum_vw DIV sum_w").as("idw_val"))
   }
+
+  /** Local Moran's I (LISA; Anselin, Geographical Analysis 1995 — public):
+    * the per-tile decomposition of the global Moran statistic above — WHICH
+    * tiles sit in high-high / low-low clusters vs high-low / low-high
+    * outliers. Same raster frame as moranI/giStarHotspots: z-tile counts,
+    * binary 8-neighbor contiguity over OCCUPIED tiles, self excluded.
+    *
+    * Exactness: with N tiles, S1 = Σn, S2 = Σn², the textbook
+    *   I_i = (n_i − x̄)·Σ_j∈N(i)(n_j − x̄) / m2
+    * factors into two exact BIGINTs over a BIGINT denominator:
+    *   f1 = n_i·N − S1,  f2 = s_i·N − w_i·S1,  den = N·S2 − S1²
+    *   I_i = f1·f2/den   (the N² frame factors cancel),
+    * so the cluster QUADRANT (HH/LL/HL/LH from sign(f1),sign(f2)) is pure
+    * integer arithmetic — no float enters the classification — and the
+    * reported magnitude is ONE double dag over the three integers, mirrored
+    * verbatim in the oracle. Tiles with no occupied neighbor keep w_i = 0
+    * (f2 = 0 → 'NA', I_i = 0 exactly).
+    *
+    * Scale shape: identical to Gi* — one partial-aggregated tile count, a
+    * 9-offset (minus self) packed-id EQUI-join for the neighborhoods, three
+    * global moments reduced to driver scalars that re-enter the plan as
+    * codegen'd literals (the BM25 global-stats pattern). Cost is the tile
+    * pyramid's, never the corpus's.
+    *
+    * Input: (lat, lon). Output per occupied tile:
+    * (tile_id, n, w_i, s_i, f1, f2, quadrant, i_micro).
+    */
+  def localMoran(points: DataFrame, zoom: Int): DataFrame = {
+    val tiles = points
+      .select(fns.tile_id(col("lat"), col("lon"), zoom).as("tile_id"))
+      .groupBy(col("tile_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // reused 3x: moments, probe side, neighbor side
+    val g = tiles.agg(count(lit(1)).as("nt"), sum(col("n")).as("s1"),
+      sum(col("n") * col("n")).as("s2")).head()
+    val (nt, s1) = (g.getLong(0), g.getLong(1))
+    val s2 = g.getLong(2)
+    val offArray = (for (du <- -1 to 1; dv <- -1 to 1 if du != 0 || dv != 0)
+      yield s"struct(CAST($du AS BIGINT) AS du, CAST($dv AS BIGINT) AS dv)")
+      .mkString("array(", ", ", ")")
+    val hood = tiles
+      .select(col("tile_id"), explode(expr(offArray)).as("o"))
+      .select(col("tile_id"),
+        (col("tile_id") + col("o.du") * lit(67108864L) + col("o.dv")).as("nbr_id"))
+      .join(tiles.select(col("tile_id").as("nbr_id"), col("n").as("nbr_n")), "nbr_id")
+      .groupBy(col("tile_id"))
+      .agg(count(lit(1)).as("w_i"), sum(col("nbr_n")).as("s_i"))
+    tiles.join(hood, Seq("tile_id"), "left") // isolated tiles keep w_i = 0
+      .select(col("tile_id"), col("n"),
+        coalesce(col("w_i"), lit(0L)).as("w_i"),
+        coalesce(col("s_i"), lit(0L)).as("s_i"))
+      .withColumn("nt", lit(nt)).withColumn("sg", lit(s1)).withColumn("s2g", lit(s2))
+      .withColumn("f1", col("n") * col("nt") - col("sg"))
+      .withColumn("f2", col("s_i") * col("nt") - col("w_i") * col("sg"))
+      .select(col("tile_id"), col("n"), col("w_i"), col("s_i"),
+        col("f1"), col("f2"),
+        // integer-only cluster classification — no float in the branch
+        expr("""CASE WHEN w_i = 0 OR f1 = 0 OR f2 = 0 THEN 'NA'
+            WHEN f1 > 0 AND f2 > 0 THEN 'HH'
+            WHEN f1 < 0 AND f2 < 0 THEN 'LL'
+            WHEN f1 > 0 THEN 'HL' ELSE 'LH' END""").as("quadrant"),
+        // ONE fixed double dag over exact BIGINTs — mirrored verbatim in SQL
+        expr("""CASE WHEN nt > 1 AND nt * s2g - sg * sg > 0
+          THEN CAST(ROUND(CAST(f1 AS DOUBLE) * CAST(f2 AS DOUBLE)
+            / (CAST(nt AS DOUBLE) * CAST(s2g AS DOUBLE)
+               - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+            * 1000000.0D) AS BIGINT)
+          ELSE CAST(NULL AS BIGINT) END""").as("i_micro"))
+  }
+
+  /** Origin–destination flow matrix over trajectories: each track
+    * contributes ONE (origin zone, destination zone) pair — the zone of its
+    * first and last GPS point by broadcast point-in-polygon — and flows are
+    * counted per ordered zone pair with each origin's outflow share in
+    * exact integer parts-per-million. The classic transport-analytics
+    * reduction of raw GPS to a zone-to-zone demand matrix.
+    *
+    * Scale shape: NO explode — first/last are O(1) array lookups map-side,
+    * the PIP is a broadcast prepared-polygon expression, and the only
+    * shuffle is the partial-aggregated groupBy whose output is bounded by
+    * (#zones+1)², not the corpus. The share window runs over that bounded
+    * matrix. At 10^12 tracks this is one map pass + one tiny reduce.
+    *
+    * Input: (track_id, geometry: array<struct<lat,lon>>). Output:
+    * (from_zone, to_zone, flows, share_ppm = ⌊flows·10⁶ ÷ origin total⌋).
+    */
+  def odMatrix(tracks: DataFrame,
+      polys: Array[(String, Array[Array[Double]])],
+      defaultZone: String = "Unincorporated"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = element_at(col("geometry"), 1)
+    val last = element_at(col("geometry"), -1)
+    val flows = tracks
+      .select(
+        fns.point_in_polygon_first(
+          first.getField("lat"), first.getField("lon"), polys, defaultZone)
+          .as("from_zone"),
+        fns.point_in_polygon_first(
+          last.getField("lat"), last.getField("lon"), polys, defaultZone)
+          .as("to_zone"))
+      .groupBy(col("from_zone"), col("to_zone"))
+      .agg(count(lit(1)).as("flows"))
+    flows
+      .withColumn("tot",
+        sum(col("flows")).over(Window.partitionBy(col("from_zone"))))
+      .select(col("from_zone"), col("to_zone"), col("flows"),
+        expr("(flows * 1000000) DIV tot").as("share_ppm"))
+  }
 }

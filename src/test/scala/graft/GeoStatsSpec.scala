@@ -132,6 +132,75 @@ class GeoStatsSpec extends AnyFunSuite {
     assert(got === ((nt, wp, p, si, s1, s2, Some(want))))
   }
 
+  test("localMoran: per-tile factors/quadrant/magnitude match brute force; locals sum to the global") {
+    val pts = Pipeline.geoImages(spark, sf)
+      .select("lat", "lon").as[(Double, Double)].collect()
+    val zoomZ = 14
+    val tileOf = (lat: Double, lon: Double) =>
+      zoomZ.toLong * (1L << 52) +
+        graft.geom.Geom.tileX(lon, zoomZ) * (1L << 26) + graft.geom.Geom.tileY(lat, zoomZ)
+    val counts = pts.groupBy { case (la, lo) => tileOf(la, lo) }
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val nt = counts.size.toLong
+    val s1 = counts.values.sum
+    val s2 = counts.values.map(n => n * n).sum
+    val den = nt.toDouble * s2.toDouble - s1.toDouble * s1.toDouble
+    val want = counts.map { case (t, ni) =>
+      var wI = 0L; var sI = 0L
+      for (du <- -1L to 1L; dv <- -1L to 1L if du != 0 || dv != 0;
+           nj <- counts.get(t + du * (1L << 26) + dv)) { wI += 1; sI += nj }
+      val f1 = ni * nt - s1
+      val f2 = sI * nt - wI * s1
+      val quad =
+        if (wI == 0 || f1 == 0 || f2 == 0) "NA"
+        else if (f1 > 0 && f2 > 0) "HH" else if (f1 < 0 && f2 < 0) "LL"
+        else if (f1 > 0) "HL" else "LH"
+      t -> ((ni, wI, sI, f1, f2, quad,
+        math.round(f1.toDouble * f2.toDouble / den * 1000000.0)))
+    }
+    val got = GeoStatsOps.localMoran(
+        Pipeline.geoImages(spark, sf).select(col("lat"), col("lon")), zoomZ)
+      .as[(Long, Long, Long, Long, Long, Long, String, Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8.get))).toMap
+    assert(got === want)
+    // decomposition identity: Σ_i f1_i·f2_i / den == (W/N)·I_global / ... in
+    // the factored frame, Σ f1 = 0 exactly and locals carry all four quadrants
+    assert(counts.map { case (t, ni) => ni * nt - s1 }.sum === 0L)
+    assert(got.values.map(_._6).toSet.intersect(Set("HH", "LL")).nonEmpty)
+  }
+
+  test("odMatrix: endpoint-zone brute force, flow conservation, exact ppm shares") {
+    val (g, _, _) = Pipeline.prepared(spark, sf)
+    val s = (g - 1) * 1000L
+    def zone(u: Long, v: Long): String = {
+      def p(x: Long) = s * x / 100
+      if (u > p(10) && u <= p(35) && v > p(10) && v <= p(40)) "alpha"
+      else if (u > p(40) && u <= p(70) && v > p(50) && v <= p(90)) "beta"
+      else if ((u > p(70) && u <= p(95) && v > p(5) && v <= p(20)) ||
+               (u > p(70) && u <= p(80) && v > p(20) && v <= p(45))) "gamma"
+      else "Unincorporated"
+    }
+    val tracks = Synth.tracks(spark, sf)
+      .select(col("track_id"), col("geometry"))
+      .as[(Long, Seq[(Double, Double)])].collect()
+    def z(pt: (Double, Double)): String =
+      zone(math.round((pt._1 - 37.0) * 1e6), math.round((pt._2 + 122.0) * 1e6))
+    val flows = tracks.groupBy { case (_, geom) => (z(geom.head), z(geom.last)) }
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val byOrigin = flows.groupBy(_._1._1).map { case (o, m) => o -> m.values.sum }
+    val want = flows.map { case ((f, t), n) =>
+      (f, t, n, n * 1000000L / byOrigin(f))
+    }.toSet
+    val got = GeoStatsOps.odMatrix(Synth.tracks(spark, sf), Synth.cityPolys(g))
+      .as[(String, String, Long, Long)].collect()
+    assert(got.toSet === want)
+    assert(got.map(_._3).sum === tracks.length.toLong) // every track counted once
+    got.groupBy(_._1).foreach { case (_, rows) =>       // shares ≈ 1e6 per origin
+      val tot = rows.map(_._4).sum
+      assert(tot <= 1000000L && tot > 1000000L - rows.length)
+    }
+  }
+
   test("tileRepresentative: exactly the lexicographic (phash, id) min per occupied tile") {
     val rows = Pipeline.geoImages(spark, sf)
       .select("image_id", "phash", "lat", "lon")
