@@ -1957,6 +1957,71 @@ FROM tr WHERE prev IS NOT NULL AND prev <> zone
 ORDER BY track_id, step"""
     },
 
+    // ---- mirror: zonal line statistics ---------------------------------------
+    // every way segment rebuilt from the synth closed form (grid h/v ways via
+    // the proven rr/cc CTEs, diagonal motorway, both links, the circle way),
+    // clipped against the half-µ° city rectangles by the verbatim
+    // Liang–Barsky dag, summed as per-segment integer nanodegrees
+    "q_zone_way_length" ->
+      s"""WITH $gridCte,
+sp AS (SELECT (g - 1) * 1000 AS s FROM p),
+segs AS (
+  SELECT rr.lat AS lat1, c1.lon AS lon1, rr.lat AS lat2, c2.lon AS lon2
+  FROM rr, cc c1, cc c2 WHERE c2.c = c1.c + 1
+  UNION ALL
+  SELECT r1.lat, cc.lon, r2.lat, cc.lon
+  FROM cc, rr r1, rr r2 WHERE r2.r = r1.r + 1
+  UNION ALL
+  SELECT (37.0::DOUBLE + CAST(i AS DOUBLE) * 0.001::DOUBLE) + 0.00025::DOUBLE,
+         (-122.0::DOUBLE + CAST(i AS DOUBLE) * 0.001::DOUBLE) - 0.00025::DOUBLE,
+         (37.0::DOUBLE + CAST(i + 1 AS DOUBLE) * 0.001::DOUBLE) + 0.00025::DOUBLE,
+         (-122.0::DOUBLE + CAST(i + 1 AS DOUBLE) * 0.001::DOUBLE) - 0.00025::DOUBLE
+  FROM ser, p WHERE i < p.g - 1
+  UNION ALL SELECT 37.00125::DOUBLE, -121.99925::DOUBLE, 37.0015::DOUBLE, -121.998::DOUBLE
+  UNION ALL SELECT 37.0015::DOUBLE, -121.998::DOUBLE, 37.002::DOUBLE, -121.9975::DOUBLE
+  UNION ALL SELECT 37.0::DOUBLE + 0.001::DOUBLE,
+                   -122.0::DOUBLE + 1.0::DOUBLE * 0.001::DOUBLE,
+                   37.0::DOUBLE + 0.001::DOUBLE,
+                   -122.0::DOUBLE + 2.0::DOUBLE * 0.001::DOUBLE),
+zr AS (
+  SELECT 'alpha' AS zone, s*10//100 AS ulo, s*35//100 AS uhi,
+         s*10//100 AS vlo, s*40//100 AS vhi FROM sp
+  UNION ALL SELECT 'beta', s*40//100, s*70//100, s*50//100, s*90//100 FROM sp
+  UNION ALL SELECT 'gamma', s*70//100, s*95//100, s*5//100, s*20//100 FROM sp
+  UNION ALL SELECT 'gamma', s*70//100, s*80//100, s*20//100, s*45//100 FROM sp),
+rects AS (SELECT zone,
+  37.0::DOUBLE + (CAST(ulo AS DOUBLE) + 0.5::DOUBLE) * 0.000001::DOUBLE AS lat_lo,
+  37.0::DOUBLE + (CAST(uhi AS DOUBLE) + 0.5::DOUBLE) * 0.000001::DOUBLE AS lat_hi,
+  -122.0::DOUBLE + (CAST(vlo AS DOUBLE) + 0.5::DOUBLE) * 0.000001::DOUBLE AS lon_lo,
+  -122.0::DOUBLE + (CAST(vhi AS DOUBLE) + 0.5::DOUBLE) * 0.000001::DOUBLE AS lon_hi
+  FROM zr),
+clip AS (
+  SELECT zone, lat2 - lat1 AS du, lon2 - lon1 AS dv,
+         lat1, lon1, lat_lo, lat_hi, lon_lo, lon_hi
+  FROM segs JOIN rects
+    ON LEAST(lat1, lat2) <= lat_hi AND GREATEST(lat1, lat2) >= lat_lo
+   AND LEAST(lon1, lon2) <= lon_hi AND GREATEST(lon1, lon2) >= lon_lo),
+tt AS (
+  SELECT zone, du, dv,
+    GREATEST(0.0::DOUBLE,
+      CASE WHEN du > 0.0::DOUBLE THEN (lat_lo - lat1) / du
+           WHEN du < 0.0::DOUBLE THEN (lat_hi - lat1) / du
+           WHEN lat1 >= lat_lo AND lat1 <= lat_hi THEN 0.0::DOUBLE ELSE 2.0::DOUBLE END,
+      CASE WHEN dv > 0.0::DOUBLE THEN (lon_lo - lon1) / dv
+           WHEN dv < 0.0::DOUBLE THEN (lon_hi - lon1) / dv
+           WHEN lon1 >= lon_lo AND lon1 <= lon_hi THEN 0.0::DOUBLE ELSE 2.0::DOUBLE END) AS t0,
+    LEAST(1.0::DOUBLE,
+      CASE WHEN du > 0.0::DOUBLE THEN (lat_hi - lat1) / du
+           WHEN du < 0.0::DOUBLE THEN (lat_lo - lat1) / du
+           ELSE 1.0::DOUBLE END,
+      CASE WHEN dv > 0.0::DOUBLE THEN (lon_hi - lon1) / dv
+           WHEN dv < 0.0::DOUBLE THEN (lon_lo - lon1) / dv
+           ELSE 1.0::DOUBLE END) AS t1
+  FROM clip)
+SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_segs,
+  CAST(SUM(CAST(ROUND((t1 - t0) * SQRT(du * du + dv * dv) * 1000000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS len_nano
+FROM tt WHERE t1 > t0 GROUP BY zone ORDER BY zone""",
+
     // ---- mirror: origin–destination flow matrix ------------------------------
     // only the track ENDPOINT is needed, so the geofence machinery loses its
     // window: the destination offset is the plain SUM of all 39 per-axis LCG

@@ -885,6 +885,25 @@ object SparkEntry {
         .orderBy("from_zone", "to_zone")
     }),
 
+    // zonal line statistics: total way length inside each city — every way
+    // segment Liang–Barsky-clipped against the rectilinear zone
+    // decomposition, per-segment integer nanodegree lengths; the oracle
+    // rebuilds every grid/motorway/link segment from the synth closed form
+    // and replays the identical clip dag
+    "q_zone_way_length" -> ((s, dir) => {
+      val (g, raw, _) = Pipeline.prepared(s, dir)
+      val segs = raw
+        .select(col("id").as("way_id"),
+          explode(expr(
+            """transform(sequence(0, size(geometry) - 2), i -> struct(
+                 geometry[i].lat as lat1, geometry[i].lon as lon1,
+                 geometry[i+1].lat as lat2, geometry[i+1].lon as lon2))""")).as("seg"))
+        .select(col("way_id"),
+          col("seg.lat1"), col("seg.lon1"), col("seg.lat2"), col("seg.lon2"))
+      graft.ops.ZoneOps.zonalLineLength(segs, Synth.cityRects(s, g))
+        .orderBy("zone")
+    }),
+
     // dwell (stay-segment) detection: maximal runs of ≥3 consecutive steps
     // with Manhattan displacement ≤ 800 µ° — gaps-and-islands over the
     // track windows; the oracle rebuilds every step delta from the LCG

@@ -286,4 +286,60 @@ object ZoneOps {
       .withColumn("est_count_micro",
         expr(s"(apportioned_q4 * 1000000) DIV $cellAreaQ4"))
   }
+
+  /** Zonal LINE statistics — total polyline length inside each zone (road
+    * length per district, the line twin of `apportion`'s area weighting and
+    * `zonalImageStats`' raster zoning). Zones arrive as an interior-disjoint
+    * RECTILINEAR decomposition (zone, lat_lo, lat_hi, lon_lo, lon_hi) — any
+    * rectilinear polygon (our gamma L-shape included) decomposes exactly;
+    * each segment is clipped to each overlapping rectangle by the classic
+    * Liang–Barsky parametric clip (Liang & Barsky, CACM 1984 — public).
+    *
+    * Determinism contract: the clip parameter window [t0,t1] and the planar
+    * segment length are ONE fixed double dag over the input coordinates
+    * (divisions, GREATEST/LEAST, one SQRT), emitted as per-segment integer
+    * nanodegrees — the same verbatim-dag + integer-sum pattern as Gi*, so a
+    * DuckDB oracle re-deriving every way segment from the synth closed form
+    * must reproduce each zone total bit-for-bit.
+    *
+    * Scale shape: the zone table is bounded (broadcast); the bbox-overlap
+    * pre-join keeps the NLJ probe per segment at O(|rects|) with the exact
+    * clip map-side; ONE partial-aggregated groupBy of zone-sized output.
+    * Segments stream through — no geometry arrays, no shuffle of the
+    * corpus beyond the final zone reduce.
+    *
+    * Input: segs (way_id, lat1, lon1, lat2, lon2),
+    *        rects (zone, lat_lo, lat_hi, lon_lo, lon_hi).
+    * Output: (zone, n_segs, len_nano) — clipped length in nanodegrees.
+    */
+  def zonalLineLength(segs: DataFrame, rects: DataFrame): DataFrame =
+    segs
+      .join(broadcast(rects),
+        least(col("lat1"), col("lat2")) <= col("lat_hi") &&
+          greatest(col("lat1"), col("lat2")) >= col("lat_lo") &&
+          least(col("lon1"), col("lon2")) <= col("lon_hi") &&
+          greatest(col("lon1"), col("lon2")) >= col("lon_lo"))
+      .withColumn("du", col("lat2") - col("lat1"))
+      .withColumn("dv", col("lon2") - col("lon1"))
+      // Liang–Barsky entering/leaving parameters; a degenerate axis outside
+      // its slab pushes t0 to 2 > t1 (empty window) — mirrored verbatim in SQL
+      .withColumn("t0", expr("""GREATEST(0.0D,
+        CASE WHEN du > 0.0D THEN (lat_lo - lat1) / du
+             WHEN du < 0.0D THEN (lat_hi - lat1) / du
+             WHEN lat1 >= lat_lo AND lat1 <= lat_hi THEN 0.0D ELSE 2.0D END,
+        CASE WHEN dv > 0.0D THEN (lon_lo - lon1) / dv
+             WHEN dv < 0.0D THEN (lon_hi - lon1) / dv
+             WHEN lon1 >= lon_lo AND lon1 <= lon_hi THEN 0.0D ELSE 2.0D END)"""))
+      .withColumn("t1", expr("""LEAST(1.0D,
+        CASE WHEN du > 0.0D THEN (lat_hi - lat1) / du
+             WHEN du < 0.0D THEN (lat_lo - lat1) / du
+             ELSE 1.0D END,
+        CASE WHEN dv > 0.0D THEN (lon_hi - lon1) / dv
+             WHEN dv < 0.0D THEN (lon_lo - lon1) / dv
+             ELSE 1.0D END)"""))
+      .filter(col("t1") > col("t0"))
+      .withColumn("len_nano", expr(
+        "CAST(ROUND((t1 - t0) * SQRT(du * du + dv * dv) * 1000000000.0D) AS BIGINT)"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_segs"), sum(col("len_nano")).as("len_nano"))
 }

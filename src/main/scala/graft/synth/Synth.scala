@@ -286,6 +286,24 @@ object Synth {
       ("gamma", Array(gamma)))
   }
 
+  /** cityPolys as an interior-disjoint RECTILINEAR decomposition for
+    * ZoneOps.zonalLineLength: (zone, lat_lo, lat_hi, lon_lo, lon_hi), the
+    * gamma L split into its two rectangles. Bounds are the SAME half-µ°
+    * edges as cityPolys, computed with the identical double dag. */
+  def cityRects(spark: SparkSession, g: Int): DataFrame = {
+    import spark.implicits._
+    val s = (g - 1) * 1000L
+    def p(x: Int): Long = s * x / 100
+    def lat(u: Long): Double = LAT0 + (u + 0.5) * 1e-6
+    def lon(v: Long): Double = LON0 + (v + 0.5) * 1e-6
+    Seq(
+      ("alpha", lat(p(10)), lat(p(35)), lon(p(10)), lon(p(40))),
+      ("beta", lat(p(40)), lat(p(70)), lon(p(50)), lon(p(90))),
+      ("gamma", lat(p(70)), lat(p(95)), lon(p(5)), lon(p(20))),
+      ("gamma", lat(p(70)), lat(p(80)), lon(p(20)), lon(p(45))))
+      .toDF("zone", "lat_lo", "lat_hi", "lon_lo", "lon_hi")
+  }
+
   /** boundaries as a DataFrame (name, kind, rings array<array<double>>). */
   def boundariesDf(spark: SparkSession, g: Int): DataFrame = {
     import spark.implicits._

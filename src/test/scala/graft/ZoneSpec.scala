@@ -70,6 +70,57 @@ class ZoneSpec extends AnyFunSuite {
 
   // ---- polyfill + compact ------------------------------------------------
 
+  test("zonalLineLength: Liang–Barsky clip sums agree with JTS line∩rect lengths") {
+    import spark.implicits._
+    val gf = new GeometryFactory()
+    val rnd = new scala.util.Random(7)
+    // random segments (incl. axis-aligned and degenerate-direction cases) in
+    // a unit-ish degree box, and three random rects as three zones
+    val segs = (0 until 200).map { i =>
+      val ax = rnd.nextDouble(); val ay = rnd.nextDouble()
+      val (bx, by) = rnd.nextInt(4) match {
+        case 0 => (ax, rnd.nextDouble())           // vertical
+        case 1 => (rnd.nextDouble(), ay)           // horizontal
+        case _ => (rnd.nextDouble(), rnd.nextDouble())
+      }
+      (i.toLong, ax, ay, bx, by)
+    }
+    val rects = (0 until 3).map { z =>
+      val u = Seq(rnd.nextDouble(), rnd.nextDouble()).sorted
+      val v = Seq(rnd.nextDouble(), rnd.nextDouble()).sorted
+      (s"z$z", u(0), u(1), v(0), v(1))
+    }
+    val want = rects.map { case (z, latLo, latHi, lonLo, lonHi) =>
+      val rect = gf.createPolygon(Array(
+        new Coordinate(lonLo, latLo), new Coordinate(lonHi, latLo),
+        new Coordinate(lonHi, latHi), new Coordinate(lonLo, latHi),
+        new Coordinate(lonLo, latLo)))
+      val lens = segs.map { case (_, ax, ay, bx, by) =>
+        gf.createLineString(Array(new Coordinate(ay, ax), new Coordinate(by, bx)))
+          .intersection(rect).getLength
+      }.filter(_ > 0)
+      z -> ((lens.length, lens.sum))
+    }.toMap
+    val got = ZoneOps.zonalLineLength(
+        segs.toDF("way_id", "lat1", "lon1", "lat2", "lon2"),
+        rects.toDF("zone", "lat_lo", "lat_hi", "lon_lo", "lon_hi"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === want.filter(_._2._1 > 0).keySet)
+    got.foreach { case (z, (nSegs, lenNano)) =>
+      val (wantN, wantLen) = want(z)
+      assert(nSegs === wantN.toLong, s"zone $z seg count")
+      // per-segment nano rounding: |Σ| within n·0.5 + float noise of JTS
+      assert(math.abs(lenNano - wantLen * 1e9) <= nSegs * 0.5 + 10.0,
+        s"zone $z length: got $lenNano want ${wantLen * 1e9}")
+    }
+    // exact integer case: unit horizontal segment half inside a rect
+    val one = ZoneOps.zonalLineLength(
+      Seq((1L, 0.0, 0.0, 0.0, 2.0)).toDF("way_id", "lat1", "lon1", "lat2", "lon2"),
+      Seq(("h", -1.0, 1.0, 1.0, 3.0)).toDF("zone", "lat_lo", "lat_hi", "lon_lo", "lon_hi"))
+      .as[(String, Long, Long)].collect()
+    assert(one.toSeq === Seq(("h", 1L, 1000000000L)))
+  }
+
   test("polyfill = brute-force center containment; compact partitions it exactly") {
     import spark.implicits._
     val g = Synth.gridSize(spark, dir)
