@@ -1862,6 +1862,26 @@ SELECT n_tiles, w_pairs, p_sum, si_sum, s1_sum, s2_sum,
     ELSE CAST(NULL AS BIGINT) END AS moran_micro
 FROM ta CROSS JOIN pa""",
 
+    // ---- mirror: focal (3×3) statistics --------------------------------------
+    "q_geo_focal" ->
+      s"""WITH $imgCte,
+tiles AS (SELECT
+  14 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT)
+  AS tile_id, CAST(COUNT(*) AS BIGINT) AS n FROM imgs GROUP BY 1),
+off AS (SELECT a.du, b.dv FROM (VALUES (-1),(0),(1)) a(du), (VALUES (-1),(0),(1)) b(dv)),
+hood AS (
+  SELECT t.tile_id, CAST(COUNT(*) AS BIGINT) AS focal_n,
+         CAST(SUM(nb.n) AS BIGINT) AS focal_sum,
+         CAST(MIN(nb.n) AS BIGINT) AS focal_min,
+         CAST(MAX(nb.n) AS BIGINT) AS focal_max
+  FROM tiles t, off o, tiles nb
+  WHERE nb.tile_id = t.tile_id + o.du * 67108864 + o.dv
+  GROUP BY t.tile_id)
+SELECT t.tile_id, t.n, h.focal_n, h.focal_sum, h.focal_min, h.focal_max
+FROM tiles t JOIN hood h USING (tile_id) ORDER BY tile_id""",
+
     // ---- mirror: local Moran's I (LISA) --------------------------------------
     // q_geo_moran's tiles + q_geo_hotspots' offset join, self excluded; the
     // two sign factors and the denominator are exact BIGINTs, the magnitude
@@ -3928,6 +3948,18 @@ FROM comp ORDER BY image_id""",
     // Streaming (MemoryStream → tumblingCounts) and must land on the exact
     // same oracle rows as the batch aggregate — one oracle, two engines
     "q_stream_tumbling" -> eventsTumblingSql,
+
+    // sliding-window stream twin: Spark assigns event ts to windows starting
+    // at (⌊ts/slide⌋ − i)·slide for i ∈ {0,1} (window=600s, slide=300s) —
+    // replayed as a 2-offset cross join over the same micro-exact values
+    "q_stream_sliding" ->
+      """SELECT event_type,
+  ((epoch_us(ts) // 300000000) - i) * 300 AS window_start_sec,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS sum_value_micro
+FROM events, (VALUES (0), (1)) t(i)
+GROUP BY event_type, ((epoch_us(ts) // 300000000) - i) * 300
+ORDER BY event_type, window_start_sec""",
 
     "q_events_sessions" -> eventsSessionsSql,
 

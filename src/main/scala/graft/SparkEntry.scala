@@ -848,6 +848,14 @@ object SparkEntry {
       graft.ops.GeoStatsOps.moranI(
         Pipeline.geoImages(s, dir).select(col("lat"), col("lon")), zoom = 14)),
 
+    // focal (3×3 moving-window) statistics over z14 tile counts: exact
+    // integer neighborhood sum/min/max per occupied tile — the raster
+    // smoothing/gradient primitive, all-integer oracle
+    "q_geo_focal" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.focalStats(
+          Pipeline.geoImages(s, dir).select(col("lat"), col("lon")), zoom = 14)
+        .orderBy("tile_id")),
+
     // local Moran's I (LISA): the per-tile decomposition of q_geo_moran —
     // HH/LL cluster vs HL/LH outlier quadrants from two exact BIGINT sign
     // factors, magnitude via the one shared double dag
@@ -1864,6 +1872,30 @@ object SparkEntry {
       try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
       finally q.stop()
       s.table("graft_q_stream_tumbling")
+        .select(col("event_type"), col("window_start_sec"), col("n"),
+          col("sum_value").cast("long").as("sum_value_micro"))
+        .orderBy("event_type", "window_start_sec")
+    }),
+
+    // sliding (hopping) window stream twin: 600s windows every 300s — each
+    // event contributes to exactly two overlapping panes; the oracle replays
+    // Spark's window-assignment rule as a 2-offset cross join
+    "q_stream_sliding" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Synth.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+          floor(col("value") * 1e6).cast("double").as("value"))
+        .as[(java.sql.Timestamp, String, Double)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val q = Streaming.slidingCounts(
+          mem.toDF().toDF("ts", "event_type", "value"), 600, 300)
+        .writeStream.format("memory").queryName("graft_q_stream_sliding")
+        .outputMode("complete").start()
+      try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+      s.table("graft_q_stream_sliding")
         .select(col("event_type"), col("window_start_sec"), col("n"),
           col("sum_value").cast("long").as("sum_value_micro"))
         .orderBy("event_type", "window_start_sec")

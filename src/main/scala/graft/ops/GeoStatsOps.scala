@@ -439,6 +439,42 @@ object GeoStatsOps {
           ELSE CAST(NULL AS BIGINT) END""").as("i_micro"))
   }
 
+  /** Focal (neighborhood) statistics over the tile raster — the classic
+    * raster "focal sum/min/max" operator (3×3 window, self included): for
+    * each occupied tile, exact integer aggregates of the occupied-neighbor
+    * counts. The moving-window primitive under smoothing, gradient, and
+    * terrain operators; pure integers, so the oracle re-derives every cell
+    * bit-for-bit with no float anywhere.
+    *
+    * Scale shape: identical to Gi* and LISA — one partial-aggregated tile
+    * count, one 9-offset packed-id EQUI-join, one partial-aggregated
+    * groupBy. Tile-pyramid cost, never corpus cost.
+    *
+    * Input: (lat, lon). Output per occupied tile:
+    * (tile_id, n, focal_n, focal_sum, focal_min, focal_max).
+    */
+  def focalStats(points: DataFrame, zoom: Int): DataFrame = {
+    val tiles = points
+      .select(fns.tile_id(col("lat"), col("lon"), zoom).as("tile_id"))
+      .groupBy(col("tile_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // reused 2x: probe side, neighbor side
+    val offArray = (for (du <- -1 to 1; dv <- -1 to 1)
+      yield s"struct(CAST($du AS BIGINT) AS du, CAST($dv AS BIGINT) AS dv)")
+      .mkString("array(", ", ", ")")
+    val hood = tiles
+      .select(col("tile_id"), explode(expr(offArray)).as("o"))
+      .select(col("tile_id"),
+        (col("tile_id") + col("o.du") * lit(67108864L) + col("o.dv")).as("nbr_id"))
+      .join(tiles.select(col("tile_id").as("nbr_id"), col("n").as("nbr_n")), "nbr_id")
+      .groupBy(col("tile_id"))
+      .agg(count(lit(1)).as("focal_n"), sum(col("nbr_n")).as("focal_sum"),
+        min(col("nbr_n")).as("focal_min"), max(col("nbr_n")).as("focal_max"))
+    // self is always occupied, so the inner join keeps every tile
+    tiles.join(hood, "tile_id")
+      .select(col("tile_id"), col("n"), col("focal_n"),
+        col("focal_sum"), col("focal_min"), col("focal_max"))
+  }
+
   /** Origin–destination flow matrix over trajectories: each track
     * contributes ONE (origin zone, destination zone) pair — the zone of its
     * first and last GPS point by broadcast point-in-polygon — and flows are

@@ -24,6 +24,25 @@ object Streaming {
         unix_timestamp(col("window.start")).as("window_start_sec"),
         col("n"), col("sum_value"))
 
+  /** Sliding (hopping) window counts/sums — the overlapping-window twin of
+    * `tumblingCounts`: each event lands in windowSec/slideSec windows, so a
+    * 600s window hopping every 300s smooths the tumbling series with 2×
+    * overlap. Spark assigns windows with start = ⌊ts/slide⌋·slide − i·slide
+    * for i < window/slide; the batch oracle replays exactly that offset
+    * cross-join. State is bounded by (watermark + window)/slide panes per
+    * key — the standard streaming-agg state story, nothing per-event. */
+  def slidingCounts(events: DataFrame, windowSec: Long, slideSec: Long,
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"),
+        window(col("ts"), s"$windowSec seconds", s"$slideSec seconds"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("window_start_sec"),
+        col("n"), col("sum_value"))
+
   /** Streaming twin of the headline spatial join (the BASELINE.json metric):
     * a stream of geotagged image rows (image_id, ts, lat, lon) is cell-keyed
     * map-side and equi-joined against the STATIC segment index — stream-

@@ -169,6 +169,29 @@ class GeoStatsSpec extends AnyFunSuite {
     assert(got.values.map(_._6).toSet.intersect(Set("HH", "LL")).nonEmpty)
   }
 
+  test("focalStats: 3x3 neighborhood sum/min/max match brute force; self always counted") {
+    val pts = Pipeline.geoImages(spark, sf)
+      .select("lat", "lon").as[(Double, Double)].collect()
+    val zoomZ = 14
+    val tileOf = (lat: Double, lon: Double) =>
+      zoomZ.toLong * (1L << 52) +
+        graft.geom.Geom.tileX(lon, zoomZ) * (1L << 26) + graft.geom.Geom.tileY(lat, zoomZ)
+    val counts = pts.groupBy { case (la, lo) => tileOf(la, lo) }
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val want = counts.map { case (t, ni) =>
+      val nbrs = (for (du <- -1L to 1L; dv <- -1L to 1L;
+                       nj <- counts.get(t + du * (1L << 26) + dv)) yield nj)
+      t -> ((ni, nbrs.length.toLong, nbrs.sum, nbrs.min, nbrs.max))
+    }
+    val got = GeoStatsOps.focalStats(
+        Pipeline.geoImages(spark, sf).select(col("lat"), col("lon")), zoomZ)
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got === want)
+    assert(got.forall { case (_, (n, fn, fs, _, fmax)) =>
+      fn >= 1 && fs >= n && fmax >= n })
+  }
+
   test("odMatrix: endpoint-zone brute force, flow conservation, exact ppm shares") {
     val (g, _, _) = Pipeline.prepared(spark, sf)
     val s = (g - 1) * 1000L

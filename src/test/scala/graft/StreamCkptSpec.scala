@@ -35,6 +35,35 @@ class StreamCkptSpec extends AnyFunSuite {
     assert(streamed === expected)
   }
 
+  test("streaming sliding counts: every event lands in exactly window/slide panes") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      .limit(2000).cache()
+    val rows = batch.as[(java.sql.Timestamp, String, Double)].collect()
+
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = Streaming.slidingCounts(
+      mem.toDF().toDF("ts", "event_type", "value"), 600, 300)
+    val q = sdf.writeStream.format("memory").queryName("slides")
+      .outputMode("complete").start()
+    mem.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("slides")
+      .select("event_type", "window_start_sec", "n")
+      .as[(String, Long, Long)].collect()
+    // brute force: event at ts lands in panes (⌊ts/300⌋ − i)·300, i ∈ {0,1}
+    val expected = rows.flatMap { case (ts, et, _) =>
+      val base = ts.getTime / 1000 / 300
+      Seq((et, (base - 1) * 300), (et, base * 300))
+    }.groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.length.toLong) }.toSet
+    assert(streamed.toSet === expected)
+    // pane overlap: total pane membership = 2 × events
+    assert(streamed.map(_._3).sum === 2L * rows.length)
+  }
+
   test("streaming image-segment join matches the batch headline join per cell") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
