@@ -4052,6 +4052,37 @@ FROM pings p JOIN caps c ON p.image_id = c.image_id
   AND c.cap_sec BETWEEN p.ping_sec - 120 AND p.ping_sec + 120
 ORDER BY p.image_id, cap_sec""",
 
+    // LEFT OUTER stream twin: the inner rows plus one null-padded row per
+    // unmatched ping whose join horizon (ping_sec + 120) lies strictly
+    // below the global watermark = LEAST(max ping ts, max cap ts) − 120;
+    // younger unmatched pings stay pending in state and never emit in the
+    // bounded replay — the oracle applies the identical cutoff
+    "q_stream_left_join" ->
+      s"""WITH $imgCte,
+sliced AS (
+  SELECT * FROM imgs WHERE CAST(SUBSTRING(image_id, 4) AS BIGINT) % 11 = 0),
+pings AS (
+  SELECT image_id, lat, lon, 1767225600 + (u % 3600) AS ping_sec FROM sliced),
+caps AS (
+  SELECT image_id, 'c' || image_id AS caption,
+    1767225600 + (u % 3600) + (v % 360) - 180 AS cap_sec
+  FROM sliced WHERE v % 3 = 0),
+wm AS (SELECT LEAST((SELECT MAX(ping_sec) FROM pings),
+                    (SELECT MAX(cap_sec) FROM caps)) - 120 AS w)
+SELECT p.image_id, p.lat, p.lon, CAST(p.ping_sec AS BIGINT) AS ping_sec,
+  CAST(c.cap_sec AS BIGINT) AS cap_sec, c.caption
+FROM pings p JOIN caps c ON p.image_id = c.image_id
+  AND c.cap_sec BETWEEN p.ping_sec - 120 AND p.ping_sec + 120
+UNION ALL
+SELECT p.image_id, p.lat, p.lon, CAST(p.ping_sec AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+FROM pings p, wm
+WHERE p.ping_sec + 120 < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM caps c WHERE c.image_id = p.image_id
+      AND c.cap_sec BETWEEN p.ping_sec - 120 AND p.ping_sec + 120)
+ORDER BY image_id, cap_sec""",
+
     // exact discrete quantiles: CLOSED FORM by rank — row_number over the
     // sorted column picks the floor(q*(n-1))-th value (0-indexed). The
     // value at a fixed rank is unique regardless of tie order, so this is

@@ -2046,6 +2046,51 @@ object SparkEntry {
         .orderBy("image_id", "cap_sec")
     }),
 
+    // LEFT OUTER stream-stream interval join twin: same sliced feeds as
+    // q_stream_join; unmatched pings emit null-padded rows once the global
+    // watermark passes their join horizon, and the oracle applies the
+    // identical cutoff (LEAST of both feeds' max ts − delay) in SQL
+    "q_stream_left_join" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = 1767225600L // 2026-01-01T00:00:00Z
+      val joinSliceMod = 11L * math.max(1L, Synth.orders(s, dir).count() / 150000L)
+      val gi = Pipeline.geoImages(s, dir)
+        .filter(expr(s"CAST(substring(image_id, 4) AS BIGINT) % $joinSliceMod = 0"))
+        .cache()
+      val (pings, caps) = try {
+        (gi.select(col("image_id"), col("lat"), col("lon"),
+            (lit(base) + col("u") % 3600).cast("timestamp").as("ts"))
+          .as[(String, Double, Double, java.sql.Timestamp)].collect(),
+         gi.filter(col("v") % 3 === 0)
+          .select(col("image_id"), concat(lit("c"), col("image_id")).as("caption"),
+            (lit(base) + col("u") % 3600 + (col("v") % 360) - 180).cast("timestamp").as("ts"))
+          .as[(String, String, java.sql.Timestamp)].collect())
+      } finally gi.unpersist()
+      val pMem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double, Double, java.sql.Timestamp)]
+      val cMem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, java.sql.Timestamp)]
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = Streaming.pingCaptionLeftJoin(
+          pMem.toDF().toDF("image_id", "lat", "lon", "ts"),
+          cMem.toDF().toDF("image_id", "caption", "ts"), joinWindowSec = 120)
+        .writeStream.format("memory").queryName("graft_q_stream_left_join")
+        .outputMode("append").start()
+      try {
+        pMem.addData(pings.toIndexedSeq); cMem.addData(caps.toIndexedSeq)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table("graft_q_stream_left_join")
+        .select(col("image_id"), col("lat"), col("lon"),
+          col("ping_sec"), col("cap_sec"), col("caption"))
+        .orderBy("image_id", "cap_sec")
+    }),
+
     // ---- relational anchors (scan/filter/agg/join/window) ----------------
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")

@@ -98,6 +98,42 @@ object Streaming {
         unix_timestamp(col("cap_ts")).as("cap_sec"), col("caption"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the "every ping gets a row"
+    * variant of pingCaptionJoin: matched pings emit caption rows exactly
+    * like the inner join; an unmatched ping emits ONE null-padded row as
+    * soon as the global watermark (min over both feeds of max-event-time −
+    * delay) passes ping_ts + joinWindow, i.e. once no future caption could
+    * still match it. That is Structured Streaming's outer-join contract:
+    * state for the left row is evicted — and the null row emitted — when
+    * ping_ts + joinWindow < watermark (strict: a ping exactly AT the
+    * boundary stays, because the engine's state-value watermark subtracts
+    * an epsilon). Pings younger than that stay pending (never emitted in a
+    * bounded replay) — the batch oracle applies the identical cutoff.
+    *
+    * State story at scale: identical to the inner join — both sides keyed
+    * by image_id, state bounded by 2·joinWindow + delay of event time per
+    * key, plus the pending unmatched lefts inside the horizon. */
+  def pingCaptionLeftJoin(pings: DataFrame, captions: DataFrame,
+                          joinWindowSec: Long = 120,
+                          watermark: String = "2 minutes"): DataFrame = {
+    val p = pings
+      .withColumn("ping_ts", col("ts").cast("timestamp"))
+      .select(col("image_id"), col("lat"), col("lon"), col("ping_ts"))
+      .withWatermark("ping_ts", watermark)
+    val c = captions
+      .withColumn("cap_ts", col("ts").cast("timestamp"))
+      .select(col("image_id").as("cap_image_id"), col("caption"), col("cap_ts"))
+      .withWatermark("cap_ts", watermark)
+    p.join(c,
+        col("image_id") === col("cap_image_id") &&
+          col("cap_ts") >= col("ping_ts") - expr(s"INTERVAL $joinWindowSec SECONDS") &&
+          col("cap_ts") <= col("ping_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"),
+        "leftOuter")
+      .select(col("image_id"), col("lat"), col("lon"),
+        unix_timestamp(col("ping_ts")).as("ping_sec"),
+        unix_timestamp(col("cap_ts")).as("cap_sec"), col("caption"))
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessState(sessId: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class SessOut(user_id: Long, sess_id: Long, n_events: Long,

@@ -139,6 +139,34 @@ class StreamCkptSpec extends AnyFunSuite {
     assert(rows === Set(("img1", "cap one")))
   }
 
+  test("left-outer stream join: expired unmatched emits null row, pending stays, matched joins") {
+    implicit val sqlCtx = spark.sqlContext
+    val b = 1767225600L
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // watermark = min(maxPing, maxCap) - 120 = min(b+2000, b+2100) - 120 = b+1880
+    // A: horizon b+120  < b+1880 -> expired, null row
+    // B: horizon b+1920 >= b+1880 -> pending, NO row
+    // C: matched by capC at b+2000
+    val pings = Seq(("A", 1.0, 2.0, ts(b)), ("B", 3.0, 4.0, ts(b + 1800)),
+      ("C", 5.0, 6.0, ts(b + 2000)))
+    val caps = Seq(("C", "cC", ts(b + 2000)), ("D", "cD", ts(b + 2100)))
+    val pMem = MemoryStream[(String, Double, Double, java.sql.Timestamp)]
+    val cMem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val q = Streaming.pingCaptionLeftJoin(
+        pMem.toDF().toDF("image_id", "lat", "lon", "ts"),
+        cMem.toDF().toDF("image_id", "caption", "ts"), joinWindowSec = 120)
+      .writeStream.format("memory").queryName("loj")
+      .outputMode("append").start()
+    pMem.addData(pings); cMem.addData(caps)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("loj")
+      .select("image_id", "ping_sec", "cap_sec", "caption")
+      .as[(String, Long, Option[Long], Option[String])].collect().toSet
+    assert(got === Set(
+      ("A", b, None, None),
+      ("C", b + 2000, Some(b + 2000), Some("cC"))))
+  }
+
   test("streaming sessionization closes sessions on gap and flushes idle users on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streaming.Ev]
