@@ -1862,6 +1862,30 @@ SELECT n_tiles, w_pairs, p_sum, si_sum, s1_sum, s2_sum,
     ELSE CAST(NULL AS BIGINT) END AS moran_micro
 FROM ta CROSS JOIN pa""",
 
+    // ---- mirror: reclassify + region-group -----------------------------------
+    // same-class 4-adjacency closed by a recursive CTE; region = min
+    // reachable tile id (the CC convention), isolated tiles label themselves
+    "q_geo_region_group" ->
+      s"""WITH RECURSIVE $imgCte,
+tiles AS (SELECT
+  14 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT)
+  AS tile_id, CAST(COUNT(*) AS BIGINT) AS n FROM imgs GROUP BY 1),
+ct AS (SELECT tile_id, n,
+  CASE WHEN n < 50 THEN 0 WHEN n < 200 THEN 1 ELSE 2 END AS cls FROM tiles),
+off AS (SELECT * FROM (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) t(du, dv)),
+ed AS (
+  SELECT t.tile_id AS a, nb.tile_id AS b
+  FROM ct t, off o, ct nb
+  WHERE nb.tile_id = t.tile_id + o.du * 67108864 + o.dv AND nb.cls = t.cls),
+reach(a, b) AS (SELECT a, b FROM ed
+                UNION SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+comp AS (SELECT a AS tile_id, LEAST(MIN(b), a) AS region FROM reach GROUP BY a)
+SELECT t.tile_id, t.n, CAST(t.cls AS INTEGER) AS cls,
+  COALESCE(c.region, t.tile_id) AS region_id
+FROM ct t LEFT JOIN comp c USING (tile_id) ORDER BY t.tile_id""",
+
     // ---- mirror: focal (3×3) statistics --------------------------------------
     "q_geo_focal" ->
       s"""WITH $imgCte,
@@ -2285,6 +2309,48 @@ d0 AS (SELECT CAST(id AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
        FROM (VALUES (2000000), (6000000)) s(id)),
 $relaxCtes
 SELECT id AS way_id, dist FROM d4 ORDER BY way_id"""
+    },
+
+    // shortest-path TREE: the khop recurrence with an argmin predecessor —
+    // per node each round keeps the lexicographic (dist, pred) minimum
+    // (ROW_NUMBER over dist, pred), sources carry pred = −1
+    "q_graph_sp_tree" -> {
+      val relaxCtes = (1 to 4).map { i =>
+        s"""p$i AS (
+  SELECT id, dist, pred FROM (
+    SELECT id, dist, pred,
+      ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, pred) AS rn
+    FROM (
+      SELECT id, dist, pred FROM p${i - 1}
+      UNION ALL
+      SELECT e.dst AS id, d.dist + e.w AS dist, d.id AS pred
+      FROM p${i - 1} d JOIN pgew e ON d.id = e.src))
+  WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH $gridCte,
+nw AS (
+  SELECT r.i AS way_id, r.i * 1000000 + c.i AS node_id
+  FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
+  UNION ALL
+  SELECT 1000000 + c.i, r.i * 1000000 + c.i
+  FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
+  UNION ALL
+  SELECT 2000000, 900000000000 + k.i FROM ser k, p WHERE k.i < p.g
+  UNION ALL SELECT 5000000, 900000000001
+  UNION ALL SELECT 5000000, 910000000001
+  UNION ALL SELECT 5000001, 910000000001
+  UNION ALL SELECT 5000001, 910000000002
+  UNION ALL SELECT 6000000, 1000001
+  UNION ALL SELECT 6000000, 1000002),
+pge AS (
+  SELECT DISTINCT a.way_id AS src, b.way_id AS dst
+  FROM nw a JOIN nw b USING (node_id) WHERE a.way_id <> b.way_id),
+pgew AS (SELECT src, dst, (src + dst) % 97 + 1 AS w FROM pge),
+p0 AS (SELECT CAST(id AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist,
+              CAST(-1 AS BIGINT) AS pred
+       FROM (VALUES (2000000), (6000000)) s(id)),
+$relaxCtes
+SELECT id AS way_id, dist, pred FROM p4 ORDER BY way_id"""
     },
 
     // ---- documents ---------------------------------------------------------

@@ -856,6 +856,16 @@ object SparkEntry {
           Pipeline.geoImages(s, dir).select(col("lat"), col("lon")), zoom = 14)
         .orderBy("tile_id")),
 
+    // reclassify + region-group: occupied z14 tiles banded by count
+    // thresholds (50/200), 4-connected same-class runs labeled by the
+    // large/small-star CC (region id = min tile id); the oracle closes the
+    // same-class adjacency with a recursive CTE
+    "q_geo_region_group" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.regionGroup(
+          Pipeline.geoImages(s, dir).select(col("lat"), col("lon")),
+          zoom = 14, t1 = 50L, t2 = 200L)
+        .orderBy("tile_id")),
+
     // local Moran's I (LISA): the per-tile decomposition of q_geo_moran —
     // HH/LL cluster vs HL/LH outlier quadrants from two exact BIGINT sign
     // factors, magnitude via the one shared double dag
@@ -970,6 +980,25 @@ object SparkEntry {
       graft.ops.GraphOps.boundedDistances(
           e, Seq(2000000L, 6000000L).toDF("id"), hops = 4)
         .select(col("id").as("way_id"), col("dist"))
+        .orderBy("way_id")
+    }),
+
+    // bounded-hop shortest-path TREE: khop's graph/seeds/weights plus a
+    // deterministic predecessor per node (lexicographic (dist, pred) min,
+    // sources pred = −1) — routes reconstructible by walking pred links;
+    // the oracle unrolls the identical argmin recurrence
+    "q_graph_sp_tree" -> ((s, dir) => {
+      val (_, raw, _) = Pipeline.prepared(s, dir)
+      val sess = s; import sess.implicits._
+      val nw = raw.select(col("id").as("way_id"), explode(col("nodes")).as("node_id"))
+        .distinct()
+      val e = nw.as("a").join(nw.as("b"), "node_id")
+        .filter(col("a.way_id") =!= col("b.way_id"))
+        .select(col("a.way_id").as("src"), col("b.way_id").as("dst")).distinct()
+        .withColumn("w", expr("(src + dst) % 97 + 1"))
+      graft.ops.GraphOps.boundedPaths(
+          e, Seq(2000000L, 6000000L).toDF("id"), hops = 4)
+        .select(col("id").as("way_id"), col("dist"), col("pred"))
         .orderBy("way_id")
     }),
 

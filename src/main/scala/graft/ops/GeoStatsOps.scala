@@ -475,6 +475,51 @@ object GeoStatsOps {
         col("focal_sum"), col("focal_min"), col("focal_max"))
   }
 
+  /** Reclassify + region-group — the raster "RECLASSIFY then REGIONGROUP"
+    * pair (classic map-algebra operators; cf. Tomlin, Geographic
+    * Information Systems and Cartographic Modeling, 1990 — public): occupied
+    * tiles are classified into integer bands by count thresholds, then
+    * 4-connected runs of SAME-CLASS tiles are labeled as regions (region id
+    * = minimum tile id, the established CC convention here). Turns a
+    * density surface into discrete named zones ("this contiguous stretch is
+    * high-density") — the input to dissolve/choropleth/alerting layers.
+    *
+    * Scale shape: one partial-aggregated tile count; FOUR offset probes
+    * (N/S/E/W) through the same packed-id equi-join as Gi*; labeling by the
+    * large/small-star CC (O(log n) shuffle rounds, driver sees a 2-long
+    * checksum per round, never the graph). Isolated tiles skip the CC
+    * entirely (left join + coalesce). All tile-pyramid cost.
+    *
+    * Input: (lat, lon). Output per occupied tile:
+    * (tile_id, n, cls, region_id).
+    */
+  def regionGroup(points: DataFrame, zoom: Int, t1: Long, t2: Long): DataFrame = {
+    require(t1 < t2, s"thresholds must be ordered: $t1 >= $t2")
+    val tiles = points
+      .select(fns.tile_id(col("lat"), col("lon"), zoom).as("tile_id"))
+      .groupBy(col("tile_id")).agg(count(lit(1)).as("n"))
+      .withColumn("cls",
+        when(col("n") < t1, lit(0)).when(col("n") < t2, lit(1)).otherwise(lit(2)))
+      .localCheckpoint(true) // reused 3x: probe side, neighbor side, final join
+    val offArray =
+      (for ((du, dv) <- Seq((-1, 0), (1, 0), (0, -1), (0, 1)))
+        yield s"struct(CAST($du AS BIGINT) AS du, CAST($dv AS BIGINT) AS dv)")
+        .mkString("array(", ", ", ")")
+    val edges = tiles
+      .select(col("tile_id"), col("cls"), explode(expr(offArray)).as("o"))
+      .select(col("tile_id"), col("cls"),
+        (col("tile_id") + col("o.du") * lit(67108864L) + col("o.dv")).as("nbr_id"))
+      .join(tiles.select(col("tile_id").as("nbr_id"), col("cls").as("nbr_cls")),
+        "nbr_id")
+      .filter(col("cls") === col("nbr_cls"))
+      .select(col("tile_id").as("src"), col("nbr_id").as("dst"))
+    val comps = GraphOps.connectedComponents(edges)
+      .select(col("id").as("tile_id"), col("component"))
+    tiles.join(comps, Seq("tile_id"), "left")
+      .select(col("tile_id"), col("n"), col("cls"),
+        coalesce(col("component"), col("tile_id")).as("region_id"))
+  }
+
   /** Origin–destination flow matrix over trajectories: each track
     * contributes ONE (origin zone, destination zone) pair — the zone of its
     * first and last GPS point by broadcast point-in-polygon — and flows are

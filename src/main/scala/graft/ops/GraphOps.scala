@@ -168,4 +168,41 @@ object GraphOps {
     }
     dist
   }
+
+  /** Bounded-hop shortest-path TREE — `boundedDistances` plus a
+    * deterministic PREDECESSOR per node, so routes are reconstructible by
+    * walking pred links driver-free (a navigation/service-area layer needs
+    * the tree, not just the distances). Tie-break contract: per node the
+    * kept (dist, pred) pair is the lexicographic minimum — equal-distance
+    * paths resolve to the smallest predecessor id, and sources carry
+    * pred = −1 (sorts before every real id, and no relaxation can tie a
+    * source's dist 0 under positive weights). That total order makes the
+    * tree engine/partitioning-invariant and lets a DuckDB oracle unroll the
+    * identical argmin recurrence (ROW_NUMBER over dist, pred).
+    *
+    * Scale shape: identical to boundedDistances — k rounds of one
+    * frontier×edges equi-join + one struct-min aggregate; only
+    * (id, dist, pred) triples shuffle.
+    *
+    * Input: edges (src, dst, w ≥ 1 long), sources (id).
+    * Output: (id, dist, pred) for every node within `hops` of a source. */
+  def boundedPaths(edges: DataFrame, sources: DataFrame, hops: Int,
+      src: String = "src", dst: String = "dst", w: String = "w"): DataFrame = {
+    require(hops >= 1, "hops must be >= 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"), col(w).as("w"))
+      .localCheckpoint(true)
+    var st = sources.select(col("id"), lit(0L).as("dist"),
+      lit(-1L).as("pred"))
+    for (_ <- 1 to hops) {
+      val relaxed = st.join(e, st("id") === e("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"),
+          col("src").as("pred"))
+      st = st.unionByName(relaxed)
+        .groupBy(col("id"))
+        .agg(min(struct(col("dist"), col("pred"))).as("m"))
+        .select(col("id"), col("m.dist").as("dist"), col("m.pred").as("pred"))
+        .localCheckpoint(true)
+    }
+    st
+  }
 }

@@ -192,6 +192,42 @@ class GeoStatsSpec extends AnyFunSuite {
       fn >= 1 && fs >= n && fmax >= n })
   }
 
+  test("regionGroup: 4-connected same-class flood fill; min-id labels; isolated tiles self-label") {
+    val pts = Pipeline.geoImages(spark, sf)
+      .select("lat", "lon").as[(Double, Double)].collect()
+    val zoomZ = 14
+    val tileOf = (lat: Double, lon: Double) =>
+      zoomZ.toLong * (1L << 52) +
+        graft.geom.Geom.tileX(lon, zoomZ) * (1L << 26) + graft.geom.Geom.tileY(lat, zoomZ)
+    val counts = pts.groupBy { case (la, lo) => tileOf(la, lo) }
+      .map { case (t, xs) => t -> xs.length.toLong }
+    def cls(n: Long): Int = if (n < 50) 0 else if (n < 200) 1 else 2
+    // brute-force flood fill over same-class 4-adjacency
+    val classOf = counts.map { case (t, n) => t -> cls(n) }
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    for (t <- counts.keys.toSeq.sorted if !label.contains(t)) {
+      val comp = scala.collection.mutable.Set(t)
+      val queue = scala.collection.mutable.Queue(t)
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        for (d <- Seq(-(1L << 26), 1L << 26, -1L, 1L); v = u + d
+             if classOf.contains(v) && classOf(v) == classOf(u) && comp.add(v))
+          queue.enqueue(v)
+      }
+      val root = comp.min
+      comp.foreach(c => label(c) = root)
+    }
+    val want = counts.map { case (t, n) => t -> ((n, cls(n), label(t))) }
+    val got = GeoStatsOps.regionGroup(
+        Pipeline.geoImages(spark, sf).select(col("lat"), col("lon")), zoomZ, 50L, 200L)
+      .as[(Long, Long, Int, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want)
+    // sanity: more than one class and more than one region exist
+    assert(got.values.map(_._2).toSet.size > 1)
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
   test("odMatrix: endpoint-zone brute force, flow conservation, exact ppm shares") {
     val (g, _, _) = Pipeline.prepared(spark, sf)
     val s = (g - 1) * 1000L
@@ -285,5 +321,24 @@ class GeoStatsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     // the third round relaxes 5 down to 1→2→3→5 = 13
     assert(threeHop === Map(1L -> 0L, 2L -> 10L, 3L -> 11L, 5L -> 13L))
+  }
+
+  test("boundedPaths: distances match boundedDistances; preds are the (dist, pred) argmin") {
+    // 1 → 2 (w 10) → 3 (w 1); 1 → 3 (w 100); 3 → 5 (w 2); plus 0 → 3 (w 11)
+    // so node 3 has TWO equal-cost 2-hop paths (pred 0 vs pred 2 at dist 11)
+    // — the lexicographic tie-break must keep pred 0
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 1L), (1L, 3L, 100L), (3L, 5L, 2L),
+        (0L, 3L, 11L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.boundedPaths(e, Seq(0L, 1L).toDF("id"), hops = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      0L -> ((0L, -1L)), 1L -> ((0L, -1L)), 2L -> ((10L, 1L)),
+      3L -> ((11L, 0L)), // tie at 11: pred 0 < pred 2
+      5L -> ((13L, 3L))))
+    // distances agree with the dist-only operator on the same input
+    val dOnly = GraphOps.boundedDistances(e, Seq(0L, 1L).toDF("id"), hops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.view.mapValues(_._1).toMap === dOnly)
   }
 }

@@ -17,7 +17,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - q_emb_hard_negatives: the same exact-ground-truth scan with the
   *     self-pair exclusion replaced by the label-difference test
   *     (documented in SimOps.hardNegatives: ANN candidate generation with
-  *     over-fetch + the same label filter swaps in at corpus scale).
+  *     over-fetch + the same label filter swaps in at corpus scale);
+  *   - q_zone_way_length: segments × the BROADCAST zone-rectangle table —
+  *     the zone decomposition is bounded by construction (same contract as
+  *     the broadcast-PIP polygons), so the NLJ probe is O(|rects|) per
+  *     segment and the corpus side streams; an equi-key would have to
+  *     invent covering cells for a table of a few dozen rows.
   * Any new operator that accidentally plans a cartesian (e.g. a join whose
   * equi-key got lost in a refactor) fails here before it ships.
   */
@@ -30,7 +35,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // (that is the point of a recall audit) — the IVF side under audit is
     // the bucketed path
     Set("q_emb_topk", "q_emb_pq_topk", "q_doc_hybrid_rrf",
-      "q_emb_hard_negatives", "q_emb_ivf_recall")
+      "q_emb_hard_negatives", "q_emb_ivf_recall", "q_zone_way_length")
 
   test("no registered query plans a cartesian or nested-loop join (whitelist: brute-force baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
