@@ -3702,6 +3702,29 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.05::DOUBLE
 ORDER BY id1, id2""",
 
+    // asymmetric containment pairs: brute-force over the same (lang, source)
+    // scope — C = |∩|/min sizes with the ≤4× bounded-growth class filter,
+    // mirroring the Spark dag (double division + ROUND 6)
+    "q_doc_containment" ->
+      """WITH sh AS (
+  SELECT lang, source, doc_id,
+    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+      THEN [array_to_string(string_split(text,' '), ' ')]
+      ELSE list_transform(range(0, len(string_split(text,' ')) - 2),
+           i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')) END) AS s
+  FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+  CAST(LEAST(len(a.s), len(b.s)) AS BIGINT) AS n_small,
+  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(LEAST(len(a.s), len(b.s)) AS DOUBLE), 6) AS containment
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(LEAST(len(a.s), len(b.s)) AS DOUBLE) >= 0.5::DOUBLE
+  AND CAST(GREATEST(len(a.s), len(b.s)) AS DOUBLE)
+      <= CAST(LEAST(len(a.s), len(b.s)) AS DOUBLE) * 4.0::DOUBLE
+ORDER BY id1, id2""",
+
     // MinHash-LSH near-dup pairs vs brute-force ground truth: the LSH output
     // is exact-Jaccard-verified, so precision is 1 by construction; this
     // oracle additionally gates recall = 1 on the (fixed) testdata — every
@@ -3765,6 +3788,37 @@ SELECT q_id, q_label, rk, neighbor, neighbor_label,
 FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
 
     "q_emb_topk" -> embTopkSql,
+
+    // Matryoshka truncation recall: the embTopkSql body twice — once on the
+    // full vectors (truth), once on the 16-dim prefix (list_slice) — and a
+    // pairs-only confusion LEFT JOIN; exact milli recall by integer //
+    "q_emb_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT q.q_id, e.vec_id AS neighbor,
+    CAST(ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+  FROM q, embeddings e WHERE q.q_id <> e.vec_id),
+truth AS (
+  SELECT q_id, neighbor FROM (
+    SELECT q_id, neighbor,
+      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk
+    FROM cand) WHERE rk <= 5),
+qt AS (SELECT vec_id AS q_id, list_slice(CAST(embedding AS DOUBLE[]), 1, 16) AS qe
+       FROM embeddings WHERE vec_id % 100 = 0),
+candt AS (
+  SELECT q.q_id, e.vec_id AS neighbor,
+    CAST(ROUND(list_cosine_similarity(q.qe, list_slice(CAST(e.embedding AS DOUBLE[]), 1, 16)) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+  FROM qt q, embeddings e WHERE q.q_id <> e.vec_id),
+trunc AS (
+  SELECT q_id, neighbor FROM (
+    SELECT q_id, neighbor,
+      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk
+    FROM candt) WHERE rk <= 5)
+SELECT t.q_id, CAST(COUNT(x.neighbor) AS BIGINT) AS hits,
+  (CAST(COUNT(x.neighbor) AS BIGINT) * 1000) // 5 AS recall_milli
+FROM truth t LEFT JOIN trunc x ON t.q_id = x.q_id AND t.neighbor = x.neighbor
+GROUP BY t.q_id ORDER BY t.q_id""",
 
     // caption–image alignment: pair join on vec_id 2k ↔ 2k+1, nano-rounded
     // cosine (the q_emb_topk-proven list_cosine_similarity parity), keep at

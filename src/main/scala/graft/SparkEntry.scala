@@ -1025,6 +1025,13 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2")),
 
+    // asymmetric containment pairs (crawl-snapshot detector): C ≥ 0.5 with
+    // the ≤4× bounded-growth contract — prefix-filter-complete at
+    // J ≥ 0.5/5 = 0.1; the oracle brute-forces the same class
+    "q_doc_containment" -> ((s, dir) =>
+      TextOps.containmentPairs(Synth.documents(s, dir), cMin = 0.5)
+        .orderBy("id1", "id2")),
+
     "q_doc_simhash" -> ((s, dir) =>
       TextOps.simHashPairs(Synth.documents(s, dir), maxHam = 12)
         .orderBy("id1", "id2")),
@@ -1270,6 +1277,14 @@ object SparkEntry {
     "q_emb_topk" -> ((s, dir) =>
       SimOps.bruteForceTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
         .orderBy("q_id", "rk")),
+
+    // Matryoshka truncation recall audit: top-5 on the 16-dim prefix vs
+    // the full-64-dim truth, per-query hits + exact milli recall; both
+    // legs are the documented brute-force baseline (this is an audit)
+    "q_emb_matryoshka" -> ((s, dir) =>
+      SimOps.matryoshkaRecall(Synth.embeddings(s, dir),
+          col("vec_id") % 100 === 0, k = 5, dims = 16)
+        .orderBy("q_id")),
 
     // caption–image alignment (CLIP-score) filter: the LAION/DataComp
     // curation gate over paired modality embeddings (vec_id 2k ↔ 2k+1),

@@ -27,6 +27,38 @@ object SimOps {
         (col("cos9").cast("double") / lit(1e9)).as("cos_sim"))
   }
 
+  /** Matryoshka truncation recall audit (Kusupati et al., NeurIPS 2022 —
+    * public): how much top-k quality survives when the index stores only
+    * the first `dims` of each embedding? MRL-trained models front-load
+    * information so prefixes stay usable — this audit MEASURES that for a
+    * given corpus instead of assuming it, exactly like the IVF recall
+    * audit measures the probe. Truth = brute-force top-k on the full
+    * vectors; candidate = the same search on the `dims`-prefix; output =
+    * per-query hit count + exact recall in milli.
+    *
+    * Scale shape: both legs are the DOCUMENTED brute-force baseline
+    * (PlanHygieneSpec whitelist — an audit wants exact answers); the
+    * confusion join is pairs-only. At deployment scale the truncated leg
+    * is the one that becomes an ANN index — the audit's verdict says with
+    * how much recall. */
+  def matryoshkaRecall(embeddings: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int, dims: Int): DataFrame = {
+    val truth = bruteForceTopK(embeddings, queryPred, k)
+      .select(col("q_id"), col("neighbor"))
+    val trunc = bruteForceTopK(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding"), 1, dims).as("embedding")),
+        queryPred, k)
+      .select(col("q_id").as("t_qid"), col("neighbor").as("t_nbr"))
+    truth
+      .join(trunc,
+        col("q_id") === col("t_qid") && col("neighbor") === col("t_nbr"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("t_nbr")).as("hits"))
+      .select(col("q_id"), col("hits"),
+        expr(s"(hits * 1000) DIV $k").as("recall_milli"))
+  }
+
   /** Caption–image ALIGNMENT filter — the CLIP-score curation gate of the
     * public image–text pipelines (LAION's cosine threshold, Schuhmann et
     * al. 2021; DataComp's primary filtering baseline, Gadre et al. 2023):

@@ -274,6 +274,49 @@ object TextOps {
       .select("lang", "source", "id1", "id2").dropDuplicates()
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs — the crawl-snapshot/page-update
+    * detector Jaccard misses: C(A,B) = |A∩B| / min(|A|,|B|) is high when one
+    * doc is (mostly) embedded in the other even though their Jaccard is
+    * diluted by the larger doc's extra content (a page and its 3× expansion
+    * have C ≈ 1 but J ≈ 1/3). Broder's containment sketch problem (1997 —
+    * public) restricted to the practical bounded-growth class.
+    *
+    * Completeness contract: pairs with size ratio max/min ≤ `growthMax` and
+    * C ≥ cMin satisfy J = |∩|/|∪| ≥ |∩|/(|A|+|B|) ≥ cMin/(1+growthMax), so
+    * the PPJoin prefix filter at THAT Jaccard threshold is complete for the
+    * class (the theorem applies to every surviving pair); unbounded-growth
+    * containment (a tweet inside Wikipedia) is out of contract — detecting
+    * it needs the dup-SPAN operator (TextOps.dupSpans), not a set measure.
+    *
+    * Scale shape: same as ngramJaccardPairs — one shingle materialization,
+    * prefix postings bound hot-shingle fan-out, exact verify joins only the
+    * candidate pairs. Output: (id1, id2, inter, n_small, containment).
+    */
+  def containmentPairs(docs: DataFrame, cMin: Double,
+                       growthMax: Double = 4.0): DataFrame = {
+    require(cMin > 0.0 && cMin <= 1.0, s"cMin out of range: $cMin")
+    require(growthMax >= 1.0, s"growthMax must be >= 1: $growthMax")
+    val sets = shingled(docs).localCheckpoint(true)
+    val jmin = cMin / (1.0 + growthMax)
+    val cand = prefixCandidatesOf(sets, jmin)
+    val s1 = sets.select(col("lang"), col("source"), col("doc_id").as("id1"),
+      col("sh").as("sh1"), col("nsh").as("n1"))
+    val s2 = sets.select(col("lang"), col("source"), col("doc_id").as("id2"),
+      col("sh").as("sh2"), col("nsh").as("n2"))
+    cand
+      .join(s1, Seq("lang", "source", "id1"))
+      .join(s2, Seq("lang", "source", "id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("n_small", least(col("n1"), col("n2")).cast("long"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_small").cast("double"))
+      .filter(col("containment") >= cMin &&
+        greatest(col("n1"), col("n2")).cast("double") <=
+          col("n_small").cast("double") * growthMax)
+      .select(col("id1"), col("id2"), col("inter"), col("n_small"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** exact n-gram Jaccard similarity for pairs within (lang, source) groups:
     * PPJoin prefix-filtered candidate generation (prefixCandidates — the
     * hot-shingle-bounded scale shape; round-1's quadratic within-group

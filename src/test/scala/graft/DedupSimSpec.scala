@@ -99,6 +99,44 @@ class DedupSimSpec extends AnyFunSuite {
     assert(lsh.subsetOf(truth))
   }
 
+  test("containmentPairs: embedded doc found at C=1 where Jaccard dilutes; growth cap excludes") {
+    // B = A plus 3x extra content (ratio 4 = at the cap, C(A,B) = 1,
+    // J ≈ 1/4 — below any dedup threshold); E = A inside 9x content
+    // (ratio > 4: out of the bounded-growth contract, must NOT pair)
+    val aTok = (0 until 40).map(i => s"a$i")
+    val bTok = aTok ++ (0 until 114).map(i => s"b$i")   // ~4x shingles
+    val eTok = aTok ++ (0 until 400).map(i => s"e$i")   // ~10x shingles
+    val docs = Seq(
+      (1L, aTok.mkString(" "), "en", "web"),
+      (2L, bTok.mkString(" "), "en", "web"),
+      (3L, eTok.mkString(" "), "en", "web"),
+      (4L, (0 until 40).map(i => s"z$i").mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.containmentPairs(docs, cMin = 0.5, growthMax = 4.0)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    val (_, _, inter, nSmall, c) = got.head
+    assert(inter === nSmall && c === 1.0) // A's shingles all inside B
+  }
+
+  test("matryoshkaRecall: prefix-identical vectors give full recall; prefix-destroyed give less") {
+    // 8-dim embeddings, truncate to 4: group X front-loads info (prefix
+    // ranking = full ranking -> recall 1); the decoy pair ties on the
+    // prefix but differs in the tail
+    def v(prefix: Array[Float], tail: Array[Float]) = prefix ++ tail
+    val z4 = Array(0f, 0f, 0f, 0f)
+    val rows = Seq(
+      (0L, v(Array(1f, 0f, 0f, 0f), z4)),                 // query
+      (1L, v(Array(1f, 0f, 0f, 0f), z4)),                 // exact dup: top-1 both
+      (2L, v(Array(0.9f, 0.1f, 0f, 0f), z4)),             // near, prefix-visible
+      (3L, v(Array(0f, 1f, 0f, 0f), z4)),                 // far in both
+      (4L, v(Array(0f, 0f, 1f, 0f), Array(1f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val got = SimOps.matryoshkaRecall(rows, col("vec_id") === 0, k = 2, dims = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((0L, 2L, 1000L))) // top-2 preserved by the prefix
+  }
+
   test("SimHash hamming pairs: identical docs at distance 0") {
     val docs = Seq(
       (1L, "a b c d e f g h"),

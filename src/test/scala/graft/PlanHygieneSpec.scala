@@ -35,7 +35,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // (that is the point of a recall audit) — the IVF side under audit is
     // the bucketed path
     Set("q_emb_topk", "q_emb_pq_topk", "q_doc_hybrid_rrf",
-      "q_emb_hard_negatives", "q_emb_ivf_recall", "q_zone_way_length")
+      "q_emb_hard_negatives", "q_emb_ivf_recall", "q_zone_way_length",
+      // q_emb_matryoshka: BOTH legs are the documented brute-force baseline
+      // (truncation audit — exact answers are the point)
+      "q_emb_matryoshka")
 
   test("no registered query plans a cartesian or nested-loop join (whitelist: brute-force baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
