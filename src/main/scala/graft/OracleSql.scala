@@ -4069,6 +4069,19 @@ FROM comp ORDER BY image_id""",
     // same oracle rows as the batch aggregate — one oracle, two engines
     "q_stream_tumbling" -> eventsTumblingSql,
 
+    // streaming windowed top-k twin: the batch ROW_NUMBER cut over the same
+    // micro-exact values and the TopKAgg total order (v DESC, tag ASC)
+    "q_stream_topk" ->
+      """SELECT window_start_sec, rk, user_id, value_micro FROM (
+  SELECT (epoch_us(ts) // 300000000) * 300 AS window_start_sec,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY epoch_us(ts) // 300000000
+      ORDER BY CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT) DESC, user_id) AS BIGINT) AS rk,
+    user_id,
+    CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT) AS value_micro
+  FROM events)
+WHERE rk <= 3 ORDER BY window_start_sec, rk""",
+
     // sliding-window stream twin: Spark assigns event ts to windows starting
     // at (⌊ts/slide⌋ − i)·slide for i ∈ {0,1} (window=600s, slide=300s) —
     // replayed as a 2-offset cross join over the same micro-exact values

@@ -1945,6 +1945,27 @@ object SparkEntry {
         .orderBy("event_type", "window_start_sec")
     }),
 
+    // streaming windowed top-k: the k-bounded TopKAgg inside the streaming
+    // aggregation (state = k pairs per window); the oracle is the batch
+    // ROW_NUMBER cut over the same micro-exact values
+    "q_stream_topk" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Synth.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"), col("user_id"), col("value"))
+        .as[(java.sql.Timestamp, Long, Double)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Double)]
+      val q = Streaming.windowTopK(
+          mem.toDF().toDF("ts", "user_id", "value"), 300, 3)
+        .writeStream.format("memory").queryName("graft_q_stream_topk")
+        .outputMode("complete").start()
+      try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+      s.table("graft_q_stream_topk")
+        .orderBy("window_start_sec", "rk")
+    }),
+
     // gap-sessionization stream twin: one sentinel event per user past the
     // gap closes every real session inside the single replay batch, so the
     // Append-mode flatMapGroupsWithState emits deterministically (no

@@ -43,6 +43,27 @@ object Streaming {
         unix_timestamp(col("window.start")).as("window_start_sec"),
         col("n"), col("sum_value"))
 
+  /** Streaming windowed TOP-K — "largest transactions per window" live: the
+    * k-bounded native TopKAgg (the scale replacement for window row_number
+    * cuts) runs INSIDE the streaming aggregation, so per-window state is k
+    * (value, tag) pairs — 16·k bytes — regardless of event volume, and the
+    * map-side combine discards non-contenders before the state store ever
+    * sees them. The same total order (v DESC, tag ASC) as the batch
+    * operator makes the result engine/partitioning/replay-invariant.
+    */
+  def windowTopK(events: DataFrame, windowSec: Long, k: Int,
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("value_micro", floor(col("value") * 1e6).cast("long"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowSec seconds"))
+      .agg(graft.exprs.topk.topk_agg(col("value_micro"), col("user_id"), k).as("top"))
+      .select(unix_timestamp(col("window.start")).as("window_start_sec"),
+        posexplode(col("top")))
+      .select(col("window_start_sec"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.tag").as("user_id"), col("col.v").as("value_micro"))
+
   /** Streaming twin of the headline spatial join (the BASELINE.json metric):
     * a stream of geotagged image rows (image_id, ts, lat, lon) is cell-keyed
     * map-side and equi-joined against the STATIC segment index — stream-

@@ -64,6 +64,35 @@ class StreamCkptSpec extends AnyFunSuite {
     assert(streamed.map(_._3).sum === 2L * rows.length)
   }
 
+  test("streaming windowed top-k: TopKAgg in streaming state matches the batch window cut") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"), col("value"))
+      .limit(2000).cache()
+    val rows = batch.as[(java.sql.Timestamp, Long, Double)].collect()
+
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = Streaming.windowTopK(mem.toDF().toDF("ts", "user_id", "value"), 300, 3)
+      .writeStream.format("memory").queryName("stopk")
+      .outputMode("complete").start()
+    // two batches: the state-store buffer must merge across micro-batches
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stopk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = rows
+      .map { case (ts, u, v) =>
+        (ts.getTime / 1000 / 300 * 300, u, math.floor(v * 1e6).toLong) }
+      .groupBy(_._1).toSeq.flatMap { case (w, xs) =>
+        xs.sortBy(x => (-x._3, x._2)).take(3).zipWithIndex
+          .map { case ((_, u, vm), i) => (w, i + 1L, u, vm) }
+      }.toSet
+    assert(streamed === expected)
+  }
+
   test("streaming image-segment join matches the batch headline join per cell") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
