@@ -2066,6 +2066,58 @@ SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_segs,
   CAST(SUM(CAST(ROUND((t1 - t0) * SQRT(du * du + dv * dv) * 1000000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS len_nano
 FROM tt WHERE t1 > t0 GROUP BY zone ORDER BY zone""",
 
+    // ---- mirror: trajectory Hausdorff similarity -------------------------------
+    // sampled tracks rebuilt point-by-point from the LCG closed form (the
+    // geofence machinery), LEAD pairing over sampled keys, brute-force
+    // max-min of exact squared-µ° distances in both directions
+    "q_traj_hausdorff" -> {
+      val m = 2147483647L; val a = 48271L
+      val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong
+      val powers = (1 to 78)
+        .map(j => s"($j,${BigInt(a).modPow(BigInt(j), BigInt(m))})").mkString(",")
+      s"""WITH pw(j, apow) AS (VALUES $powers),
+keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0
+         FROM orders WHERE o_orderkey % 50 = 0),
+deltas AS (
+  SELECT k, (j + 1) // 2 AS t, j % 2 = 1 AS is_lat,
+    ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d
+  FROM keys, pw),
+stepd AS (
+  SELECT k, t, SUM(CASE WHEN is_lat THEN d ELSE 0 END) AS dl,
+         SUM(CASE WHEN NOT is_lat THEN d ELSE 0 END) AS dn
+  FROM deltas GROUP BY k, t),
+cums AS (
+  SELECT k, t AS step,
+    SUM(dl) OVER (PARTITION BY k ORDER BY t) AS dlat,
+    SUM(dn) OVER (PARTITION BY k ORDER BY t) AS dlon
+  FROM stepd),
+upts AS (
+  SELECT k, 0 AS step, (k % 1000) * 100 AS u, (k % 997) * 100 AS v FROM keys
+  UNION ALL
+  SELECT k, step, (k % 1000) * 100 + dlat, (k % 997) * 100 + dlon FROM cums),
+prs AS (SELECT track_id, other_id FROM (
+  SELECT k AS track_id, LEAD(k) OVER (ORDER BY k) AS other_id FROM keys)
+  WHERE other_id IS NOT NULL),
+ab AS (
+  SELECT p.track_id, p.other_id, a.step AS a_step,
+    MIN((a.u - b.u) * (a.u - b.u) + (a.v - b.v) * (a.v - b.v)) AS mind2
+  FROM prs p JOIN upts a ON a.k = p.track_id JOIN upts b ON b.k = p.other_id
+  GROUP BY 1, 2, 3),
+hab AS (SELECT track_id, other_id, CAST(MAX(mind2) AS BIGINT) AS h_ab_sq
+        FROM ab GROUP BY 1, 2),
+ba AS (
+  SELECT p.track_id, p.other_id, b.step AS b_step,
+    MIN((a.u - b.u) * (a.u - b.u) + (a.v - b.v) * (a.v - b.v)) AS mind2
+  FROM prs p JOIN upts a ON a.k = p.track_id JOIN upts b ON b.k = p.other_id
+  GROUP BY 1, 2, 3),
+hba AS (SELECT track_id, other_id, CAST(MAX(mind2) AS BIGINT) AS h_ba_sq
+        FROM ba GROUP BY 1, 2)
+SELECT h1.track_id, h1.other_id, h1.h_ab_sq, h2.h_ba_sq,
+  GREATEST(h1.h_ab_sq, h2.h_ba_sq) AS hausdorff_sq
+FROM hab h1 JOIN hba h2 USING (track_id, other_id)
+ORDER BY track_id"""
+    },
+
     // ---- mirror: origin–destination flow matrix ------------------------------
     // only the track ENDPOINT is needed, so the geofence machinery loses its
     // window: the destination offset is the plain SUM of all 39 per-axis LCG

@@ -922,6 +922,14 @@ object SparkEntry {
         .orderBy("zone")
     }),
 
+    // trajectory Hausdorff similarity: sampled track pairs (id mod 50,
+    // LEAD pairing), exact squared-µ° directed distances both ways; the
+    // oracle rebuilds every sampled point from the LCG closed form and
+    // brute-forces the same max-min
+    "q_traj_hausdorff" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.hausdorffPairs(Synth.tracks(s, dir), sampleMod = 50L)
+        .orderBy("track_id")),
+
     // dwell (stay-segment) detection: maximal runs of ≥3 consecutive steps
     // with Manhattan displacement ≤ 800 µ° — gaps-and-islands over the
     // track windows; the oracle rebuilds every step delta from the LCG

@@ -475,6 +475,60 @@ object GeoStatsOps {
         col("focal_sum"), col("focal_min"), col("focal_max"))
   }
 
+  /** Trajectory HAUSDORFF similarity — the set-distance trajectory
+    * comparator (Hausdorff 1914; standard in trajectory clustering/dedup):
+    * for paired tracks A, B the directed distance h(A,B) =
+    * max_{a∈A} min_{b∈B} d(a,b) and the symmetric H = max(h(A,B), h(B,A)).
+    * Reported as SQUARED integer microdegrees — sqrt is monotone, so the
+    * squared form orders identically and stays EXACT (the LCG track points
+    * are integer µ° by construction, so every d² is an exact BIGINT).
+    *
+    * Pairing: tracks sampled by id mod `sampleMod`, each paired with the
+    * next sampled id (LEAD over the SAMPLE — a bounded window, corpus/
+    * sampleMod rows, the documented bounded-window contract).
+    *
+    * Scale shape: each pair explodes to |A|·|B| point rows (tracks are
+    * bounded-length — 40 points here — so 1,600 rows/pair), then TWO
+    * partial-aggregated groupBys (min per (pair, step), max per pair) per
+    * direction. Linear in pairs, never corpus².
+    *
+    * Input: (track_id, geometry). Output per pair:
+    * (track_id, other_id, h_ab_sq, h_ba_sq, hausdorff_sq).
+    */
+  def hausdorffPairs(tracks: DataFrame, sampleMod: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample = tracks.filter(col("track_id") % sampleMod === 0)
+      .localCheckpoint(true) // reused 3x: pairing + both point sides
+    val w = Window.orderBy(col("track_id")) // bounded: sample-sized
+    val pairs = sample
+      .select(col("track_id"), lead(col("track_id"), 1).over(w).as("other_id"))
+      .filter(col("other_id").isNotNull)
+    def pts(side: DataFrame, idCol: String, tag: String) = side
+      .select(col("track_id").as(idCol),
+        posexplode(col("geometry")).as(Seq(s"${tag}_step", "pt")))
+      .select(col(idCol), col(s"${tag}_step"),
+        round(col("pt.lat") * 1e6 - 37.0e6, 0).cast("long").as(s"${tag}_u"),
+        round(col("pt.lon") * 1e6 + 122.0e6, 0).cast("long").as(s"${tag}_v"))
+    val aPts = pts(sample, "track_id", "a")
+    val bPts = pts(sample, "other_id", "b")
+    def directed(left: DataFrame, right: DataFrame,
+                 lId: String, rId: String, lTag: String, rTag: String,
+                 out: String) =
+      pairs.join(left, lId).join(right, rId)
+        .withColumn("d2",
+          (col(s"${lTag}_u") - col(s"${rTag}_u")) * (col(s"${lTag}_u") - col(s"${rTag}_u")) +
+            (col(s"${lTag}_v") - col(s"${rTag}_v")) * (col(s"${lTag}_v") - col(s"${rTag}_v")))
+        .groupBy(col("track_id"), col("other_id"), col(s"${lTag}_step"))
+        .agg(min(col("d2")).as("mind2"))
+        .groupBy(col("track_id"), col("other_id"))
+        .agg(max(col("mind2")).as(out))
+    val hab = directed(aPts, bPts, "track_id", "other_id", "a", "b", "h_ab_sq")
+    val hba = directed(bPts, aPts, "other_id", "track_id", "b", "a", "h_ba_sq")
+    hab.join(hba, Seq("track_id", "other_id"))
+      .select(col("track_id"), col("other_id"), col("h_ab_sq"), col("h_ba_sq"),
+        greatest(col("h_ab_sq"), col("h_ba_sq")).as("hausdorff_sq"))
+  }
+
   /** Reclassify + region-group — the raster "RECLASSIFY then REGIONGROUP"
     * pair (classic map-algebra operators; cf. Tomlin, Geographic
     * Information Systems and Cartographic Modeling, 1990 — public): occupied

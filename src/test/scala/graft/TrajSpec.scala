@@ -36,6 +36,33 @@ class TrajSpec extends AnyFunSuite {
     simp.getCoordinates.flatMap(c => Array(c.y, c.x))
   }
 
+  test("hausdorffPairs: brute-force max-min parity on real tracks; asymmetry surfaces") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val tracks = graft.synth.Synth.tracks(spark, sf)
+      .filter(col("track_id") % 50 === 0)
+      .select(col("track_id"), col("geometry"))
+      .as[(Long, Seq[(Double, Double)])].collect().sortBy(_._1)
+    def uv(p: (Double, Double)) =
+      (math.round(p._1 * 1e6 - 37.0e6), math.round(p._2 * 1e6 + 122.0e6))
+    def h(xs: Seq[(Long, Long)], ys: Seq[(Long, Long)]): Long =
+      xs.map { case (xu, xv) =>
+        ys.map { case (yu, yv) =>
+          (xu - yu) * (xu - yu) + (xv - yv) * (xv - yv) }.min
+      }.max
+    val want = tracks.sliding(2).collect { case Array((ka, ga), (kb, gb)) =>
+      val (pa, pb) = (ga.map(uv), gb.map(uv))
+      (ka, kb, h(pa, pb), h(pb, pa))
+    }.toSeq.map(t => (t._1, t._2) -> ((t._3, t._4, math.max(t._3, t._4)))).toMap
+    val got = graft.ops.GeoStatsOps.hausdorffPairs(
+        graft.synth.Synth.tracks(spark, sf), sampleMod = 50L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got === want)
+    // the directed distances genuinely differ somewhere (asymmetric metric)
+    assert(got.values.exists(v => v._1 != v._2))
+  }
+
   test("simplifyDp equals JTS DouglasPeuckerSimplifier on 200 random walks") {
     for (t <- 1 to 200) {
       val n = 3 + (nxt() % 60).toInt
