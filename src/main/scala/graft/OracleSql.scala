@@ -1886,6 +1886,55 @@ SELECT t.tile_id, t.n, CAST(t.cls AS INTEGER) AS cls,
   COALESCE(c.region, t.tile_id) AS region_id
 FROM ct t LEFT JOIN comp c USING (tile_id) ORDER BY t.tile_id""",
 
+    // ---- mirror: Ripley's K neighbor counts -------------------------------------
+    // quadratic brute force (focals × corpus) with a safe |du|,|dv| ≤ maxR
+    // bbox prefilter (implied by every d² ≤ r² ≤ maxR²); self excluded by id
+    "q_geo_ripley_k" ->
+      s"""WITH $imgCte,
+f AS (SELECT image_id, u, v FROM imgs
+      WHERE CAST(substring(image_id, 4) AS BIGINT) % 50 = 0),
+prs AS (
+  SELECT (i.u - f.u) * (i.u - f.u) + (i.v - f.v) * (i.v - f.v) AS d2
+  FROM f, imgs i
+  WHERE i.image_id <> f.image_id
+    AND ABS(i.u - f.u) <= 2000 AND ABS(i.v - f.v) <= 2000),
+nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM f),
+rr2 AS (SELECT * FROM (VALUES (500), (1000), (2000)) t(r)),
+rc AS (SELECT r, CAST(COUNT(*) FILTER (WHERE d2 <= CAST(r AS BIGINT) * r) AS BIGINT) AS cnt
+       FROM rr2 LEFT JOIN prs ON TRUE GROUP BY r)
+SELECT CAST(rc.r AS BIGINT) AS r_micro, nf.c AS n_focals, rc.cnt AS n_neighbors,
+  CAST((rc.cnt * 1000) // nf.c AS BIGINT) AS mean_milli
+FROM rc CROSS JOIN nf ORDER BY r_micro""",
+
+    // ---- mirror: region summary statistics -------------------------------------
+    // the region-group closure + a same-class 4-neighbor count; boundary =
+    // fewer than 4 same-class neighbors; all integers
+    "q_geo_region_stats" ->
+      s"""WITH RECURSIVE $imgCte,
+tiles AS (SELECT
+  14 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT)
+  AS tile_id, CAST(COUNT(*) AS BIGINT) AS n FROM imgs GROUP BY 1),
+ct AS (SELECT tile_id, n,
+  CASE WHEN n < 50 THEN 0 WHEN n < 200 THEN 1 ELSE 2 END AS cls FROM tiles),
+off AS (SELECT * FROM (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) t(du, dv)),
+ed AS (
+  SELECT t.tile_id AS a, nb.tile_id AS b
+  FROM ct t, off o, ct nb
+  WHERE nb.tile_id = t.tile_id + o.du * 67108864 + o.dv AND nb.cls = t.cls),
+reach(a, b) AS (SELECT a, b FROM ed
+                UNION SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+comp AS (SELECT a AS tile_id, LEAST(MIN(b), a) AS region FROM reach GROUP BY a),
+lbl AS (SELECT t.tile_id, t.n, t.cls, COALESCE(c.region, t.tile_id) AS region_id
+        FROM ct t LEFT JOIN comp c USING (tile_id)),
+sn AS (SELECT a AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_same FROM ed GROUP BY a)
+SELECT l.region_id, CAST(MIN(l.cls) AS INTEGER) AS cls,
+  CAST(COUNT(*) AS BIGINT) AS n_tiles, CAST(SUM(l.n) AS BIGINT) AS sum_n,
+  CAST(SUM(CASE WHEN COALESCE(s.n_same, 0) < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
+FROM lbl l LEFT JOIN sn s USING (tile_id)
+GROUP BY l.region_id ORDER BY l.region_id""",
+
     // ---- mirror: focal (3×3) statistics --------------------------------------
     "q_geo_focal" ->
       s"""WITH $imgCte,

@@ -866,6 +866,26 @@ object SparkEntry {
           zoom = 14, t1 = 50L, t2 = 200L)
         .orderBy("tile_id")),
 
+    // Ripley's K neighbor counts at three radii (500/1000/2000 µ°): exact
+    // integer d² counts from the bounded cell-disk join over an id-sampled
+    // focal set; the oracle brute-forces focals × corpus (oracle cost)
+    "q_geo_ripley_k" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.ripleyK(
+          Pipeline.geoImages(s, dir).select(
+            expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+            col("u"), col("v")),
+          radiiMicroDeg = Seq(500L, 1000L, 2000L), res = 3, sampleMod = 50L)
+        .orderBy("r_micro")),
+
+    // region summary statistics: per region-group region its class, tile
+    // count, point mass, and discrete-perimeter boundary count — the
+    // dissolve/compactness layer; all-integer oracle closes the same CC
+    "q_geo_region_stats" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.regionStats(
+          Pipeline.geoImages(s, dir).select(col("lat"), col("lon")),
+          zoom = 14, t1 = 50L, t2 = 200L)
+        .orderBy("region_id")),
+
     // local Moran's I (LISA): the per-tile decomposition of q_geo_moran —
     // HH/LL cluster vs HL/LH outlier quadrants from two exact BIGINT sign
     // factors, magnitude via the one shared double dag

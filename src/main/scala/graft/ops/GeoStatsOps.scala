@@ -475,6 +475,103 @@ object GeoStatsOps {
         col("focal_sum"), col("focal_min"), col("focal_max"))
   }
 
+  /** Ripley's K neighbor counts (Ripley, JRSS-B 1977 — public): the
+    * point-pattern statistic the tile family can't see — for radii r, the
+    * MEAN number of corpus points within r of a focal point (the empirical
+    * K numerator K̂(r)·λ̂). Rising-faster-than-πr² means clustering at that
+    * scale; the multi-radius profile locates the clustering scale itself,
+    * which one Moran/Gi* zoom level cannot.
+    *
+    * Exactness: distances are squared integer microdegrees (d² ≤ r² on
+    * BIGINTs), counts are integers, the mean is an integral DIV in milli —
+    * no float anywhere.
+    *
+    * Scale shape: focals are an id-sampled subset; candidates come from the
+    * SAME bounded cell-disk equi-join as idwInterpolate (k = ⌈maxR/cell⌉+1
+    * ring, SHUFFLE_HASH sample index — never a theta join); counts reduce
+    * to |radii| driver scalars re-emitted as literal rows (the BM25
+    * global-stats pattern). The DuckDB oracle is the quadratic brute force
+    * (focals × corpus) — documented oracle cost, not engine cost.
+    *
+    * Input: points (pid, u, v) in integer µ° frame offsets. Output per
+    * radius: (r_micro, n_focals, n_neighbors, mean_milli).
+    */
+  def ripleyK(points: DataFrame, radiiMicroDeg: Seq[Long], res: Int,
+              sampleMod: Long,
+              frameLat0: Double = graft.synth.Synth.LAT0,
+              frameLon0: Double = graft.synth.Synth.LON0): DataFrame = {
+    require(radiiMicroDeg.nonEmpty && res >= 0 && res <= 5)
+    val maxR = radiiMicroDeg.max
+    val cellMicro = math.round(1e6 / graft.cells.GridCell.pow10(res))
+    val k = (maxR / cellMicro + 1L).toInt
+    val uDeg = (u: org.apache.spark.sql.Column) =>
+      lit(frameLat0) + u.cast("double") * lit(1e-6)
+    val vDeg = (v: org.apache.spark.sql.Column) =>
+      lit(frameLon0) + v.cast("double") * lit(1e-6)
+    val samp = points
+      .withColumn("s_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .select(col("s_cell"), col("pid").as("spid"),
+        col("u").as("su"), col("v").as("sv"))
+      .hint("SHUFFLE_HASH")
+    val focals = points.filter(col("pid") % sampleMod === 0)
+    val nf = focals.count()
+    require(nf > 0, s"no focal points at sampleMod=$sampleMod")
+    val cand = focals
+      .withColumn("p_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .withColumn("cand_cell", explode(fns.cell_disk(col("p_cell"), lit(k), res)))
+      .join(samp, col("cand_cell") === col("s_cell"))
+      .filter(col("spid") =!= col("pid"))
+      .withColumn("d2",
+        (col("su") - col("u")) * (col("su") - col("u")) +
+          (col("sv") - col("v")) * (col("sv") - col("v")))
+    val aggs = radiiMicroDeg.map(r =>
+      sum(when(col("d2") <= lit(r * r), 1L).otherwise(0L)).as(s"c_$r"))
+    val row = cand.agg(aggs.head, aggs.tail: _*).head()
+    val sp = points.sparkSession
+    import sp.implicits._
+    radiiMicroDeg.zipWithIndex
+      .map { case (r, i) =>
+        val c = if (row.isNullAt(i)) 0L else row.getLong(i)
+        (r, nf, c, c * 1000L / nf)
+      }
+      .toDF("r_micro", "n_focals", "n_neighbors", "mean_milli")
+  }
+
+  /** Region summary statistics — the aggregation layer over `regionGroup`:
+    * per labeled region its class, tile count, point mass, and BOUNDARY
+    * tile count (tiles with fewer than 4 same-class 4-neighbors — the
+    * discrete perimeter). Size + perimeter is what downstream consumers
+    * (dissolve, compactness scoring, alert sizing) read off a region map;
+    * compactness ∝ area/perimeter² needs exactly these two integers.
+    *
+    * Scale shape: regionGroup's cost + ONE more 4-offset equi-join (the
+    * same-class neighbor count) + one region-sized groupBy. All integers.
+    *
+    * Input: (lat, lon). Output per region:
+    * (region_id, cls, n_tiles, sum_n, n_boundary).
+    */
+  def regionStats(points: DataFrame, zoom: Int, t1: Long, t2: Long): DataFrame = {
+    val labeled = regionGroup(points, zoom, t1, t2).localCheckpoint(true)
+    val offArray =
+      (for ((du, dv) <- Seq((-1, 0), (1, 0), (0, -1), (0, 1)))
+        yield s"struct(CAST($du AS BIGINT) AS du, CAST($dv AS BIGINT) AS dv)")
+        .mkString("array(", ", ", ")")
+    val sameNbr = labeled
+      .select(col("tile_id"), col("cls"), explode(expr(offArray)).as("o"))
+      .select(col("tile_id"), col("cls"),
+        (col("tile_id") + col("o.du") * lit(67108864L) + col("o.dv")).as("nbr_id"))
+      .join(labeled.select(col("tile_id").as("nbr_id"), col("cls").as("nbr_cls")),
+        "nbr_id")
+      .filter(col("cls") === col("nbr_cls"))
+      .groupBy(col("tile_id")).agg(count(lit(1)).as("n_same"))
+    labeled.join(sameNbr, Seq("tile_id"), "left")
+      .withColumn("boundary", coalesce(col("n_same"), lit(0L)) < 4)
+      .groupBy(col("region_id"))
+      .agg(min(col("cls")).as("cls"), count(lit(1)).as("n_tiles"),
+        sum(col("n")).as("sum_n"),
+        sum(when(col("boundary"), 1L).otherwise(0L)).as("n_boundary"))
+  }
+
   /** Trajectory HAUSDORFF similarity — the set-distance trajectory
     * comparator (Hausdorff 1914; standard in trajectory clustering/dedup):
     * for paired tracks A, B the directed distance h(A,B) =

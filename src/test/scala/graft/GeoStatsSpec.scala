@@ -228,6 +228,66 @@ class GeoStatsSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSet.size > 1)
   }
 
+  test("regionStats: per-region size/mass/boundary match the flood-fill brute force") {
+    val pts = Pipeline.geoImages(spark, sf)
+      .select("lat", "lon").as[(Double, Double)].collect()
+    val zoomZ = 14
+    val tileOf = (lat: Double, lon: Double) =>
+      zoomZ.toLong * (1L << 52) +
+        graft.geom.Geom.tileX(lon, zoomZ) * (1L << 26) + graft.geom.Geom.tileY(lat, zoomZ)
+    val counts = pts.groupBy { case (la, lo) => tileOf(la, lo) }
+      .map { case (t, xs) => t -> xs.length.toLong }
+    def cls(n: Long): Int = if (n < 50) 0 else if (n < 200) 1 else 2
+    val classOf = counts.map { case (t, n) => t -> cls(n) }
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    for (t <- counts.keys.toSeq.sorted if !label.contains(t)) {
+      val comp = scala.collection.mutable.Set(t)
+      val queue = scala.collection.mutable.Queue(t)
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        for (d <- Seq(-(1L << 26), 1L << 26, -1L, 1L); v = u + d
+             if classOf.contains(v) && classOf(v) == classOf(u) && comp.add(v))
+          queue.enqueue(v)
+      }
+      val root = comp.min
+      comp.foreach(c => label(c) = root)
+    }
+    def boundary(t: Long): Boolean =
+      Seq(-(1L << 26), 1L << 26, -1L, 1L).count { d =>
+        classOf.get(t + d).contains(classOf(t)) } < 4
+    val want = counts.keys.toSeq.groupBy(label).map { case (r, ts) =>
+      r -> ((ts.map(classOf).min, ts.size.toLong, ts.map(counts).sum,
+        ts.count(boundary).toLong))
+    }
+    val got = GeoStatsOps.regionStats(
+        Pipeline.geoImages(spark, sf).select(col("lat"), col("lon")), zoomZ, 50L, 200L)
+      .as[(Long, Int, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === want)
+  }
+
+  test("ripleyK: counts equal the quadratic brute force; monotone in r") {
+    val rows = Pipeline.geoImages(spark, sf)
+      .select(expr("CAST(substring(image_id, 4) AS BIGINT)"), col("u"), col("v"))
+      .as[(Long, Long, Long)].collect()
+    val radii = Seq(500L, 1000L, 2000L)
+    val focals = rows.filter(_._1 % 50 == 0)
+    val want = radii.map { r =>
+      val c = focals.map { case (fp, fu, fv) =>
+        rows.count { case (p, u, v) =>
+          p != fp && (u - fu) * (u - fu) + (v - fv) * (v - fv) <= r * r }.toLong
+      }.sum
+      (r, focals.length.toLong, c, c * 1000L / focals.length)
+    }
+    val got = GeoStatsOps.ripleyK(
+        Pipeline.geoImages(spark, sf).select(
+          expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"), col("u"), col("v")),
+        radii, res = 3, sampleMod = 50L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === want)
+    assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted) // monotone in r
+  }
+
   test("odMatrix: endpoint-zone brute force, flow conservation, exact ppm shares") {
     val (g, _, _) = Pipeline.prepared(spark, sf)
     val s = (g - 1) * 1000L
