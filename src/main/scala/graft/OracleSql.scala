@@ -3643,6 +3643,27 @@ ORDER BY id1, id2""",
     // adjacent token pair, nano-rounded BEFORE the per-doc sum (BM25's
     // determinism recipe); keep is the exact integer comparison
     // Σlp9 ≥ −3400000000·n_pairs
+    // TF-IDF keywords: tf per (doc, term), df per term, idf9 = nano-rounded
+    // LN(N/df) (the bigram-ppl convention), score9 = tf·idf9 BIGINT, top-3
+    // per doc by (score9 DESC, term)
+    "q_doc_tfidf" ->
+      """WITH tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+sc AS (
+  SELECT t.doc_id, t.term, t.tf,
+    t.tf * CAST(ROUND(LN(nd.n / CAST(d.df AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT) AS score9
+  FROM tf t JOIN dfreq d USING (term), nd),
+rk AS (
+  SELECT doc_id, term, tf, score9,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score9 DESC, term) AS BIGINT) AS rk
+  FROM sc)
+SELECT doc_id, rk, term, tf, score9 FROM rk WHERE rk <= 3
+ORDER BY doc_id, rk""",
+
     "q_doc_bigram_ppl" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
 pairs AS (

@@ -1060,6 +1060,13 @@ object SparkEntry {
       TextOps.containmentPairs(Synth.documents(s, dir), cMin = 0.5)
         .orderBy("id1", "id2")),
 
+    // TF-IDF keyword extraction: top-3 tf·ln(N/df) terms per doc, idf
+    // nano-rounded to exact integers (the bigram-ppl LN convention), ties
+    // by (score DESC, term ASC); doc-bounded window frames
+    "q_doc_tfidf" -> ((s, dir) =>
+      TextOps.tfidfKeywords(Synth.documents(s, dir), k = 3)
+        .orderBy("doc_id", "rk")),
+
     "q_doc_simhash" -> ((s, dir) =>
       TextOps.simHashPairs(Synth.documents(s, dir), maxHam = 12)
         .orderBy("id1", "id2")),

@@ -844,6 +844,36 @@ object TextOps {
           lit(-thresh9) * coalesce(col("n_pairs"), lit(0L))).as("keep"))
   }
 
+  /** TF-IDF keyword extraction (Spärck Jones 1972 — public): the top-k
+    * highest tf·idf terms per document — the classic document-summary /
+    * routing / facet signal of a text pipeline. idf = ln(N/df) nano-rounded
+    * to an exact integer (the q_doc_bigram_ppl LN convention, proven
+    * engine-identical), score = tf · idf9 — a BIGINT, so ranking and ties
+    * (score DESC, term ASC) are exact in both engines.
+    *
+    * Scale shape: one explode + one vocab-sized df aggregate + one
+    * vocab-keyed join; the top-k window partitions BY DOC, so each frame is
+    * doc-length-bounded (the per-track-window contract) — never a global
+    * sort. N reaches the plan as a driver literal (BM25 pattern).
+    *
+    * Output: (doc_id, rk, term, tf, score9). */
+  def tfidfKeywords(docs: DataFrame, k: Int): DataFrame = {
+    val nDocs = docs.count() // one driver scalar
+    val tf = docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score9").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("idf9",
+        round(log(lit(nDocs.toDouble) / col("df").cast("double")) * lit(1e9), 0)
+          .cast("long"))
+      .withColumn("score9", col("tf") * col("idf9"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score9"))
+  }
+
   /** Deterministic COLLISION-FREE training-order shuffle via a Feistel
     * network (Luby, Rackoff, SIAM J. Comput. 1988 — a balanced Feistel over
     * any round function is a bijection; the format-preserving-encryption

@@ -137,6 +137,28 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((0L, 2L, 1000L))) // top-2 preserved by the prefix
   }
 
+  test("tfidfKeywords: rare terms outrank common; ties break on term; k bound holds") {
+    val docs = Seq(
+      (1L, "common rare1 common common", "en", "web"),
+      (2L, "common rare2 rare2 common", "en", "web"),
+      (3L, "common common common common", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.tfidfKeywords(docs, k = 2)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4))).toMap
+    // doc 1: rare1 (tf 1, df 1) beats common (tf 3, df 3: idf = ln(1) = 0)
+    assert(got(1L).head === (("rare1", 1L)))
+    // doc 2: rare2 tf 2 leads
+    assert(got(2L).head === (("rare2", 2L)))
+    // doc 3: only 'common' exists -> 1 row despite k = 2
+    assert(got(3L) === Seq(("common", 4L)))
+    // ln(N/df) = ln(1) = 0 for ubiquitous terms: common's score is 0
+    val commonRows = TextOps.tfidfKeywords(docs, k = 2)
+      .filter(col("term") === "common").select("score9")
+      .as[Long].collect()
+    assert(commonRows.forall(_ === 0L))
+  }
+
   test("SimHash hamming pairs: identical docs at distance 0") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
