@@ -2738,6 +2738,55 @@ FROM f GROUP BY fmt ORDER BY fmt""",
     // phash → per-(x,y) splitmix64 in HUGEINT mod-2^64, ≥2^63 multipliers
     // via 32-bit split) and sums the channels; Spark must decode the real
     // BMP/PNG bytes to the same exact integers.
+    // dominant color: the decode_sample splitmix pixel CTEs + 3-bit cube
+    // bucketing ((c >> 5) per channel packed r*64+g*8+b) + argmax per image
+    // (cnt DESC, bucket ASC)
+    "q_image_dominant_color" ->
+      """WITH img AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+         (o_orderkey * 69621 + 7) % 2147483647 AS h2
+  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 5 <> 3),
+dims AS (
+  SELECT k, CASE WHEN k % 5 = 1 THEN 'png' ELSE 'bmp' END AS fmt,
+         8 + h1 % 8 AS w, 8 + h2 % 8 AS h,
+         (h1 * 2147483648 + h2)::HUGEINT AS ph
+  FROM img),
+xs AS (SELECT i AS x FROM generate_series(0, 15) t(i)),
+ys AS (SELECT i AS y FROM generate_series(0, 15) t(i)),
+px AS (
+  SELECT k, fmt, w, h,
+    (ph + x * 11400714819323198485::HUGEINT
+        + y * 13787848793156543929::HUGEINT)
+      % 18446744073709551616::HUGEINT AS z0
+  FROM dims, xs, ys WHERE x < w AND y < h),
+m1 AS (
+  SELECT k, fmt, w, h,
+    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1
+  FROM (SELECT k, fmt, w, h, xor(z0, z0 >> 30) AS x1 FROM px)),
+m2 AS (
+  SELECT k, fmt, w, h,
+    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
+  FROM (SELECT k, fmt, w, h, xor(z1, z1 >> 27) AS x2 FROM m1)),
+fin AS (SELECT k, fmt, w, h, xor(z2, z2 >> 31) AS z FROM m2),
+bk AS (
+  SELECT k, fmt, w, h,
+    (z % 256 // 32) * 64 + ((z // 256) % 256 // 32) * 8
+      + ((z // 65536) % 256 // 32) AS bucket
+  FROM fin),
+bc AS (SELECT k, fmt, w, h, bucket, COUNT(*) AS cnt
+       FROM bk GROUP BY k, fmt, w, h, bucket),
+rk AS (SELECT k, fmt, w, h, bucket, cnt,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY cnt DESC, bucket) AS rn
+       FROM bc)
+SELECT 'img' || k AS image_id, fmt, CAST(w * h AS BIGINT) AS n_px,
+  CAST(bucket AS BIGINT) AS dom_bucket, CAST(cnt AS BIGINT) AS dom_count
+FROM rk WHERE rn = 1 ORDER BY image_id""",
+
     "q_image_decode_sample" ->
       """WITH img AS (
   SELECT o_orderkey AS k,

@@ -1480,6 +1480,17 @@ object SparkEntry {
     // JDK imageio PNG inflate). Any decode bug breaks the match. Lossless
     // fmts only (jpeg is not bit-recomputable by design); 1-in-97 sample
     // keeps the oracle's 225-pixel-per-image expansion tractable.
+    // dominant color per image (3-bit RGB cube, 512 buckets): the color-
+    // signature triage op; same lossless %97 slice as decode_sample so the
+    // oracle's pixel re-derivation stays bounded — every bucket histogram
+    // argmax must match the splitmix closed form
+    "q_image_dominant_color" -> ((s, dir) =>
+      graft.ops.ImageOps.dominantColor(s,
+          Synth.images(s, dir, Pipeline.prepared(s, dir)._1)
+            .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+            .filter(col("k") % 97 === 0 && col("fmt") =!= "jpeg"))
+        .orderBy("image_id")),
+
     "q_image_decode_sample" -> ((s, dir) => {
       import s.implicits._
       Synth.images(s, dir, Pipeline.prepared(s, dir)._1)

@@ -176,6 +176,37 @@ object ImageOps {
       }.toDF()
   }
 
+  /** Dominant-color extraction — palette quantization to the 3-bit RGB cube
+    * (512 buckets, the classic color-signature preprocessing for color-based
+    * filtering/search/dedup triage): per image the most populated bucket,
+    * ties to the LOWEST bucket id (mirrors ORDER BY cnt DESC, bucket ASC).
+    * Decode + histogram are one map-side pass over the partition-batched
+    * typed island (bytes never shuffle); output rows are 5 scalars/image.
+    * Unknown formats are skipped (the decodeAny None contract). */
+  def dominantColor(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, dw, dh) =>
+            val counts = new Array[Long](512)
+            var i = 0
+            while (i < rgb.length) {
+              val bk = ((rgb(i) & 0xff) >> 5) * 64 +
+                ((rgb(i + 1) & 0xff) >> 5) * 8 + ((rgb(i + 2) & 0xff) >> 5)
+              counts(bk) += 1
+              i += 3
+            }
+            var best = 0
+            var j = 1
+            while (j < 512) { if (counts(j) > counts(best)) best = j; j += 1 }
+            (id, fmt, dw.toLong * dh, best.toLong, counts(best))
+          }
+        }
+      }.toDF("image_id", "fmt", "n_px", "dom_bucket", "dom_count")
+  }
+
   /** thumbnail (nearest-neighbor resize) of the decoded image. Decodes all
     * three real codecs (bmp/png/jpeg); thumbs re-encode as BMP regardless of
     * source fmt — the thumbnail store wants ONE deterministic lossless layout

@@ -82,6 +82,26 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_images")).sum === imgs.count())
   }
 
+  test("dominantColor: hand-built palettes; lowest-bucket tie-break; unknown fmt skipped") {
+    // 2x2 image: 3 red-ish pixels (bucket 7*64 = 448), 1 blue-ish (bucket 7)
+    val redDom = Array[Byte](
+      230.toByte, 10, 10,   240.toByte, 20, 5,
+      255.toByte, 0, 0,     10, 10, 230.toByte)
+    // 2x1 tie: one black (bucket 0), one white (bucket 511) -> lowest wins
+    val tie = Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte)
+    val got = ImageOps.dominantColor(spark,
+        Seq(("red", "bmp", Bmp.encode(redDom, 2, 2)),
+            ("tie", "bmp", Bmp.encode(tie, 2, 1)),
+            ("bad", "gif", Array[Byte](1, 2, 3)))
+          .toDF("image_id", "fmt", "bytes"))
+      .collect().map(r => r.getAs[String]("image_id") ->
+        ((r.getAs[Long]("n_px"), r.getAs[Long]("dom_bucket"),
+          r.getAs[Long]("dom_count")))).toMap
+    assert(got === Map(
+      "red" -> ((4L, 448L, 3L)),   // 7*64 + 0*8 + 0
+      "tie" -> ((2L, 0L, 1L))))    // tie at count 1 -> bucket 0 wins
+  }
+
   test("qualityStats: exact integer variance, flat image drops, noise image keeps") {
     // flat gray image: variance 0 → drop at any positive threshold
     val flat = Bmp.encode(Array.fill(6 * 4 * 3)(100.toByte), 6, 4)
