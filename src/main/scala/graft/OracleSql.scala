@@ -1242,6 +1242,27 @@ SELECT image_id,
   AS tile_id
 FROM imgs ORDER BY image_id""",
 
+    // quadkey roll-up: same verbatim mercator x/y dag as q_image_tiles,
+    // then the base-4 MSB-first interleave as a string_agg, rolled up by
+    // the z8 prefix (ancestor containment = string prefix, by construction)
+    "q_image_quadkey" ->
+      s"""WITH $imgCte,
+txy AS (
+  SELECT image_id,
+    CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 262144.0::DOUBLE) AS BIGINT) AS tx,
+    CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 262144.0::DOUBLE) AS BIGINT) AS ty
+  FROM imgs),
+qk AS (
+  SELECT image_id,
+    string_agg(substr('0123',
+        CAST(((tx >> (18 - i)) % 2) + 2 * ((ty >> (18 - i)) % 2) AS INTEGER) + 1, 1),
+      '' ORDER BY i) AS quadkey
+  FROM txy, (SELECT i FROM generate_series(1, 18) t(i))
+  GROUP BY image_id)
+SELECT substr(quadkey, 1, 16) AS qk_prefix, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT quadkey) AS BIGINT) AS n_children
+FROM qk GROUP BY 1 ORDER BY qk_prefix""",
+
     // ---- mirror (integer bounds): image city assignment --------------------
     "q_image_city" ->
       s"""WITH $imgCte

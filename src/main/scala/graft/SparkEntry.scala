@@ -313,6 +313,13 @@ object SparkEntry {
         .select(col("image_id"), col("tile_id"))
         .orderBy("image_id")),
 
+    // Bing quadkey layout roll-up: base-4 interleaved tile keys at z18,
+    // rolled up by z16 ancestor prefix — the ancestor-is-a-prefix property
+    // is what makes quadkey sort order a multi-zoom physical layout
+    "q_image_quadkey" -> ((s, dir) =>
+      SpatialOps.quadkeyRollup(Pipeline.geoImages(s, dir), 18, 16)
+        .orderBy("qk_prefix")),
+
     "q_image_city" -> ((s, dir) => {
       val (g, _, _) = Pipeline.prepared(s, dir)
       SpatialOps.imageCity(Pipeline.geoImages(s, dir), Synth.cityPolys(g))

@@ -326,6 +326,34 @@ object SpatialOps {
   def tileAssign(images: DataFrame, zoom: Int): DataFrame =
     images.withColumn("tile_id", fns.tile_id(col("lat"), col("lon"), zoom))
 
+  /** Bing-Maps quadkey layout roll-up (public spec, Schwartz MSDN 2018:
+    * digit i of the base-4 key is bit (z-i) of tile y interleaved over x,
+    * so every ancestor tile's key is a string PREFIX of its descendants').
+    * That prefix-containment is the point at 100 TB: data written sorted
+    * by quadkey clusters every zoom level at once, and a z8 region scan is
+    * one contiguous key range — no re-shuffle per pyramid level. Composed
+    * entirely from the codegen'd TileId expression plus built-in
+    * transform/substr (no UDF); one narrow shuffle for the roll-up.
+    * Output: per-`prefixLen`-prefix image count and distinct-descendant
+    * count at `zoom` — the roll-up a tile server sizes its shards with. */
+  def quadkeyRollup(images: DataFrame, zoom: Int, prefixLen: Int): DataFrame = {
+    require(zoom >= 1 && zoom <= 26 && prefixLen >= 1 && prefixLen <= zoom)
+    val mask = (1L << 26) - 1
+    images
+      .withColumn("t", fns.tile_id(col("lat"), col("lon"), zoom))
+      .withColumn("tx", expr(s"(t DIV ${1L << 26}) % ${mask + 1}"))
+      .withColumn("ty", expr(s"t % ${mask + 1}"))
+      .withColumn("quadkey", expr(
+        s"""array_join(transform(sequence(1, $zoom), i ->
+           |  substr('0123',
+           |    CAST((shiftright(tx, $zoom - i) % 2)
+           |         + 2 * (shiftright(ty, $zoom - i) % 2) AS INT) + 1, 1)),
+           |'')""".stripMargin))
+      .groupBy(expr(s"substr(quadkey, 1, $prefixLen)").as("qk_prefix"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("quadkey")).as("n_children"))
+  }
+
   /** J6 for images: city per image point. */
   def imageCity(images: DataFrame, polys: Array[(String, Array[Array[Double]])]): DataFrame =
     images.withColumn("city",

@@ -184,6 +184,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getInt(6) == 3) // interior point dropped
   }
 
+  test("quadkey: base-4 interleave matches a bit-loop reference and ancestors are prefixes") {
+    import spark.implicits._
+    def refQuadkey(lat: Double, lon: Double, z: Int): String = {
+      val tx = graft.geom.Geom.tileX(lon, z); val ty = graft.geom.Geom.tileY(lat, z)
+      (1 to z).map { i =>
+        val d = ((tx >> (z - i)) & 1) + 2 * ((ty >> (z - i)) & 1)
+        ('0' + d).toChar
+      }.mkString
+    }
+    val pts = Seq((37.001, -121.999), (37.421, -121.513), (37.98765, -121.01234))
+    val df = pts.toDF("lat", "lon")
+    // prefixLen = zoom → qk_prefix IS the full quadkey; one row per distinct key
+    val got15 = graft.ops.SpatialOps.quadkeyRollup(df, 15, 15)
+      .select("qk_prefix").as[String].collect().toSet
+    assert(got15 === pts.map(p => refQuadkey(p._1, p._2, 15)).toSet)
+    // ancestor containment: the z8 key of each point prefixes its z15 key
+    val got8 = graft.ops.SpatialOps.quadkeyRollup(df, 8, 8)
+      .select("qk_prefix").as[String].collect().toSet
+    for (p <- pts)
+      assert(refQuadkey(p._1, p._2, 15).startsWith(refQuadkey(p._1, p._2, 8)))
+    assert(got8 === pts.map(p => refQuadkey(p._1, p._2, 8)).toSet)
+    // and the registered roll-up's prefix column equals substr(z15 key, 1, 8)
+    val roll = graft.ops.SpatialOps.quadkeyRollup(df, 15, 8)
+      .select("qk_prefix").as[String].collect().toSet
+    assert(roll === pts.map(p => refQuadkey(p._1, p._2, 15).take(8)).toSet)
+  }
+
   test("no graft Catalyst expression falls back from whole-stage codegen") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val exprClasses: Seq[Class[_]] = Seq(
