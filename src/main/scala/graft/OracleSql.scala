@@ -3310,6 +3310,32 @@ SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   (3 * w * h * s2 - s1 * s1) >= 5400 * (3 * w * h)::HUGEINT * (3 * w * h) AS keep
 FROM sums ORDER BY k""",
 
+    // blur/sharpness: every interior pixel's 3×3 Laplacian on integer gray
+    // r+g+b rebuilt from the splitmix closed form (four neighbor self-joins
+    // on the (x,y)-threaded pixel chain), reduced to the exact variance
+    // numerator and the same integer sharp threshold
+    "q_image_sharpness" ->
+      s"""WITH ${pxChainCtes("o_orderkey % 13 = 0 AND o_orderkey % 5 <> 3")},
+fin AS (SELECT k, fmt, w, h, x, y, xor(z2, z2 >> 31) AS z FROM m2),
+gray AS (SELECT k, fmt, w, h, x, y,
+  z % 256 + (z // 256) % 256 + (z // 65536) % 256 AS g FROM fin),
+lap AS (
+  SELECT c.k, c.fmt, c.w, c.h, 4*c.g - l.g - r.g - u.g - d.g AS lp
+  FROM gray c
+  JOIN gray l ON l.k = c.k AND l.y = c.y AND l.x = c.x - 1
+  JOIN gray r ON r.k = c.k AND r.y = c.y AND r.x = c.x + 1
+  JOIN gray u ON u.k = c.k AND u.x = c.x AND u.y = c.y - 1
+  JOIN gray d ON d.k = c.k AND d.x = c.x AND d.y = c.y + 1
+  WHERE c.x BETWEEN 1 AND c.w - 2 AND c.y BETWEEN 1 AND c.h - 2),
+sums AS (
+  SELECT k, fmt, w, h, COUNT(*) AS m, SUM(lp) AS s1, SUM(lp * lp) AS s2
+  FROM lap GROUP BY k, fmt, w, h)
+SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  CAST(m AS BIGINT) AS m, CAST(s1 AS BIGINT) AS lap_sum,
+  CAST(m * s2 - s1 * s1 AS BIGINT) AS lap_var_num,
+  (m > 0 AND m * s2 - s1 * s1 >= 320000 * m * m) AS sharp
+FROM sums ORDER BY k""",
+
     // augmentation digests: the same splitmix rebuild, with hflip/rot180
     // expressed as a position REMAP (p0 recomputed from mirrored x/y) —
     // Spark physically rearranges decoded bytes, DuckDB re-weights the
@@ -3980,6 +4006,48 @@ SELECT q_id, q_label, rk, neighbor, neighbor_label,
 FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
 
     "q_emb_topk" -> embTopkSql,
+
+    // triangle census of the exact 5-NN graph: the embTopkSql derivation
+    // with every vector as a query, canonicalized to undirected a<b edges;
+    // triangles counted on the canonical list directly (each {x<y<z} found
+    // exactly once as (x,y)⋈(y,z)⋈(x,z)); wedges = Σ d(d−1)//2; clustering
+    // = 3T·1e9 // wedges — all BIGINT, no floats anywhere past cos9
+    "q_graph_triangles" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings),
+cand AS (
+  SELECT q.q_id, e.vec_id AS neighbor,
+    CAST(ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+  FROM q, embeddings e WHERE q.q_id <> e.vec_id),
+knn AS (
+  SELECT q_id, neighbor FROM (
+    SELECT q_id, neighbor,
+      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk
+    FROM cand) WHERE rk <= 5),
+und AS (
+  SELECT DISTINCT LEAST(q_id, neighbor) AS a, GREATEST(q_id, neighbor) AS b
+  FROM knn),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM und e1 JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+    (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+    (SELECT t FROM tri) AS n_triangles)
+SELECT metric, value FROM (
+  SELECT 'clustering_ppb' AS metric,
+    CAST(CASE WHEN n_wedges = 0 THEN 0
+              ELSE (3 * n_triangles * 1000000000) // n_wedges END AS BIGINT) AS value
+  FROM agg
+  UNION ALL SELECT 'n_edges', n_edges FROM agg
+  UNION ALL SELECT 'n_nodes', n_nodes FROM agg
+  UNION ALL SELECT 'n_triangles', n_triangles FROM agg
+  UNION ALL SELECT 'n_wedges', n_wedges FROM agg)
+ORDER BY metric""",
 
     // Matryoshka truncation recall: the embTopkSql body twice — once on the
     // full vectors (truth), once on the 16-dim prefix (list_slice) — and a

@@ -1328,6 +1328,18 @@ object SparkEntry {
           col("vec_id") % 100 === 0, k = 5, dims = 16)
         .orderBy("q_id")),
 
+    // triangle census of the exact 5-NN similarity graph: triangle count,
+    // wedge count, global clustering coefficient (exact ppb integer) — the
+    // structural diagnostic that says whether a near-dup/kNN graph is
+    // cluster-shaped or chain-shaped. The kNN feed is the documented
+    // brute-force baseline (the LSH/IVF kNN graph swaps in at corpus scale
+    // with the same (a,b) pair shape); the operator under test —
+    // GraphOps.triangleStats — is degree-oriented (Suri–Vassilvitskii), so
+    // hub vertices are join TARGETS, never join sources
+    "q_graph_triangles" -> ((s, dir) =>
+      GraphOps.triangleStats(SimOps.knnGraph(Synth.embeddings(s, dir), k = 5))
+        .orderBy("metric")),
+
     // caption–image alignment (CLIP-score) filter: the LAION/DataComp
     // curation gate over paired modality embeddings (vec_id 2k ↔ 2k+1),
     // threshold cos9 ≥ 0 — O(n) equi-join + map-side dot, never a search
@@ -1781,6 +1793,24 @@ object SparkEntry {
         .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
           col("fmt"), col("w"), col("h"), col("sum_v"), col("var_num"),
           col("keep"))
+        .orderBy("k")
+    }),
+
+    // blur/sharpness detection: variance of the 3×3 Laplacian per decoded
+    // image (the classic focus measure), reduced to the exact integer
+    // variance numerator m·ΣL² − (ΣL)² — DuckDB rebuilds every interior
+    // pixel's Laplacian from the splitmix closed form via four neighbor
+    // self-joins and reruns the same integer threshold, so the sharp/blurry
+    // cut is bit-decided. Map-side only; bytes never shuffle
+    "q_image_sharpness" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val imgs = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 13 === 0 && col("fmt") =!= "jpeg")
+      ImageOps.sharpnessStats(s, imgs, minVar = 320000L)
+        .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
+          col("fmt"), col("w"), col("h"), col("m"), col("lap_sum"),
+          col("lap_var_num"), col("sharp"))
         .orderBy("k")
     }),
 

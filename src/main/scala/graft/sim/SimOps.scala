@@ -27,6 +27,28 @@ object SimOps {
         (col("cos9").cast("double") / lit(1e9)).as("cos_sim"))
   }
 
+  /** Exact k-NN PAIR graph over the whole corpus: (a = query id, b =
+    * neighbor id), every vector a query. Candidate generation is the
+    * documented brute-force baseline (all-pairs vs broadcast — the LSH/IVF
+    * bucketed kNN swaps in at corpus scale with the same output shape),
+    * but the rank cut is the k-bounded native TopKAgg instead of a
+    * row_number window: map-side combine discards non-contenders BEFORE
+    * the exchange, so the shuffle carries ≤ k rows per (query, task) and
+    * the full-candidate sort disappears. Tie order (cos9 DESC, vec_id ASC)
+    * is identical to the window form, so the graph is engine-reproducible. */
+  def knnGraph(embeddings: DataFrame, k: Int): DataFrame = {
+    val q = embeddings
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = broadcast(q).join(embeddings, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"),
+        round(fns.cosine_sim(col("q_emb"), col("embedding")) * lit(1e9), 0)
+          .cast("long").as("cos9"),
+        col("vec_id"))
+    cand.groupBy("q_id")
+      .agg(graft.exprs.topk.topk_agg(col("cos9"), col("vec_id"), k).as("top"))
+      .select(col("q_id").as("a"), explode(col("top.tag")).as("b"))
+  }
+
   /** Matryoshka truncation recall audit (Kusupati et al., NeurIPS 2022 —
     * public): how much top-k quality survives when the index stores only
     * the first `dims` of each embedding? MRL-trained models front-load

@@ -101,6 +101,53 @@ class GraphSpec extends AnyFunSuite {
     assert((1L to 50L).forall(i => got(0L) > got(i)))
   }
 
+  // ---- triangle census ----
+
+  private def triMap(edges: Seq[(Long, Long)]): Map[String, Long] =
+    GraphOps.triangleStats(edges.toDF("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** in-JVM brute force: canonical a<b edges, triangle {x<y<z} counted at
+    * its (x,y) edge via common neighbors z > y. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[String, Long] = {
+    val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val tris = und.map { case (a, b) =>
+      (adj(a) & adj(b)).count(_ > b).toLong
+    }.sum
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    Map("n_nodes" -> adj.size.toLong, "n_edges" -> und.size.toLong,
+      "n_wedges" -> wedges, "n_triangles" -> tris,
+      "clustering_ppb" -> (if (wedges == 0) 0L else 3L * tris * 1000000000L / wedges))
+  }
+
+  test("triangleStats: K4 is fully transitive (clustering exactly 1e9 ppb)") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(triMap(k4) === Map("n_nodes" -> 4L, "n_edges" -> 6L,
+      "n_wedges" -> 12L, "n_triangles" -> 4L, "clustering_ppb" -> 1000000000L))
+  }
+
+  test("triangleStats: path graph has wedges but zero triangles") {
+    val path = (0L until 9L).map(i => (i, i + 1))
+    assert(triMap(path) === Map("n_nodes" -> 10L, "n_edges" -> 9L,
+      "n_wedges" -> 8L, "n_triangles" -> 0L, "clustering_ppb" -> 0L))
+  }
+
+  test("triangleStats: canonicalizes duplicates, reversals, self-loops") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+    assert(triMap(messy) === Map("n_nodes" -> 3L, "n_edges" -> 3L,
+      "n_wedges" -> 3L, "n_triangles" -> 1L, "clustering_ppb" -> 1000000000L))
+  }
+
+  test("triangleStats matches the in-JVM brute force on a deterministic random graph") {
+    val edges = (0 until 600).map { i =>
+      ((i * 48271L + 11L) % 150L, (i * 69621L + 7L) % 150L)
+    }.filter(e => e._1 != e._2)
+    assert(triMap(edges) === refTriangles(edges))
+  }
+
   test("pageRank is partition-invariant (integer arithmetic, exact equality)") {
     val edges = (0L until 3000L).map(i => (i, (i * 48271 + 11) % 997))
       .toDF("src", "dst")

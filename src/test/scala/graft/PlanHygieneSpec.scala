@@ -38,7 +38,12 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_emb_hard_negatives", "q_emb_ivf_recall", "q_zone_way_length",
       // q_emb_matryoshka: BOTH legs are the documented brute-force baseline
       // (truncation audit — exact answers are the point)
-      "q_emb_matryoshka")
+      "q_emb_matryoshka",
+      // q_graph_triangles: its 5-NN FEED is the q_emb_topk baseline (the
+      // LSH/IVF kNN graph swaps in at scale with the same pair shape); the
+      // operator under test (degree-oriented triangle join) is equi-joins
+      // only, and its three 1-row metric aggregates cross-join by design
+      "q_graph_triangles")
 
   test("no registered query plans a cartesian or nested-loop join (whitelist: brute-force baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
