@@ -484,6 +484,47 @@ object ImageOps {
       }.toDF("image_id", "fmt", "w", "h", "sum_v", "var_num", "keep")
   }
 
+  /** Blur/sharpness detection — variance of the 3×3 Laplacian (the classic
+    * focus measure; Pech-Pacheco et al., ICPR 2000): per decoded image,
+    * L(x,y) = 4·g − g_left − g_right − g_up − g_down over interior pixels
+    * on the integer gray g = r+g+b (0..765), reduced to the EXACT variance
+    * numerator m·ΣL² − (ΣL)² so the sharp/blurry cut is engine-reproducible
+    * with zero float drift (sharp ⇔ m > 0 ∧ var_num ≥ minVar·m²). Bounds:
+    * |L| ≤ 3060, m ≤ 169 ⇒ m·ΣL² < 2^38 — plain Long math, SQL-rebuildable
+    * from the splitmix closed form. One map-side pass over the typed
+    * island; bytes never shuffle — at 100 TB this is a pure scan whose
+    * output is 7 scalars/image. */
+  def sharpnessStats(spark: SparkSession, images: DataFrame,
+                     minVar: Long = 320000L): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            @inline def gray(x: Int, y: Int): Long = {
+              val i = (y * w + x) * 3
+              (rgb(i) & 0xff).toLong + (rgb(i + 1) & 0xff) + (rgb(i + 2) & 0xff)
+            }
+            var m = 0L; var s1 = 0L; var s2 = 0L
+            var y = 1
+            while (y < h - 1) {
+              var x = 1
+              while (x < w - 1) {
+                val lp = 4L * gray(x, y) - gray(x - 1, y) - gray(x + 1, y) -
+                  gray(x, y - 1) - gray(x, y + 1)
+                m += 1; s1 += lp; s2 += lp * lp
+                x += 1
+              }
+              y += 1
+            }
+            val varNum = m * s2 - s1 * s1
+            (id, fmt, w, h, m, s1, varNum, m > 0 && varNum >= minVar * m * m)
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "m", "lap_sum", "lap_var_num", "sharp")
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

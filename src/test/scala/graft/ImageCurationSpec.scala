@@ -123,6 +123,40 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(keep === (vn >= 1000L * n * n))
   }
 
+  test("sharpnessStats: flat/checkerboard/no-interior fixtures + noise parity with in-JVM reference") {
+    // flat image: every Laplacian 0 → never sharp
+    val flat = Bmp.encode(Array.fill(4 * 4 * 3)(100.toByte), 4, 4)
+    // 4×4 checkerboard 0/255 all channels: interior L alternates ±4·765,
+    // s1 = 0, var_num = 4·Σ(3060²)·... = 16·3060² exactly
+    val cb = Bmp.encode((0 until 16).flatMap { i =>
+      val v = if (((i % 4) + (i / 4)) % 2 == 0) 255.toByte else 0.toByte
+      Seq(v, v, v)
+    }.toArray, 4, 4)
+    // 2×2: no interior pixels → m = 0, never sharp (no 0 ≥ 0 vacuity)
+    val tiny = Bmp.encode(Array.fill(2 * 2 * 3)(7.toByte), 2, 2)
+    val noise = Codec.encodeFor("png", 424242L, 9, 7)
+    val got = ImageOps.sharpnessStats(spark,
+        Seq(("flat", "bmp", flat), ("cb", "bmp", cb), ("tiny", "bmp", tiny),
+          ("noise", "png", noise)).toDF("image_id", "fmt", "bytes"),
+        minVar = 320000L)
+      .collect().map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("m"), r.getAs[Long]("lap_sum"),
+          r.getAs[Long]("lap_var_num"), r.getAs[Boolean]("sharp"))).toMap
+    assert(got("flat") === ((4L, 0L, 0L, false)))
+    assert(got("cb") === ((4L, 0L, 16L * 3060 * 3060, true)))
+    assert(got("tiny") === ((0L, 0L, 0L, false)))
+    // noise image: parity with an independent in-JVM reference on the
+    // known source pixels
+    val rgb = Bmp.pixels(424242L, 9, 7)
+    def g(x: Int, y: Int): Long =
+      (0 until 3).map(c => (rgb((y * 9 + x) * 3 + c) & 0xff).toLong).sum
+    val lps = for (y <- 1 until 6; x <- 1 until 8)
+      yield 4 * g(x, y) - g(x - 1, y) - g(x + 1, y) - g(x, y - 1) - g(x, y + 1)
+    val (m, s1, s2) = (lps.size.toLong, lps.sum, lps.map(l => l * l).sum)
+    assert(got("noise") === ((m, s1, m * s2 - s1 * s1,
+      m * s2 - s1 * s1 >= 320000L * m * m)))
+  }
+
   test("phash components: a planted chain merges into ONE component with one survivor") {
     // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
     // plus an isolated far image that must NOT join
