@@ -3336,6 +3336,43 @@ SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   (m > 0 AND m * s2 - s1 * s1 >= 320000 * m * m) AS sharp
 FROM sums ORDER BY k""",
 
+    // histogram equalization: per-(image, channel) value histograms from
+    // the splitmix chain, CDF by window cumulative sum, cdf_min = MIN(cdf)
+    // over occupied bins, the same integer-floor LUT, and the equalized
+    // position-weighted digest re-derived per pixel
+    "q_image_equalize" ->
+      s"""WITH ${pxChainCtes("o_orderkey % 19 = 0 AND o_orderkey % 5 <> 3")},
+fin AS (SELECT k, fmt, w, h, x, y, xor(z2, z2 >> 31) AS z FROM m2),
+chan AS (
+  SELECT k, fmt, w, h, x, y, cc.c,
+    CASE cc.c WHEN 0 THEN z % 256
+              WHEN 1 THEN (z // 256) % 256
+              ELSE (z // 65536) % 256 END AS v
+  FROM fin, (VALUES (0), (1), (2)) cc(c)),
+hist AS (
+  SELECT k, fmt, w, h, c, v, COUNT(*) AS cnt
+  FROM chan GROUP BY k, fmt, w, h, c, v),
+cdf AS (
+  SELECT k, fmt, w, h, c, v,
+    SUM(cnt) OVER (PARTITION BY k, c ORDER BY v) AS cd
+  FROM hist),
+cmin AS (SELECT k, c, MIN(cd) AS cdmin FROM cdf GROUP BY k, c),
+lut AS (
+  SELECT cdf.k, cdf.c, cdf.v,
+    CASE WHEN cdf.w * cdf.h > cm.cdmin
+         THEN ((cdf.cd - cm.cdmin) * 255) // (cdf.w * cdf.h - cm.cdmin)
+         ELSE 0 END AS e
+  FROM cdf JOIN cmin cm ON cm.k = cdf.k AND cm.c = cdf.c),
+eqpx AS (
+  SELECT ch.k, ch.fmt, ch.w, ch.h,
+    ((ch.y * ch.w + ch.x) * 3 + ch.c)::HUGEINT AS p, l.e
+  FROM chan ch JOIN lut l ON l.k = ch.k AND l.c = ch.c AND l.v = ch.v)
+SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  CAST(SUM((p + 1) * (p + 7) * (e + 17)) AS BIGINT) AS eq_digest,
+  CAST(MIN(e) AS BIGINT) AS min_eq, CAST(MAX(e) AS BIGINT) AS max_eq,
+  CAST(SUM(e) AS BIGINT) AS sum_eq
+FROM eqpx GROUP BY k, fmt, w, h ORDER BY k""",
+
     // augmentation digests: the same splitmix rebuild, with hflip/rot180
     // expressed as a position REMAP (p0 recomputed from mirrored x/y) —
     // Spark physically rearranges decoded bytes, DuckDB re-weights the

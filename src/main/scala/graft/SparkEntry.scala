@@ -1814,6 +1814,24 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // histogram equalization (global contrast normalization): per-channel
+    // integer-floor OpenCV formula eq(v) = (cdf(v) − cdf_min)·255 DIV
+    // (n − cdf_min); the position-weighted digest of the equalized bytes
+    // pins EVERY output pixel — DuckDB rebuilds the histograms/CDFs per
+    // (image, channel) from the splitmix chain with a window cumulative
+    // sum and re-derives the same digest. Map-side only
+    "q_image_equalize" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val imgs = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 19 === 0 && col("fmt") =!= "jpeg")
+      ImageOps.equalizeStats(s, imgs)
+        .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
+          col("fmt"), col("w"), col("h"), col("eq_digest"), col("min_eq"),
+          col("max_eq"), col("sum_eq"))
+        .orderBy("k")
+    }),
+
     // phash near-dup COMPONENTS (pairs → clusters → survivor): the image
     // twin of q_doc_dedup_components, composing the banded hamming join
     // with the large/small-star connected components; the oracle closes the

@@ -525,6 +525,64 @@ object ImageOps {
       }.toDF("image_id", "fmt", "w", "h", "m", "lap_sum", "lap_var_num", "sharp")
   }
 
+  /** Histogram equalization (global contrast normalization — the standard
+    * preprocessing pass before training/feature extraction): per channel,
+    * eq(v) = (cdf(v) − cdf_min)·255 DIV (n − cdf_min) with cdf_min = the
+    * cdf at the lowest occupied bin (the OpenCV formula in pure integer
+    * floor division, so both engines land on the same byte for every
+    * pixel); a flat channel (n = cdf_min) maps to 0. Emitted per image:
+    * the position-weighted digest of the equalized bytes plus min/max/sum
+    * of the equalized values — the digest pins every output byte without
+    * ever shuffling pixels. Histogram + LUT + remap fuse into the decode
+    * pass: one map-side scan, 256-long thread-local tables, 7 scalars/image
+    * out. */
+  def equalizeStats(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            val n = w.toLong * h
+            val eq = new Array[Byte](rgb.length)
+            var minEq = 255L; var maxEq = 0L; var sumEq = 0L
+            var c = 0
+            while (c < 3) {
+              val hist = new Array[Long](256)
+              var i = c
+              while (i < rgb.length) { hist(rgb(i) & 0xff) += 1; i += 3 }
+              var cdfMin = 0L; var acc = 0L; var v = 0
+              val lutCdf = new Array[Long](256)
+              while (v < 256) {
+                if (cdfMin == 0L && hist(v) > 0) cdfMin = acc + hist(v)
+                acc += hist(v); lutCdf(v) = acc; v += 1
+              }
+              val lut = new Array[Byte](256)
+              v = 0
+              while (v < 256) {
+                lut(v) = if (n > cdfMin)
+                  (((lutCdf(v) - cdfMin) * 255L) / (n - cdfMin)).toByte
+                else 0.toByte
+                v += 1
+              }
+              i = c
+              while (i < rgb.length) {
+                val e = lut(rgb(i) & 0xff)
+                eq(i) = e
+                val ev = e & 0xff
+                if (ev < minEq) minEq = ev
+                if (ev > maxEq) maxEq = ev
+                sumEq += ev
+                i += 3
+              }
+              c += 1
+            }
+            (id, fmt, w, h, pixelDigest(eq), minEq, maxEq, sumEq)
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "eq_digest", "min_eq", "max_eq", "sum_eq")
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

@@ -157,6 +157,44 @@ class ImageCurationSpec extends AnyFunSuite {
       m * s2 - s1 * s1 >= 320000L * m * m)))
   }
 
+  test("equalizeStats: flat→0, two-level→{0,255}, noise parity with in-JVM LUT reference") {
+    // flat: every channel constant → n = cdf_min → all bytes 0
+    val flat = Bmp.encode(Array.fill(3 * 2 * 3)(100.toByte), 3, 2)
+    // two-level 4×1 (values 10,10,200,200 in every channel):
+    // cdf(10)=2=cdf_min, cdf(200)=4 → eq(10)=0, eq(200)=255
+    val two = Bmp.encode(Array[Byte](10, 10, 10, 10, 10, 10,
+      200.toByte, 200.toByte, 200.toByte, 200.toByte, 200.toByte, 200.toByte), 4, 1)
+    val noise = Codec.encodeFor("png", 77L, 8, 6)
+    val got = ImageOps.equalizeStats(spark,
+        Seq(("flat", "bmp", flat), ("two", "bmp", two), ("noise", "png", noise))
+          .toDF("image_id", "fmt", "bytes"))
+      .collect().map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("eq_digest"), r.getAs[Long]("min_eq"),
+          r.getAs[Long]("max_eq"), r.getAs[Long]("sum_eq"))).toMap
+    val flatDigest = (0 until 18).map(p => (p + 1L) * (p + 7L) * 17L).sum
+    assert(got("flat") === ((flatDigest, 0L, 0L, 0L)))
+    val twoEq = Array.fill(6)(0) ++ Array.fill(6)(255)
+    val twoDigest = twoEq.zipWithIndex.map { case (e, p) =>
+      (p + 1L) * (p + 7L) * (e + 17L) }.sum
+    assert(got("two") === ((twoDigest, 0L, 255L, 6L * 255)))
+    // noise: independent in-JVM LUT reference from the known source pixels
+    val rgb = Bmp.pixels(77L, 8, 6)
+    val eq = new Array[Int](rgb.length)
+    for (c <- 0 until 3) {
+      val vs = rgb.indices.filter(_ % 3 == c).map(i => rgb(i) & 0xff)
+      val n = vs.size.toLong
+      val cdf = (0 to 255).map(v => vs.count(_ <= v).toLong)
+      val cdfMin = cdf.find(_ > 0).get
+      for (i <- rgb.indices if i % 3 == c)
+        eq(i) = if (n > cdfMin)
+          (((cdf(rgb(i) & 0xff) - cdfMin) * 255L) / (n - cdfMin)).toInt else 0
+    }
+    val wantDigest = eq.zipWithIndex.map { case (e, p) =>
+      (p + 1L) * (p + 7L) * (e + 17L) }.sum
+    assert(got("noise") === ((wantDigest, eq.min.toLong, eq.max.toLong,
+      eq.map(_.toLong).sum)))
+  }
+
   test("phash components: a planted chain merges into ONE component with one survivor") {
     // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
     // plus an isolated far image that must NOT join
