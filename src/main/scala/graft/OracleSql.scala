@@ -1927,6 +1927,37 @@ SELECT CAST(rc.r AS BIGINT) AS r_micro, nf.c AS n_focals, rc.cnt AS n_neighbors,
   CAST((rc.cnt * 1000) // nf.c AS BIGINT) AS mean_milli
 FROM rc CROSS JOIN nf ORDER BY r_micro""",
 
+    // ---- mirror: empirical semivariogram ---------------------------------------
+    // quadratic brute force (focals × corpus) under the same safe bbox
+    // prefilter as ripley; field value = trend (u+v)//10 + nugget h1%257,
+    // h1 re-derived from the image id; exact integer γ per lag annulus
+    "q_geo_variogram" ->
+      s"""WITH $imgCte,
+val AS (
+  SELECT image_id, u, v,
+    (u + v) // 10 +
+    ((CAST(substring(image_id, 4) AS BIGINT) * 48271 + 11) % 2147483647) % 257 AS z
+  FROM imgs),
+f AS (SELECT image_id, u, v, z FROM val
+      WHERE CAST(substring(image_id, 4) AS BIGINT) % 50 = 0),
+prs AS (
+  SELECT (i.u - f.u) * (i.u - f.u) + (i.v - f.v) * (i.v - f.v) AS d2,
+         (i.z - f.z) * (i.z - f.z) AS dz2
+  FROM f, val i
+  WHERE i.image_id <> f.image_id
+    AND ABS(i.u - f.u) <= 2000 AND ABS(i.v - f.v) <= 2000),
+lg AS (SELECT * FROM (VALUES (0, 500), (500, 1000), (1000, 2000)) t(lo, hi)),
+rc AS (SELECT lo, hi,
+    CAST(COUNT(*) FILTER (WHERE d2 > CAST(lo AS BIGINT) * lo
+                            AND d2 <= CAST(hi AS BIGINT) * hi) AS BIGINT) AS n,
+    CAST(COALESCE(SUM(dz2) FILTER (WHERE d2 > CAST(lo AS BIGINT) * lo
+                                     AND d2 <= CAST(hi AS BIGINT) * hi), 0) AS BIGINT) AS s
+  FROM lg LEFT JOIN prs ON TRUE GROUP BY lo, hi)
+SELECT CAST(hi AS BIGINT) AS lag_micro, CAST(lo AS BIGINT) AS lag_lo_micro,
+  n AS n_pairs, s AS sse,
+  CAST(CASE WHEN n = 0 THEN 0 ELSE (s * 1000) // (2 * n) END AS BIGINT) AS gamma_milli
+FROM rc ORDER BY lag_micro""",
+
     // ---- mirror: region summary statistics -------------------------------------
     // the region-group closure + a same-class 4-neighbor count; boundary =
     // fewer than 4 same-class neighbors; all integers

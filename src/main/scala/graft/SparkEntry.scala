@@ -884,6 +884,21 @@ object SparkEntry {
           radiiMicroDeg = Seq(500L, 1000L, 2000L), res = 3, sampleMod = 50L)
         .orderBy("r_micro")),
 
+    // empirical semivariogram (Matheron 1963): γ(h) per lag annulus over a
+    // trend+nugget field val = (u+v) DIV 10 + h1 % 257 — the kriging
+    // precursor that measures spatial correlation range; sampled focals ×
+    // corpus through the ripleyK bounded cell-disk equi-join, exact BIGINT
+    // d² and Δz², γ as exact milli. Oracle = quadratic brute force under
+    // the safe bbox prefilter
+    "q_geo_variogram" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.semivariogram(
+          Pipeline.geoImages(s, dir).select(
+            expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+            col("u"), col("v"),
+            expr("(u + v) DIV 10 + (phash DIV 2147483648) % 257").as("value")),
+          lagsMicroDeg = Seq(500L, 1000L, 2000L), res = 3, sampleMod = 50L)
+        .orderBy("lag_micro")),
+
     // region summary statistics: per region-group region its class, tile
     // count, point mass, and discrete-perimeter boundary count — the
     // dissolve/compactness layer; all-integer oracle closes the same CC

@@ -496,6 +496,62 @@ object GeoStatsOps {
     * Input: points (pid, u, v) in integer µ° frame offsets. Output per
     * radius: (r_micro, n_focals, n_neighbors, mean_milli).
     */
+  /** Empirical semivariogram (the kriging precursor; Matheron 1963):
+    * γ(h) = Σ(z_i − z_j)² / (2·|pairs|) over pair lag-distance annuli
+    * (lo, hi] — the spatial-correlation-range diagnostic that says how far
+    * a measurement predicts its surroundings. Sampled-focal form: an
+    * id-sampled focal set against the full corpus through the SAME bounded
+    * cell-disk equi-join as ripleyK/idwInterpolate (never a theta join);
+    * distances and squared value differences are exact BIGINTs (µ° and
+    * value² units), γ returned as exact milli by integer division. The
+    * |lags| output rows are driver scalars re-emitted as literal rows
+    * (bounded by construction). At 100 TB: one narrow equi-join shuffle,
+    * counts reduce map-side to 2·|lags| scalars. */
+  def semivariogram(points: DataFrame, lagsMicroDeg: Seq[Long], res: Int,
+                    sampleMod: Long,
+                    frameLat0: Double = graft.synth.Synth.LAT0,
+                    frameLon0: Double = graft.synth.Synth.LON0): DataFrame = {
+    require(lagsMicroDeg.nonEmpty && lagsMicroDeg == lagsMicroDeg.sorted &&
+      res >= 0 && res <= 5)
+    val maxR = lagsMicroDeg.max
+    val cellMicro = math.round(1e6 / graft.cells.GridCell.pow10(res))
+    val k = (maxR / cellMicro + 1L).toInt
+    val uDeg = (u: org.apache.spark.sql.Column) =>
+      lit(frameLat0) + u.cast("double") * lit(1e-6)
+    val vDeg = (v: org.apache.spark.sql.Column) =>
+      lit(frameLon0) + v.cast("double") * lit(1e-6)
+    val samp = points
+      .withColumn("s_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .select(col("s_cell"), col("pid").as("spid"),
+        col("u").as("su"), col("v").as("sv"), col("value").as("sval"))
+      .hint("SHUFFLE_HASH")
+    val focals = points.filter(col("pid") % sampleMod === 0)
+    val cand = focals
+      .withColumn("p_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .withColumn("cand_cell", explode(fns.cell_disk(col("p_cell"), lit(k), res)))
+      .join(samp, col("cand_cell") === col("s_cell"))
+      .filter(col("spid") =!= col("pid"))
+      .withColumn("d2",
+        (col("su") - col("u")) * (col("su") - col("u")) +
+          (col("sv") - col("v")) * (col("sv") - col("v")))
+      .withColumn("dz2",
+        (col("sval") - col("value")) * (col("sval") - col("value")))
+    val bounds = (0L +: lagsMicroDeg).zip(lagsMicroDeg)
+    val aggs = bounds.flatMap { case (lo, hi) =>
+      val in = col("d2") > lit(lo * lo) && col("d2") <= lit(hi * hi)
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$hi"),
+        sum(when(in, col("dz2")).otherwise(0L)).as(s"s_$hi"))
+    }
+    val row = cand.agg(aggs.head, aggs.tail: _*).head()
+    val sp = points.sparkSession
+    import sp.implicits._
+    bounds.zipWithIndex.map { case ((lo, hi), i) =>
+      val n = if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i)
+      val s = if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1)
+      (hi, lo, n, s, if (n == 0) 0L else s * 1000L / (2L * n))
+    }.toDF("lag_micro", "lag_lo_micro", "n_pairs", "sse", "gamma_milli")
+  }
+
   def ripleyK(points: DataFrame, radiiMicroDeg: Seq[Long], res: Int,
               sampleMod: Long,
               frameLat0: Double = graft.synth.Synth.LAT0,

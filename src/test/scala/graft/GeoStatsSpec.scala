@@ -288,6 +288,38 @@ class GeoStatsSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted) // monotone in r
   }
 
+  test("semivariogram: matches the quadratic brute force; trend field rises with lag") {
+    val rows = Pipeline.geoImages(spark, sf)
+      .select(expr("CAST(substring(image_id, 4) AS BIGINT)"), col("u"), col("v"),
+        expr("(u + v) DIV 10 + (phash DIV 2147483648) % 257"))
+      .as[(Long, Long, Long, Long)].collect()
+    val lags = Seq(500L, 1000L, 2000L)
+    val bounds = (0L +: lags).zip(lags)
+    val focals = rows.filter(_._1 % 50 == 0)
+    val want = bounds.map { case (lo, hi) =>
+      val prs = for {
+        (fp, fu, fv, fz) <- focals
+        (p, u, v, z) <- rows
+        if p != fp
+        d2 = (u - fu) * (u - fu) + (v - fv) * (v - fv)
+        if d2 > lo * lo && d2 <= hi * hi
+      } yield (z - fz) * (z - fz)
+      val (n, s) = (prs.length.toLong, prs.sum)
+      (hi, lo, n, s, if (n == 0) 0L else s * 1000L / (2L * n))
+    }
+    val got = GeoStatsOps.semivariogram(
+        Pipeline.geoImages(spark, sf).select(
+          expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+          col("u"), col("v"),
+          expr("(u + v) DIV 10 + (phash DIV 2147483648) % 257").as("value")),
+        lags, res = 3, sampleMod = 50L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === want)
+    // the (u+v) trend dominates the bounded nugget: γ strictly rises
+    assert(got.map(_._5).toSeq === got.map(_._5).toSeq.sorted)
+    assert(got.last._5 > got.head._5)
+  }
+
   test("odMatrix: endpoint-zone brute force, flow conservation, exact ppm shares") {
     val (g, _, _) = Pipeline.prepared(spark, sf)
     val s = (g - 1) * 1000L
