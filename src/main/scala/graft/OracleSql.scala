@@ -4430,6 +4430,22 @@ ORDER BY event_type, window_start_sec""",
 
     // funnel: MIRROR — chained per-user first-occurrence frontiers with
     // strict-after joins; min() + strict `>` make it tie-insensitive
+    // Markov transition matrix: the same LEAD over (ts µs, event_id) per
+    // user, counts per (from, to), exact ppm row normalization
+    "q_events_markov" ->
+      """WITH tr AS (
+  SELECT event_type AS f,
+    LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS t
+  FROM events),
+c AS (
+  SELECT f AS from_type, t AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tr WHERE t IS NOT NULL GROUP BY f, t),
+tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+  CAST((c.n * 1000000) // tt.tot AS BIGINT) AS p_ppm
+FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""",
+
     "q_events_funnel" ->
       """WITH f1 AS (
   SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY user_id),

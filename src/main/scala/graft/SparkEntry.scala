@@ -1998,6 +1998,13 @@ object SparkEntry {
       EventOps.asofJoin(Synth.events(s, dir), "purchase", "view")
         .orderBy("user_id", "left_ts_us", "left_id")),
 
+    // first-order Markov transition matrix over per-user event streams:
+    // P(next | current) as exact ppm integers, deterministic under the
+    // (ts_us, event_id) tie-break; one user-keyed shuffle, ≤ |types|² rows
+    "q_events_markov" -> ((s, dir) =>
+      EventOps.transitionMatrix(Synth.events(s, dir))
+        .orderBy("from_type", "to_type")),
+
     // ordered funnel (signup → view → click → purchase, first-occurrence
     // chaining with strict-after steps): per-stage user counts
     "q_events_funnel" -> ((s, dir) =>

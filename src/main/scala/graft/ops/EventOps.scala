@@ -92,6 +92,29 @@ object EventOps {
         sumMicro(col("value")).as("sum_value_micro"))
   }
 
+  /** First-order Markov transition matrix over per-user event streams —
+    * the behavioral-model fit behind next-action prediction and anomaly
+    * scoring: P(to | from) for every consecutive (event, next event) pair
+    * within a user's (ts, event_id)-ordered history. Probabilities are
+    * exact ppm integers (n·1e6 DIV row total), so the matrix is
+    * engine-reproducible; the (ts_us, event_id) tie-break makes the LEAD
+    * deterministic. ONE shuffle on user_id for the lead; the count
+    * aggregate collapses map-side to ≤ |types|² rows, and the row
+    * normalization is a window over that tiny result. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        expr("n * 1000000 DIV sum(n) OVER (PARTITION BY from_type)"))
+  }
+
   /** Ordered-funnel analysis: how many users reach each stage, where stage
     * i+1 counts only events STRICTLY AFTER the user's first qualifying
     * stage-i event (first-occurrence chaining — the standard product

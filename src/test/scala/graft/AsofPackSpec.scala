@@ -114,6 +114,26 @@ class AsofPackSpec extends AnyFunSuite {
     assert(a === b && a.nonEmpty)
   }
 
+  test("transitionMatrix: hand-built chains, ppm rows sum ≤ 1e6, cross-user isolation") {
+    // user 1: a → b → a → c ; user 2: a → b   (no transition crosses users)
+    val df = eventsDf(Seq(
+      ev(1, 1, 10, "a", 0), ev(2, 1, 20, "b", 0), ev(3, 1, 30, "a", 0),
+      ev(4, 1, 40, "c", 0), ev(5, 2, 15, "a", 0), ev(6, 2, 25, "b", 0)))
+    val got = EventOps.transitionMatrix(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // from a: a→b twice (u1, u2), a→c once → ppm 666666 / 333333
+    assert(got(("a", "b")) === ((2L, 666666L)))
+    assert(got(("a", "c")) === ((1L, 333333L)))
+    assert(got(("b", "a")) === ((1L, 1000000L)))
+    assert(got.size === 3) // c is terminal, u2's b is terminal
+    // equal-ts tie broken by event_id: two same-second events order by id
+    val tie = eventsDf(Seq(ev(7, 3, 50, "x", 0), ev(8, 3, 50, "y", 0)))
+    val t2 = EventOps.transitionMatrix(tie).collect()
+    assert(t2.length === 1 &&
+      t2.head.getString(0) === "x" && t2.head.getString(1) === "y")
+  }
+
   test("funnel: strict-after chaining — order matters, equal ts does not advance") {
     val rows = Seq(
       // user 1 completes A→B in order
