@@ -3404,6 +3404,63 @@ SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(SUM(e) AS BIGINT) AS sum_eq
 FROM eqpx GROUP BY k, fmt, w, h ORDER BY k""",
 
+    // Otsu threshold: gray histogram from the splitmix chain, class moments
+    // by window cumulative sums, the same division-free integer score
+    // A² DIV (n0·n1) and (score DESC, t ASC) argmax
+    "q_image_otsu" ->
+      s"""WITH ${pxChainCtes("o_orderkey % 23 = 0 AND o_orderkey % 5 <> 3")},
+fin AS (SELECT k, fmt, w, h, x, y, xor(z2, z2 >> 31) AS z FROM m2),
+gray AS (SELECT k, fmt, w, h,
+  z % 256 + (z // 256) % 256 + (z // 65536) % 256 AS g FROM fin),
+hist AS (SELECT k, fmt, w, h, g, COUNT(*) AS cnt
+  FROM gray GROUP BY k, fmt, w, h, g),
+cum AS (
+  SELECT k, fmt, w, h, g,
+    SUM(cnt) OVER (PARTITION BY k ORDER BY g) AS n0,
+    SUM(g * cnt) OVER (PARTITION BY k ORDER BY g) AS s0,
+    SUM(cnt) OVER (PARTITION BY k) AS n,
+    SUM(g * cnt) OVER (PARTITION BY k) AS s
+  FROM hist),
+sc AS (
+  SELECT k, fmt, w, h, g AS t, n0, n - n0 AS n1,
+    s0 * (n - n0) - (s - s0) * n0 AS a
+  FROM cum WHERE n - n0 > 0),
+best AS (
+  SELECT k, fmt, w, h, t, n0, n1, (a * a) // (n0 * n1) AS score_q,
+    ROW_NUMBER() OVER (PARTITION BY k
+      ORDER BY (a * a) // (n0 * n1) DESC, t) AS rn
+  FROM sc)
+SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  CAST(t AS BIGINT) AS t_star, CAST(score_q AS BIGINT) AS score_q,
+  CAST(n0 AS BIGINT) AS n_bg, CAST(n1 AS BIGINT) AS n_fg
+FROM best WHERE rn = 1 ORDER BY k""",
+
+    // gray-histogram Shannon entropy: the exact BIGINT identity
+    // n·ln9(n) − Σ cnt·ln9(cnt) under the nano-LN convention, and the
+    // floored ppm-of-max ratio
+    "q_image_entropy" ->
+      s"""WITH ${pxChainCtes("o_orderkey % 41 = 0 AND o_orderkey % 5 <> 3")},
+fin AS (SELECT k, fmt, w, h, x, y, xor(z2, z2 >> 31) AS z FROM m2),
+gray AS (SELECT k, fmt, w, h,
+  z % 256 + (z // 256) % 256 + (z // 65536) % 256 AS g FROM fin),
+hist AS (SELECT k, fmt, w, h, g, COUNT(*) AS cnt
+  FROM gray GROUP BY k, fmt, w, h, g),
+agg AS (
+  SELECT k, fmt, w, h,
+    CAST(SUM(cnt) AS BIGINT) AS n,
+    CAST(COUNT(*) AS BIGINT) AS n_bins,
+    CAST(SUM(cnt * CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS acc
+  FROM hist GROUP BY k, fmt, w, h),
+fin2 AS (
+  SELECT k, fmt, w, h, n, n_bins,
+    n * CAST(ROUND(LN(CAST(n AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT) - acc AS ent_num,
+    n * CAST(ROUND(LN(CAST(n AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT) AS maxent
+  FROM agg)
+SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  n AS n_px, n_bins, CAST(ent_num AS BIGINT) AS ent_num,
+  CAST(CASE WHEN n > 1 THEN (1000000 * ent_num) // maxent ELSE 0 END AS BIGINT) AS ratio_ppm
+FROM fin2 ORDER BY k""",
+
     // augmentation digests: the same splitmix rebuild, with hflip/rot180
     // expressed as a position REMAP (p0 recomputed from mirrored x/y) —
     // Spark physically rearranges decoded bytes, DuckDB re-weights the

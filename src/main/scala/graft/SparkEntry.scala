@@ -1847,6 +1847,40 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Otsu global binarization threshold: between-class variance maximized
+    // over integer gray, ranked by the division-free floored quotient
+    // A² DIV (n0·n1) with lowest-t tie-break — DuckDB rebuilds the gray
+    // histogram from the splitmix chain, window-cumsums the class moments,
+    // and re-ranks with the identical integer score, so the chosen cut is
+    // bit-decided. Map-side only; bytes never shuffle
+    "q_image_otsu" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val imgs = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 23 === 0 && col("fmt") =!= "jpeg")
+      ImageOps.otsuStats(s, imgs)
+        .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
+          col("fmt"), col("w"), col("h"), col("t_star"), col("score_q"),
+          col("n_bg"), col("n_fg"))
+        .orderBy("k")
+    }),
+
+    // Shannon entropy of the gray histogram: the exact BIGINT identity
+    // n·H·1e9 = n·ln9(n) − Σ cnt·ln9(cnt) under the proven nano-LN
+    // convention — DuckDB re-derives the histogram from the splitmix chain
+    // and replays the same identity and floored ratio_ppm gate
+    "q_image_entropy" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val imgs = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 41 === 0 && col("fmt") =!= "jpeg")
+      ImageOps.entropyStats(s, imgs)
+        .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
+          col("fmt"), col("w"), col("h"), col("n_px"), col("n_bins"),
+          col("ent_num"), col("ratio_ppm"))
+        .orderBy("k")
+    }),
+
     // phash near-dup COMPONENTS (pairs → clusters → survivor): the image
     // twin of q_doc_dedup_components, composing the banded hamming join
     // with the large/small-star connected components; the oracle closes the

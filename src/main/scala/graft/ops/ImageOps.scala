@@ -583,6 +583,99 @@ object ImageOps {
       }.toDF("image_id", "fmt", "w", "h", "eq_digest", "min_eq", "max_eq", "sum_eq")
   }
 
+  /** Otsu global threshold (Otsu, IEEE TSMC 1979 — public): the
+    * between-class-variance-maximizing binarization cut on integer gray
+    * g = r+g+b (0..765), the standard adaptive foreground/background split
+    * (document scans, masks, saliency pre-pass). Division-free exactness:
+    * for a cut t, σ²_b ∝ A(t)²/(n0·n1) with A = s0·n1 − s1·n0 (all exact
+    * Longs — n ≤ 2^16 px and g ≤ 765 bound A² < 2^63); both engines rank by
+    * the floored quotient score = A² DIV (n0·n1) (identical non-negative
+    * floor division) with the LOWEST t winning ties, so the chosen
+    * threshold is bit-decided. Flat images (single occupied bin → no valid
+    * cut) emit no row in both engines.
+    *
+    * Scale shape: histogram + prefix scan fuse into the decode pass (one
+    * 766-long thread-local table); only 8 scalars per image shuffle —
+    * bytes never travel. */
+  def otsuStats(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).flatMap { case (rgb, w, h) =>
+            val hist = new Array[Long](766)
+            var i = 0
+            while (i < rgb.length) {
+              hist((rgb(i) & 0xff) + (rgb(i + 1) & 0xff) + (rgb(i + 2) & 0xff)) += 1
+              i += 3
+            }
+            val n = w.toLong * h
+            var s = 0L
+            var g = 0
+            while (g < 766) { s += g * hist(g); g += 1 }
+            var n0 = 0L; var s0 = 0L
+            var bestT = -1L; var bestScore = -1L; var bestN0 = 0L
+            g = 0
+            while (g < 766) {
+              if (hist(g) > 0) {
+                n0 += hist(g); s0 += g.toLong * hist(g)
+                val n1 = n - n0
+                if (n1 > 0) {
+                  val a = s0 * n1 - (s - s0) * n0
+                  val score = (a * a) / (n0 * n1)
+                  if (score > bestScore) { bestScore = score; bestT = g; bestN0 = n0 }
+                }
+              }
+              g += 1
+            }
+            if (bestT >= 0)
+              Some((id, fmt, w, h, bestT, bestScore, bestN0, n - bestN0))
+            else None
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "t_star", "score_q", "n_bg", "n_fg")
+  }
+
+  /** Shannon entropy of the integer-gray histogram (Shannon 1948) — the
+    * information-content triage signal (flat/synthetic/low-texture detection
+    * in a crawl corpus). Exact integer form: with ln9(x) = round(ln(x)·1e9)
+    * (the proven q_doc_bigram_ppl LN convention), n·H·1e9 = n·ln9(n) −
+    * Σ_g cnt_g·ln9(cnt_g) =: ent_num — a BIGINT identity with no division,
+    * so the gate ratio_ppm = 1e6·ent_num DIV (n·ln9(n)) is bit-decided.
+    *
+    * Scale shape: histogram + both sums fuse into the decode pass; 7
+    * scalars per image shuffle, bytes never travel. */
+  def entropyStats(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            val hist = new Array[Long](766)
+            var i = 0
+            while (i < rgb.length) {
+              hist((rgb(i) & 0xff) + (rgb(i + 1) & 0xff) + (rgb(i + 2) & 0xff)) += 1
+              i += 3
+            }
+            @inline def ln9(x: Long): Long = Math.round(math.log(x.toDouble) * 1e9)
+            val n = w.toLong * h
+            var bins = 0L; var acc = 0L
+            var g = 0
+            while (g < 766) {
+              if (hist(g) > 0) { bins += 1; acc += hist(g) * ln9(hist(g)) }
+              g += 1
+            }
+            val entNum = n * ln9(n) - acc
+            val ratioPpm =
+              if (n > 1) 1000000L * entNum / (n * ln9(n)) else 0L
+            (id, fmt, w, h, n, bins, entNum, ratioPpm)
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "n_px", "n_bins", "ent_num", "ratio_ppm")
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

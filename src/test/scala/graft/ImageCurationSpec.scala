@@ -195,6 +195,62 @@ class ImageCurationSpec extends AnyFunSuite {
       eq.map(_.toLong).sum)))
   }
 
+  test("otsuStats: two-level exact cut, flat emits no row, noise parity with in-JVM reference") {
+    // two-level 4×1 (10,10,200,200 in all channels → gray 30,30,600,600):
+    // only valid cut t=30: A = 60·2 − 1200·2 = −2280, score = A²/4 = 1299600
+    val two = Bmp.encode(Array[Byte](10, 10, 10, 10, 10, 10,
+      200.toByte, 200.toByte, 200.toByte, 200.toByte, 200.toByte, 200.toByte), 4, 1)
+    val flat = Bmp.encode(Array.fill(3 * 2 * 3)(100.toByte), 3, 2)
+    val noise = Codec.encodeFor("png", 550055L, 9, 8)
+    val got = ImageOps.otsuStats(spark,
+        Seq(("two", "bmp", two), ("flat", "bmp", flat), ("noise", "png", noise))
+          .toDF("image_id", "fmt", "bytes"))
+      .collect().map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("t_star"), r.getAs[Long]("score_q"),
+          r.getAs[Long]("n_bg"), r.getAs[Long]("n_fg"))).toMap
+    assert(!got.contains("flat")) // single bin → no valid cut
+    assert(got("two") === ((30L, 1299600L, 2L, 2L)))
+    // noise parity: brute-force argmax over every occupied gray value
+    val rgb = Bmp.pixels(550055L, 9, 8)
+    val gs = rgb.grouped(3).map(p => p.map(_ & 0xff).sum.toLong).toSeq
+    val n = gs.size.toLong; val s = gs.sum
+    val cand = gs.distinct.sorted.flatMap { t =>
+      val lo = gs.filter(_ <= t)
+      val (n0, s0) = (lo.size.toLong, lo.sum)
+      if (n - n0 > 0) {
+        val a = s0 * (n - n0) - (s - s0) * n0
+        Some((t, (a * a) / (n0 * (n - n0)), n0))
+      } else None
+    }
+    val best = cand.maxBy { case (t, sc, _) => (sc, -t) }
+    assert(got("noise") === ((best._1, best._2, best._3, n - best._3)))
+  }
+
+  test("entropyStats: flat→0, two-level exact, noise parity with in-JVM reference") {
+    def ln9(x: Long): Long = Math.round(math.log(x.toDouble) * 1e9)
+    val flat = Bmp.encode(Array.fill(3 * 2 * 3)(100.toByte), 3, 2)
+    val two = Bmp.encode(Array[Byte](10, 10, 10, 10, 10, 10,
+      200.toByte, 200.toByte, 200.toByte, 200.toByte, 200.toByte, 200.toByte), 4, 1)
+    val noise = Codec.encodeFor("png", 808080L, 8, 7)
+    val got = ImageOps.entropyStats(spark,
+        Seq(("flat", "bmp", flat), ("two", "bmp", two), ("noise", "png", noise))
+          .toDF("image_id", "fmt", "bytes"))
+      .collect().map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("n_px"), r.getAs[Long]("n_bins"),
+          r.getAs[Long]("ent_num"), r.getAs[Long]("ratio_ppm"))).toMap
+    assert(got("flat") === ((6L, 1L, 0L, 0L)))
+    val entTwo = 4L * ln9(4) - 4L * ln9(2)
+    assert(got("two") === ((4L, 2L, entTwo, 1000000L * entTwo / (4L * ln9(4)))))
+    // noise parity from the known source pixels
+    val gs = Bmp.pixels(808080L, 8, 7).grouped(3)
+      .map(p => p.map(_ & 0xff).sum).toSeq
+    val n = gs.size.toLong
+    val acc = gs.groupBy(identity).values.map(v => v.size.toLong * ln9(v.size)).sum
+    val ent = n * ln9(n) - acc
+    assert(got("noise") === ((n, gs.distinct.size.toLong, ent,
+      1000000L * ent / (n * ln9(n)))))
+  }
+
   test("phash components: a planted chain merges into ONE component with one survivor") {
     // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
     // plus an isolated far image that must NOT join
