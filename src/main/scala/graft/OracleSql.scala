@@ -3885,6 +3885,58 @@ rk AS (
 SELECT doc_id, rk, term, tf, score9 FROM rk WHERE rk <= 3
 ORDER BY doc_id, rk""",
 
+    // PMI collocations: bigram/unigram counts re-derived, every LN factor
+    // nano-rounded SEPARATELY on its integer count, combined in BIGINT,
+    // same (pmi9 DESC, w1, w2) top-50 cut
+    "q_doc_pmi" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+  FROM toks WHERE len(tk) >= 2),
+uni AS (SELECT w, COUNT(*) AS cu
+  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+totals AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_tok,
+  CAST(SUM(len(tk) - 1) AS BIGINT) AS n_big FROM toks),
+bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM pairs GROUP BY w1, w2),
+sc AS (
+  SELECT b.w1, b.w2, b.cb,
+    CAST(u1.cu AS BIGINT) AS c1, CAST(u2.cu AS BIGINT) AS c2,
+    CAST(ROUND(LN(CAST(b.cb AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)
+    + 2 * CAST(ROUND(LN(CAST(t.n_tok AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)
+    - CAST(ROUND(LN(CAST(t.n_big AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)
+    - CAST(ROUND(LN(CAST(u1.cu AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)
+    - CAST(ROUND(LN(CAST(u2.cu AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT) AS pmi9
+  FROM bi b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2, totals t
+  WHERE b.cb >= 5)
+SELECT w1, w2, cb, c1, c2, pmi9 FROM sc
+ORDER BY pmi9 DESC, w1, w2 LIMIT 50""",
+
+    // Heaps-law vocabulary growth: the same max_doc·i DIV 10 checkpoints,
+    // cumulative tokens/docs by checkpoint cross join, cumulative vocab by
+    // first-occurrence (MIN doc_id) inversion
+    "q_doc_heaps" ->
+      """WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+mx AS (SELECT MAX(doc_id) AS m FROM documents),
+cps AS (SELECT CAST(i AS BIGINT) AS i, (mx.m * i) // 10 AS cp
+  FROM generate_series(1, 10) t(i), mx),
+fs AS (SELECT term, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+  GROUP BY term),
+tokcum AS (
+  SELECT c.i, c.cp, CAST(COUNT(*) AS BIGINT) AS docs_cum,
+    CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_cum
+  FROM cps c JOIN toks t ON t.doc_id <= c.cp GROUP BY c.i, c.cp),
+voccum AS (
+  SELECT c.i, c.cp, CAST(COUNT(*) AS BIGINT) AS vocab_cum
+  FROM cps c JOIN fs f ON f.first_doc <= c.cp GROUP BY c.i, c.cp)
+SELECT t.i, t.cp, t.docs_cum, t.tokens_cum, v.vocab_cum
+FROM tokcum t JOIN voccum v ON v.i = t.i AND v.cp = t.cp
+ORDER BY t.i""",
+
     "q_doc_bigram_ppl" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
 pairs AS (

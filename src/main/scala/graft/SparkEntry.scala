@@ -1089,6 +1089,20 @@ object SparkEntry {
       TextOps.tfidfKeywords(Synth.documents(s, dir), k = 3)
         .orderBy("doc_id", "rk")),
 
+    // PMI collocations: per-integer nano-rounded LN factors combined in
+    // BIGINT (no cross-factor double sums), so the top-k cut under the
+    // total order (pmi9 DESC, w1, w2) is bit-decided in both engines
+    "q_doc_pmi" -> ((s, dir) =>
+      TextOps.pmiCollocations(Synth.documents(s, dir), minCount = 5L, k = 50)
+        .orderBy(col("pmi9").desc, col("w1"), col("w2"))),
+
+    // Heaps-law vocabulary growth: cumulative-distinct made parallel by
+    // first-occurrence inversion (vocab ≤ cp ⟺ min doc_id ≤ cp); DuckDB
+    // re-derives the same checkpoints and counts
+    "q_doc_heaps" -> ((s, dir) =>
+      TextOps.vocabGrowth(Synth.documents(s, dir), buckets = 10)
+        .orderBy("i")),
+
     "q_doc_simhash" -> ((s, dir) =>
       TextOps.simHashPairs(Synth.documents(s, dir), maxHam = 12)
         .orderBy("id1", "id2")),

@@ -874,6 +874,89 @@ object TextOps {
       .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score9"))
   }
 
+  /** PMI collocations (Church & Hanks, CL 1990 — public): the top-k
+    * adjacent word pairs by pointwise mutual information
+    * ln(P(w1,w2)/(P(w1)P(w2))) — the classic multi-word-expression /
+    * tokenizer-merge-candidate signal of a text pipeline. Integer-exact
+    * scoring: every factor is nano-rounded SEPARATELY (ln9(x) =
+    * round(ln(x)·1e9), the proven LN convention applied only to integer
+    * counts), then combined in BIGINT: pmi9 = ln9(c12) + 2·ln9(N_tok) −
+    * ln9(N_big) − ln9(c1) − ln9(c2) — no double ever sums across factors,
+    * so ranking and the top-k cut are bit-decided ((pmi9 DESC, w1, w2) is a
+    * total order).
+    *
+    * Scale shape: one bigram explode + two VOCABULARY-sized aggregates +
+    * two vocab-keyed joins on the (already vocab²-bounded, minCount-pruned)
+    * bigram table; N_tok/N_big reach the plan as driver literals (BM25
+    * pattern); the global top-k is a TakeOrdered over the pruned bigram
+    * table, never the corpus. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokensCol(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val pairs = toks.filter(col("n_tokens") >= 2)
+      .select(explode(sequence(lit(1), (col("n_tokens") - 1).cast("int"))).as("i"),
+        col("tk"))
+      .select(element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + 1).as("w2"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // two driver scalars (BM25 pattern): corpus token and bigram totals
+    val totals = toks.agg(sum(col("n_tokens")).as("t"),
+      sum(col("n_tokens") - 1).as("b")).head()
+    val nTok = totals.getLong(0); val nBig = totals.getLong(1)
+    def ln9(c: Column): Column =
+      round(log(c.cast("double")) * lit(1e9), 0).cast("long")
+    val lnTok = Math.round(math.log(nTok.toDouble) * 1e9)
+    val lnBig = Math.round(math.log(nBig.toDouble) * 1e9)
+    bi.filter(col("cb") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .withColumn("pmi9", ln9(col("cb")) + lit(2L * lnTok) - lit(lnBig) -
+        ln9(col("c1")) - ln9(col("c2")))
+      .orderBy(col("pmi9").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("cb"), col("c1"), col("c2"), col("pmi9"))
+  }
+
+  /** Heaps-law vocabulary growth curve (Heaps 1978 — public): distinct
+    * vocabulary vs tokens seen at `buckets` doc-id checkpoints — the
+    * dedup-health / corpus-diversity diagnostic (a flattening curve means
+    * new data is re-crawl, not new content). The cumulative-distinct
+    * count, naively a running set, becomes embarrassingly parallel through
+    * first-occurrence inversion: vocab_cum(cp) = #{terms whose MIN doc_id
+    * ≤ cp} — one vocab-sized aggregate, no ordered scan, no state.
+    * Checkpoints cp_i = max_doc·i DIV buckets (integer floor, engine-
+    * identical; max_doc is a driver literal).
+    *
+    * Scale shape: one explode + one vocab-sized min aggregate; both
+    * cumulative sums are a broadcast join against the |buckets|-row
+    * checkpoint table + partial-aggregated sums — never a window over the
+    * corpus. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      size(tokensCol(col("text"))).cast("long").as("n_tokens"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) // driver scalar
+    val cps = (1 to buckets).map(i => (i.toLong, maxId * i / buckets))
+      .toDF("i", "cp")
+    val firstSeen = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("term"))
+      .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+    val tokCum = toks.select(col("doc_id"), col("n_tokens"))
+      .crossJoin(broadcast(cps)).filter(col("doc_id") <= col("cp"))
+      .groupBy("i", "cp")
+      .agg(count(lit(1)).as("docs_cum"), sum(col("n_tokens")).as("tokens_cum"))
+    val vocCum = firstSeen
+      .crossJoin(broadcast(cps)).filter(col("first_doc") <= col("cp"))
+      .groupBy("i", "cp").agg(count(lit(1)).as("vocab_cum"))
+    tokCum.join(vocCum, Seq("i", "cp"))
+      .select(col("i"), col("cp"), col("docs_cum"), col("tokens_cum"),
+        col("vocab_cum"))
+      .orderBy("i")
+  }
+
   /** Deterministic COLLISION-FREE training-order shuffle via a Feistel
     * network (Luby, Rackoff, SIAM J. Comput. 1988 — a balanced Feistel over
     * any round function is a bijection; the format-preserving-encryption

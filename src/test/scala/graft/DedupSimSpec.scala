@@ -159,6 +159,57 @@ class DedupSimSpec extends AnyFunSuite {
     assert(commonRows.forall(_ === 0L))
   }
 
+  test("pmiCollocations: glued pair outranks independent pairs; brute-force parity; minCount prunes") {
+    // 'x y' always adjacent (a true collocation); filler words co-occur freely
+    val docs = Seq(
+      (1L, "x y a b a c x y b a", "en", "web"),
+      (2L, "b x y c a b x y a c", "en", "web"),
+      (3L, "a c b x y a b c b a", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.pmiCollocations(docs, minCount = 2L, k = 100)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.head._1 === "x" && got.head._2 === "y")
+    // brute-force reference with the identical per-factor ln9 combination
+    def ln9(x: Long): Long = Math.round(math.log(x.toDouble) * 1e9)
+    val tk = Seq("x y a b a c x y b a", "b x y c a b x y a c",
+      "a c b x y a b c b a").map(_.split(" ").toSeq)
+    val nTok = tk.map(_.size).sum.toLong
+    val nBig = tk.map(_.size - 1).sum.toLong
+    val uni = tk.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = tk.flatMap(t => t.zip(t.tail)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val want = bi.filter(_._2 >= 2L).map { case ((w1, w2), cb) =>
+      (w1, w2, cb, uni(w1), uni(w2),
+        ln9(cb) + 2 * ln9(nTok) - ln9(nBig) - ln9(uni(w1)) - ln9(uni(w2)))
+    }.toSeq.sortBy(r => (-r._6, r._1, r._2))
+    assert(got.toSeq === want)
+    // minCount prunes: with minCount above every pair count, nothing survives
+    assert(TextOps.pmiCollocations(docs, minCount = 100L, k = 10).count() === 0L)
+  }
+
+  test("vocabGrowth: checkpoints, cumulative tokens and first-occurrence vocab match brute force") {
+    val docs = Seq(
+      (0L, "a b c", "en", "web"), (1L, "a b", "en", "web"),
+      (2L, "d", "en", "web"), (3L, "a d e f", "en", "web"),
+      (4L, "a", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.vocabGrowth(docs, buckets = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // max_doc = 4 → checkpoints 4·i DIV 4 = 1, 2, 3, 4
+    val texts = Map(0L -> "a b c", 1L -> "a b", 2L -> "d", 3L -> "a d e f", 4L -> "a")
+    val want = (1 to 4).map { i =>
+      val cp = 4L * i / 4
+      val in = texts.filter(_._1 <= cp)
+      (i.toLong, cp, in.size.toLong,
+        in.values.map(_.split(" ").length.toLong).sum,
+        in.values.flatMap(_.split(" ")).toSet.size.toLong)
+    }
+    assert(got === want)
+    // the curve is monotone in both coordinates
+    assert(got.map(_._4) === got.map(_._4).sorted)
+    assert(got.map(_._5) === got.map(_._5).sorted)
+  }
+
   test("SimHash hamming pairs: identical docs at distance 0") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
