@@ -4555,6 +4555,42 @@ SELECT c.from_type, c.to_type, c.n,
   CAST((c.n * 1000000) // tt.tot AS BIGINT) AS p_ppm
 FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""",
 
+    // CUSUM: the identical per-user serial recurrence replayed by a
+    // recursive CTE over (ts_us, event_id)-ranked rows, integer micros
+    // end to end (target 60e6, threshold 400e6)
+    "q_events_cusum" ->
+      """WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT) AS v6,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, rn, ts_us,
+    CASE WHEN GREATEST(0::BIGINT, v6 - 60000000) >= 400000000
+         THEN 0::BIGINT ELSE GREATEST(0::BIGINT, v6 - 60000000) END AS s,
+    CASE WHEN GREATEST(0::BIGINT, v6 - 60000000) >= 400000000
+         THEN 1::BIGINT ELSE 0::BIGINT END AS n_alarms,
+    CASE WHEN GREATEST(0::BIGINT, v6 - 60000000) >= 400000000
+         THEN ts_us ELSE -1::BIGINT END AS first_ts,
+    GREATEST(0::BIGINT, v6 - 60000000) AS peak
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.ts_us,
+    CASE WHEN GREATEST(0::BIGINT, r.s + e.v6 - 60000000) >= 400000000
+         THEN 0::BIGINT ELSE GREATEST(0::BIGINT, r.s + e.v6 - 60000000) END,
+    r.n_alarms + CASE WHEN GREATEST(0::BIGINT, r.s + e.v6 - 60000000) >= 400000000
+         THEN 1::BIGINT ELSE 0::BIGINT END,
+    CASE WHEN r.first_ts < 0 AND GREATEST(0::BIGINT, r.s + e.v6 - 60000000) >= 400000000
+         THEN e.ts_us ELSE r.first_ts END,
+    GREATEST(r.peak, GREATEST(0::BIGINT, r.s + e.v6 - 60000000))
+  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+fin AS (SELECT user_id, MAX(rn) AS mx FROM rec GROUP BY user_id)
+SELECT r.user_id, CAST(f.mx AS BIGINT) AS n_events, r.n_alarms,
+  r.first_ts AS first_alarm_ts, r.peak AS peak_s
+FROM rec r JOIN fin f ON f.user_id = r.user_id AND r.rn = f.mx
+ORDER BY r.user_id""",
+
     "q_events_funnel" ->
       """WITH f1 AS (
   SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY user_id),

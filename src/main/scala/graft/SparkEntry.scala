@@ -2053,6 +2053,17 @@ object SparkEntry {
       EventOps.transitionMatrix(Synth.events(s, dir))
         .orderBy("from_type", "to_type")),
 
+    // one-sided CUSUM changepoint detection (Page 1954): the per-user
+    // serial recurrence s = max(0, s + v − target) with reset-on-alarm,
+    // run as a codegen-plan higher-order aggregate over the bounded
+    // per-user array; DuckDB replays the identical recurrence with a
+    // recursive CTE — alarm counts, first-alarm ts and peak all exact
+    // BIGINT micros
+    "q_events_cusum" -> ((s, dir) =>
+      EventOps.cusum(Synth.events(s, dir),
+        targetMicro = 60000000L, hMicro = 400000000L)
+        .orderBy("user_id")),
+
     // ordered funnel (signup → view → click → purchase, first-occurrence
     // chaining with strict-after steps): per-stage user counts
     "q_events_funnel" -> ((s, dir) =>

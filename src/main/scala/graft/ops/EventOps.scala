@@ -115,6 +115,48 @@ object EventOps {
         expr("n * 1000000 DIV sum(n) OVER (PARTITION BY from_type)"))
   }
 
+  /** One-sided CUSUM changepoint / anomaly detection (Page, Biometrika
+    * 1954 — public): per user, over events ordered by (ts_us, event_id),
+    * the recurrence s_i = max(0, s_{i−1} + (v_i − target)) with an alarm
+    * whenever s_i reaches h, after which s resets to 0 (the standard
+    * restart protocol) — the classic drift detector (fraud spend, error
+    * rates, metric regressions). The recurrence is inherently serial per
+    * KEY but only per key: each user's stream collapses to one bounded
+    * array (the per-track-window contract) and the recurrence runs as ONE
+    * higher-order `aggregate` over it — no driver state, no UDF, one
+    * user-keyed shuffle. Values travel as integer micros (floor(v·1e6),
+    * the proven q_events_* convention), so every s_i, the alarm count,
+    * first-alarm timestamp and peak statistic are exact BIGINTs that a
+    * DuckDB recursive CTE reproduces bit-for-bit.
+    *
+    * Output: (user_id, n_events, n_alarms, first_alarm_ts, peak_s). */
+  def cusum(events: DataFrame, targetMicro: Long, hMicro: Long): DataFrame = {
+    val step = s"greatest(CAST(0 AS BIGINT), acc.s + e.v6 - ${targetMicro}L)"
+    events
+      .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("v6", floor(col("value") * lit(1e6)).cast("long"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts_us"), col("event_id"), col("v6")))).as("evs"))
+      .withColumn("res", expr(
+        s"""aggregate(
+           |  evs,
+           |  struct(CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS n_alarms,
+           |         CAST(-1 AS BIGINT) AS first_ts, CAST(0 AS BIGINT) AS peak),
+           |  (acc, e) -> struct(
+           |    CASE WHEN $step >= ${hMicro}L THEN CAST(0 AS BIGINT)
+           |         ELSE $step END AS s,
+           |    acc.n_alarms +
+           |      CASE WHEN $step >= ${hMicro}L THEN 1L ELSE 0L END AS n_alarms,
+           |    CASE WHEN acc.first_ts < 0 AND $step >= ${hMicro}L
+           |         THEN e.ts_us ELSE acc.first_ts END AS first_ts,
+           |    greatest(acc.peak, $step) AS peak))""".stripMargin))
+      .select(col("user_id"), size(col("evs")).cast("long").as("n_events"),
+        col("res.n_alarms").as("n_alarms"),
+        col("res.first_ts").as("first_alarm_ts"),
+        col("res.peak").as("peak_s"))
+  }
+
   /** Ordered-funnel analysis: how many users reach each stage, where stage
     * i+1 counts only events STRICTLY AFTER the user's first qualifying
     * stage-i event (first-occurrence chaining — the standard product

@@ -134,6 +134,26 @@ class AsofPackSpec extends AnyFunSuite {
       t2.head.getString(0) === "x" && t2.head.getString(1) === "y")
   }
 
+  test("cusum: hand-relaxed recurrence — floor at 0, alarm resets, first-alarm ts, cross-user isolation") {
+    // target = 10 units (1e7 micros), h = 15 units (1.5e7 micros)
+    // user 1: values 5, 30, 12, 25  → s: max(0,-5)=0, 20→ALARM reset,
+    //   2, 17→ALARM reset; peaks 20 then 17 → peak 20, 2 alarms, first at ts 20
+    // user 2: values 12, 12 → s: 2, 4 — never alarms, peak 4e6
+    // user 3: equal-ts pair ordered by event_id: 30 then 0:
+    //   s: 20→ALARM reset, 0 — 1 alarm at ts 50 (id 6 first)
+    val df = eventsDf(Seq(
+      ev(1, 1, 10, "a", 5.0), ev(2, 1, 20, "a", 30.0),
+      ev(3, 1, 30, "a", 12.0), ev(4, 1, 40, "a", 25.0),
+      ev(5, 2, 10, "a", 12.0), ev(9, 2, 20, "a", 12.0),
+      ev(6, 3, 50, "a", 30.0), ev(7, 3, 50, "a", 0.0)))
+    val got = EventOps.cusum(df, targetMicro = 10000000L, hMicro = 15000000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === ((4L, 2L, 20000000L, 20000000L)))
+    assert(got(2L) === ((2L, 0L, -1L, 4000000L)))
+    assert(got(3L) === ((2L, 1L, 50000000L, 20000000L)))
+  }
+
   test("funnel: strict-after chaining — order matters, equal ts does not advance") {
     val rows = Seq(
       // user 1 completes A→B in order
