@@ -3051,6 +3051,49 @@ ORDER BY medium, fmt, cls""",
     // rms is EXACT cross-engine: Σv² is an integer < 2^41 (exact in
     // double), sqrt is IEEE correctly rounded, and Math.round(double) is
     // floor(x + 0.5) spelled identically here.
+    // silence runs: the PCM chain re-derived per sample, silent samples
+    // (|v| < 16384) grouped into maximal runs by the j − ROW_NUMBER
+    // gaps-and-islands key; clips with no silent samples keep zero rows
+    // via the LEFT JOIN
+    "q_audio_silence" ->
+      """WITH RECURSIVE
+pw(j, aj, tj) AS (
+  SELECT 1, 6364136223846793005::HUGEINT, 1442695040888963407::HUGEINT
+  UNION ALL
+  SELECT j + 1,
+    (aj * 6364136223846793005::HUGEINT) % 18446744073709551616::HUGEINT,
+    (tj * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+      % 18446744073709551616::HUGEINT
+  FROM pw WHERE j < 1199),
+clips AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 3 = 0 THEN 16000 ELSE 8000 END AS sr,
+    CAST(400 + (o_orderkey * 2654435761) % 800 AS BIGINT) AS n,
+    (o_orderkey * 7919 + 17)::HUGEINT AS seed
+  FROM orders WHERE o_orderkey % 7 = 0),
+smp AS (
+  SELECT c.k, c.sr, c.n, p.j,
+    ((p.aj * c.seed + p.tj) % 18446744073709551616::HUGEINT)
+      // 281474976710656::HUGEINT AS v16
+  FROM clips c JOIN pw p ON p.j <= c.n),
+sv AS (SELECT k, sr, n, j,
+    CASE WHEN v16 >= 32768 THEN v16 - 65536 ELSE v16 END AS v FROM smp),
+sil AS (SELECT k, sr, n, j,
+    j - ROW_NUMBER() OVER (PARTITION BY k ORDER BY j) AS grp
+  FROM sv WHERE ABS(v) < 16384),
+rl AS (SELECT k, sr, n, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM sil GROUP BY k, sr, n, grp),
+agg AS (
+  SELECT k, CAST(SUM(len) AS BIGINT) AS silent_total,
+    CAST(COUNT(*) FILTER (WHERE len >= 4) AS BIGINT) AS n_runs,
+    CAST(MAX(len) AS BIGINT) AS longest
+  FROM rl GROUP BY k)
+SELECT c.k, CAST(c.sr AS INTEGER) AS sample_rate, c.n AS n_samples,
+  COALESCE(a.silent_total, 0::BIGINT) AS silent_total,
+  COALESCE(a.n_runs, 0::BIGINT) AS n_runs,
+  COALESCE(a.longest, 0::BIGINT) AS longest_run
+FROM clips c LEFT JOIN agg a ON a.k = c.k ORDER BY c.k""",
+
     "q_audio_features" ->
       """WITH RECURSIVE
 pw(j, aj, tj) AS (

@@ -1948,6 +1948,20 @@ object SparkEntry {
     // ---- audio: multimodal columns (REAL wav decode, JDK-parser-oracled) --
     // integer aggregate per sample-rate group: sums of per-clip exact integer
     // features pin every decoded PCM sample against the committed oracle
+    // silence-run detection (trim-silence / VAD pre-pass): maximal
+    // below-threshold runs per clip — DuckDB re-derives every PCM sample
+    // from the LCG power table and replays the runs as gaps-and-islands
+    "q_audio_silence" -> ((s, dir) =>
+      AudioOps.silenceRuns(s,
+        Synth.audio(s, dir)
+          .withColumn("k", expr("CAST(substr(audio_id, 4, 20) AS BIGINT)"))
+          .filter(col("k") % 7 === 0),
+        thresh = 16384, minRun = 4)
+        .select(expr("CAST(substr(audio_id, 4, 20) AS BIGINT)").as("k"),
+          col("sample_rate"), col("n_samples"), col("silent_total"),
+          col("n_runs"), col("longest_run"))
+        .orderBy("k")),
+
     "q_audio_features" -> ((s, dir) =>
       AudioOps.decodeFeatures(s, Synth.audio(s, dir))
         .groupBy(col("sample_rate"))

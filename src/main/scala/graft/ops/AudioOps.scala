@@ -58,6 +58,45 @@ object AudioOps {
       }.toDF()
   }
 
+  /** Silence / low-energy run detection (the trim-silence + voice-activity
+    * pre-pass of an audio pipeline): maximal runs of consecutive samples
+    * with |v| < thresh, reported per clip as total silent samples, number
+    * of runs of length ≥ minRun, and the longest run. Pure integers —
+    * every statistic is a BIGINT a gaps-and-islands SQL oracle reproduces
+    * exactly. One map-side decode pass; 6 scalars per clip shuffle,
+    * samples never travel. Undecodable payloads drop (the
+    * q_media_decode_robust gate owns that contract). */
+  def silenceRuns(spark: SparkSession, audio: DataFrame,
+                  thresh: Int = 16384, minRun: Int = 4): DataFrame = {
+    import spark.implicits._
+    audio.select("audio_id", "bytes")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val (samples, sr, _) = Wav.decode(bytes)
+            var i = 0; var cur = 0L; var total = 0L
+            var runs = 0L; var longest = 0L
+            while (i < samples.length) {
+              if (math.abs(samples(i).toInt) < thresh) {
+                cur += 1; total += 1
+                if (cur > longest) longest = cur
+              } else {
+                if (cur >= minRun) runs += 1
+                cur = 0
+              }
+              i += 1
+            }
+            if (cur >= minRun) runs += 1
+            Some((id, sr, samples.length.toLong, total, runs, longest))
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          }
+        }
+      }.toDF("audio_id", "sample_rate", "n_samples", "silent_total",
+        "n_runs", "longest_run")
+  }
+
   /** integer-factor downsample (every `factor`-th frame kept), re-encoded as
     * a standalone WAV at sampleRate/factor. Real end-to-end: the output is a
     * valid RIFF file the decoder (ours or the JDK's) reads back. Like the

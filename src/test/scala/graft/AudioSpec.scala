@@ -147,4 +147,27 @@ class AudioSpec extends AnyFunSuite {
       .select("frame_idx").as[Int].collect().sorted.toSeq
     assert(got === Seq(0, 2)) // frame 4 (sampled) is truncated -> dropped
   }
+
+  test("silenceRuns: hand-built runs — boundary run counts, strict threshold, all-loud/all-silent") {
+    import spark.implicits._
+    def wav(vs: Seq[Int]) = Wav.encode(vs.map(_.toShort).toArray, 8000, 1)
+    // mixed: runs of silent (|v| < 100) lengths 2, 3, then a TRAILING run of 4
+    //   → silent_total 9, n_runs(≥3) counts the 3-run and the trailing 4-run,
+    //     longest 4; threshold is STRICT (100 is loud, 99 silent)
+    val mixed = wav(Seq(0, 50, 100, 99, -99, 0, 100, 5, 5, 5, 5))
+    val loud = wav(Seq(32000, -32000, 30000))
+    val silent = wav(Seq(0, 1, -1, 2))
+    val bad = Array[Byte](1, 2, 3)
+    val got = AudioOps.silenceRuns(spark,
+        Seq(("m", "wav", mixed), ("l", "wav", loud), ("s", "wav", silent),
+          ("x", "wav", bad)).toDF("audio_id", "fmt", "bytes"),
+        thresh = 100, minRun = 3)
+      .collect().map(r => r.getAs[String]("audio_id") ->
+        (r.getAs[Long]("n_samples"), r.getAs[Long]("silent_total"),
+          r.getAs[Long]("n_runs"), r.getAs[Long]("longest_run"))).toMap
+    assert(got("m") === ((11L, 9L, 2L, 4L)))
+    assert(got("l") === ((3L, 0L, 0L, 0L)))
+    assert(got("s") === ((4L, 4L, 1L, 4L))) // whole clip = one trailing run
+    assert(!got.contains("x")) // undecodable drops
+  }
 }
