@@ -1927,6 +1927,32 @@ SELECT CAST(rc.r AS BIGINT) AS r_micro, nf.c AS n_focals, rc.cnt AS n_neighbors,
   CAST((rc.cnt * 1000) // nf.c AS BIGINT) AS mean_milli
 FROM rc CROSS JOIN nf ORDER BY r_micro""",
 
+    // ---- mirror: bounded nearest-neighbor distance -----------------------------
+    // brute force focals × corpus under the same safe bbox prefilter as
+    // ripley (oracle cost); disk semantics restored by the d2 <= R² filter,
+    // truncated focals keep their row via the LEFT JOIN with min_d2 = −1
+    "q_geo_nn" ->
+      s"""WITH $imgCte,
+f AS (SELECT CAST(substring(image_id, 4) AS BIGINT) AS pid, image_id, u, v
+      FROM imgs WHERE CAST(substring(image_id, 4) AS BIGINT) % 50 = 0),
+prs AS (
+  SELECT f.pid,
+    (i.u - f.u) * (i.u - f.u) + (i.v - f.v) * (i.v - f.v) AS d2
+  FROM f, imgs i
+  WHERE i.image_id <> f.image_id
+    AND ABS(i.u - f.u) <= 2000 AND ABS(i.v - f.v) <= 2000),
+ag AS (
+  SELECT pid,
+    CAST(COUNT(*) FILTER (WHERE d2 <= 4000000) AS BIGINT) AS n_in_disk,
+    MIN(d2) FILTER (WHERE d2 <= 4000000) AS mind2
+  FROM prs GROUP BY pid)
+SELECT f.pid, COALESCE(a.n_in_disk, 0::BIGINT) AS n_in_disk,
+  CAST(COALESCE(a.mind2, -1) AS BIGINT) AS min_d2,
+  CAST(CASE WHEN a.mind2 IS NOT NULL
+       THEN FLOOR(SQRT(CAST(a.mind2 AS DOUBLE)))
+       ELSE -1 END AS BIGINT) AS min_d_micro
+FROM f LEFT JOIN ag a ON a.pid = f.pid ORDER BY f.pid""",
+
     // ---- mirror: empirical semivariogram ---------------------------------------
     // quadratic brute force (focals × corpus) under the same safe bbox
     // prefilter as ripley; field value = trend (u+v)//10 + nugget h1%257,
@@ -3477,6 +3503,42 @@ SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(t AS BIGINT) AS t_star, CAST(score_q AS BIGINT) AS score_q,
   CAST(n0 AS BIGINT) AS n_bg, CAST(n1 AS BIGINT) AS n_fg
 FROM best WHERE rn = 1 ORDER BY k""",
+
+    // Sobel: every interior pixel's gx/gy rebuilt from the splitmix chain
+    // via eight neighbor self-joins, identical integer orientation buckets
+    "q_image_sobel" ->
+      s"""WITH ${pxChainCtes("o_orderkey % 43 = 0 AND o_orderkey % 5 <> 3")},
+fin AS (SELECT k, fmt, w, h, x, y, xor(z2, z2 >> 31) AS z FROM m2),
+gray AS (SELECT k, fmt, w, h, x, y,
+  z % 256 + (z // 256) % 256 + (z // 65536) % 256 AS g FROM fin),
+grad AS (
+  SELECT c.k, c.fmt, c.w, c.h,
+    (tr.g + 2*r.g + br.g) - (tl.g + 2*l.g + bl.g) AS gx,
+    (bl.g + 2*b.g + br.g) - (tl.g + 2*t.g + tr.g) AS gy
+  FROM gray c
+  JOIN gray tl ON tl.k = c.k AND tl.x = c.x - 1 AND tl.y = c.y - 1
+  JOIN gray t  ON t.k  = c.k AND t.x  = c.x     AND t.y  = c.y - 1
+  JOIN gray tr ON tr.k = c.k AND tr.x = c.x + 1 AND tr.y = c.y - 1
+  JOIN gray l  ON l.k  = c.k AND l.x  = c.x - 1 AND l.y  = c.y
+  JOIN gray r  ON r.k  = c.k AND r.x  = c.x + 1 AND r.y  = c.y
+  JOIN gray bl ON bl.k = c.k AND bl.x = c.x - 1 AND bl.y = c.y + 1
+  JOIN gray b  ON b.k  = c.k AND b.x  = c.x     AND b.y  = c.y + 1
+  JOIN gray br ON br.k = c.k AND br.x = c.x + 1 AND br.y = c.y + 1
+  WHERE c.x BETWEEN 1 AND c.w - 2 AND c.y BETWEEN 1 AND c.h - 2)
+SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  CAST(COUNT(*) AS BIGINT) AS m,
+  CAST(COUNT(*) FILTER (WHERE gx*gx + gy*gy >= 1500000) AS BIGINT) AS n_edge,
+  CAST(SUM(ABS(gx)) AS BIGINT) AS sum_abs_gx,
+  CAST(SUM(ABS(gy)) AS BIGINT) AS sum_abs_gy,
+  CAST(COUNT(*) FILTER (WHERE gx*gx + gy*gy >= 1500000
+    AND ABS(gx) >= 2*ABS(gy)) AS BIGINT) AS h_cnt,
+  CAST(COUNT(*) FILTER (WHERE gx*gx + gy*gy >= 1500000
+    AND ABS(gx) < 2*ABS(gy) AND ABS(gy) >= 2*ABS(gx)) AS BIGINT) AS v_cnt,
+  CAST(COUNT(*) FILTER (WHERE gx*gx + gy*gy >= 1500000
+    AND ABS(gx) < 2*ABS(gy) AND ABS(gy) < 2*ABS(gx) AND gx*gy > 0) AS BIGINT) AS d1_cnt,
+  CAST(COUNT(*) FILTER (WHERE gx*gx + gy*gy >= 1500000
+    AND ABS(gx) < 2*ABS(gy) AND ABS(gy) < 2*ABS(gx) AND gx*gy <= 0) AS BIGINT) AS d2_cnt
+FROM grad GROUP BY k, fmt, w, h ORDER BY k""",
 
     // gray-histogram Shannon entropy: the exact BIGINT identity
     // n·ln9(n) − Σ cnt·ln9(cnt) under the nano-LN convention, and the

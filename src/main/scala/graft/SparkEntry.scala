@@ -884,6 +884,19 @@ object SparkEntry {
           radiiMicroDeg = Seq(500L, 1000L, 2000L), res = 3, sampleMod = 50L)
         .orderBy("r_micro")),
 
+    // nearest-neighbor distance within R=2000µ° (Clark & Evans 1954
+    // ingredient, truncation-exact): per sampled focal the min d² over the
+    // bounded cell-disk join; no-neighbor focals report −1, never a
+    // fabricated distance. Oracle brute-forces focals × corpus under the
+    // safe bbox prefilter (oracle cost)
+    "q_geo_nn" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.nnDistance(
+          Pipeline.geoImages(s, dir).select(
+            expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+            col("u"), col("v")),
+          rMicro = 2000L, res = 3, sampleMod = 50L)
+        .orderBy("pid")),
+
     // empirical semivariogram (Matheron 1963): γ(h) per lag annulus over a
     // trend+nugget field val = (u+v) DIV 10 + h1 % 257 — the kriging
     // precursor that measures spatial correlation range; sampled focals ×
@@ -1892,6 +1905,23 @@ object SparkEntry {
         .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
           col("fmt"), col("w"), col("h"), col("n_px"), col("n_bins"),
           col("ent_num"), col("ratio_ppm"))
+        .orderBy("k")
+    }),
+
+    // Sobel gradient stats: edge density + orientation-bucket histogram
+    // from integer-comparison-only classification — DuckDB rebuilds every
+    // interior pixel's gx/gy from the splitmix chain via eight neighbor
+    // self-joins and replays the identical integer buckets
+    "q_image_sobel" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val imgs = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 43 === 0 && col("fmt") =!= "jpeg")
+      ImageOps.sobelStats(s, imgs, minMag2 = 1500000L)
+        .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
+          col("fmt"), col("w"), col("h"), col("m"), col("n_edge"),
+          col("sum_abs_gx"), col("sum_abs_gy"), col("h_cnt"), col("v_cnt"),
+          col("d1_cnt"), col("d2_cnt"))
         .orderBy("k")
     }),
 

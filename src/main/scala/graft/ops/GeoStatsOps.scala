@@ -593,6 +593,54 @@ object GeoStatsOps {
       .toDF("r_micro", "n_focals", "n_neighbors", "mean_milli")
   }
 
+  /** Nearest-neighbor distance within a bounded radius (the Clark & Evans
+    * 1954 point-pattern statistic's per-point ingredient, truncated at R —
+    * the truncation is part of the CONTRACT, reproduced exactly by the
+    * oracle: focals with no neighbor inside R report min_d2 = −1, never a
+    * fabricated distance). Exact squared-µ° BIGINT distances through the
+    * same bounded cell-disk equi-join as ripleyK (never a theta join);
+    * min_d_micro = floor(sqrt(min_d2)) is exact (d2 ≤ R² ≤ 4e6 is
+    * double-exact, sqrt is correctly rounded in both engines).
+    *
+    * Input: (pid, u, v). Output per focal (pid % sampleMod == 0):
+    * (pid, n_in_disk, min_d2, min_d_micro). */
+  def nnDistance(points: DataFrame, rMicro: Long, res: Int,
+                 sampleMod: Long,
+                 frameLat0: Double = graft.synth.Synth.LAT0,
+                 frameLon0: Double = graft.synth.Synth.LON0): DataFrame = {
+    require(res >= 0 && res <= 5)
+    val cellMicro = math.round(1e6 / graft.cells.GridCell.pow10(res))
+    val k = (rMicro / cellMicro + 1L).toInt
+    val uDeg = (u: org.apache.spark.sql.Column) =>
+      lit(frameLat0) + u.cast("double") * lit(1e-6)
+    val vDeg = (v: org.apache.spark.sql.Column) =>
+      lit(frameLon0) + v.cast("double") * lit(1e-6)
+    val samp = points
+      .withColumn("s_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .select(col("s_cell"), col("pid").as("spid"),
+        col("u").as("su"), col("v").as("sv"))
+      .hint("SHUFFLE_HASH")
+    val focals = points.filter(col("pid") % sampleMod === 0)
+    val near = focals
+      .withColumn("p_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .withColumn("cand_cell", explode(fns.cell_disk(col("p_cell"), lit(k), res)))
+      .join(samp, col("cand_cell") === col("s_cell"))
+      .filter(col("spid") =!= col("pid"))
+      .withColumn("d2",
+        (col("su") - col("u")) * (col("su") - col("u")) +
+          (col("sv") - col("v")) * (col("sv") - col("v")))
+      .filter(col("d2") <= lit(rMicro * rMicro))
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_in_disk"), min(col("d2")).as("mind2"))
+    focals.select(col("pid")).join(near, Seq("pid"), "left")
+      .select(col("pid"),
+        coalesce(col("n_in_disk"), lit(0L)).as("n_in_disk"),
+        coalesce(col("mind2"), lit(-1L)).as("min_d2"),
+        when(col("mind2").isNotNull,
+          floor(sqrt(col("mind2").cast("double"))).cast("long"))
+          .otherwise(lit(-1L)).as("min_d_micro"))
+  }
+
   /** Region summary statistics — the aggregation layer over `regionGroup`:
     * per labeled region its class, tile count, point mass, and BOUNDARY
     * tile count (tiles with fewer than 4 same-class 4-neighbors — the

@@ -676,6 +676,56 @@ object ImageOps {
       }.toDF("image_id", "fmt", "w", "h", "n_px", "n_bins", "ent_num", "ratio_ppm")
   }
 
+  /** Sobel gradient statistics (Sobel & Feldman 1968 — public): per
+    * interior pixel the two 3×3 gradient kernels on integer gray
+    * gx = (tr+2r+br) − (tl+2l+bl), gy = (bl+2b+br) − (tl+2t+tr) — the
+    * edge-density / dominant-orientation triage signal (screenshot/text
+    * detection, blur complement). Edge pixels are gx²+gy² ≥ minMag2;
+    * orientation buckets use integer comparisons ONLY (no atan):
+    * horizontal-gradient |gx| ≥ 2|gy|, vertical |gy| ≥ 2|gx|, else
+    * diagonal split by sign(gx·gy) — every count is bit-decided. One
+    * map-side decode pass; 12 scalars per image shuffle. */
+  def sobelStats(spark: SparkSession, images: DataFrame,
+                 minMag2: Long): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            @inline def gray(x: Int, y: Int): Long = {
+              val i = (y * w + x) * 3
+              (rgb(i) & 0xff).toLong + (rgb(i + 1) & 0xff) + (rgb(i + 2) & 0xff)
+            }
+            var m = 0L; var nEdge = 0L; var sGx = 0L; var sGy = 0L
+            var cH = 0L; var cV = 0L; var cD1 = 0L; var cD2 = 0L
+            var y = 1
+            while (y < h - 1) {
+              var x = 1
+              while (x < w - 1) {
+                val gx = gray(x + 1, y - 1) + 2 * gray(x + 1, y) + gray(x + 1, y + 1) -
+                  gray(x - 1, y - 1) - 2 * gray(x - 1, y) - gray(x - 1, y + 1)
+                val gy = gray(x - 1, y + 1) + 2 * gray(x, y + 1) + gray(x + 1, y + 1) -
+                  gray(x - 1, y - 1) - 2 * gray(x, y - 1) - gray(x + 1, y - 1)
+                m += 1; sGx += math.abs(gx); sGy += math.abs(gy)
+                if (gx * gx + gy * gy >= minMag2) {
+                  nEdge += 1
+                  if (math.abs(gx) >= 2 * math.abs(gy)) cH += 1
+                  else if (math.abs(gy) >= 2 * math.abs(gx)) cV += 1
+                  else if (gx * gy > 0) cD1 += 1
+                  else cD2 += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (id, fmt, w, h, m, nEdge, sGx, sGy, cH, cV, cD1, cD2)
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "m", "n_edge", "sum_abs_gx",
+        "sum_abs_gy", "h_cnt", "v_cnt", "d1_cnt", "d2_cnt")
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

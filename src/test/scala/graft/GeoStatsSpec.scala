@@ -288,6 +288,40 @@ class GeoStatsSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted) // monotone in r
   }
 
+  test("nnDistance: hand-placed min/truncation/tie cases + brute-force parity on the corpus") {
+    // focals are pid % 2 == 0. pid 0 at (0,0): neighbors (3,4) d2=25 and
+    // (10,0) d2=100 → min 25, d_micro 5, n_in_disk 2. pid 2 at (100000,
+    // 100000): nothing within R → (0, −1, −1). pid 4 at (500, 0): nearest
+    // is pid 1 at (503, 4) d2=25 (pid 0 is d2=250000 — also in disk).
+    val pts = Seq(
+      (0L, 0L, 0L), (1L, 503L, 4L), (3L, 3L, 4L), (5L, 10L, 0L),
+      (2L, 100000L, 100000L), (4L, 500L, 0L))
+      .toDF("pid", "u", "v")
+    val got = GeoStatsOps.nnDistance(pts, rMicro = 2000L, res = 3, sampleMod = 2L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) === ((4L, 25L, 5L)))
+    assert(got(2L) === ((0L, -1L, -1L)))
+    assert(got(4L) === ((4L, 25L, 5L)))
+    // corpus parity vs the quadratic brute force (disk semantics)
+    val rows = Pipeline.geoImages(spark, sf)
+      .select(expr("CAST(substring(image_id, 4) AS BIGINT)"), col("u"), col("v"))
+      .as[(Long, Long, Long)].collect()
+    val want = rows.filter(_._1 % 50 == 0).map { case (fp, fu, fv) =>
+      val d2s = rows.collect { case (p, u, v) if p != fp &&
+        (u - fu) * (u - fu) + (v - fv) * (v - fv) <= 4000000L =>
+        (u - fu) * (u - fu) + (v - fv) * (v - fv) }
+      val mind2 = if (d2s.isEmpty) -1L else d2s.min
+      (fp, d2s.length.toLong, mind2,
+        if (mind2 < 0) -1L else math.floor(math.sqrt(mind2.toDouble)).toLong)
+    }.sortBy(_._1).toSeq
+    val got2 = GeoStatsOps.nnDistance(
+        Pipeline.geoImages(spark, sf).select(
+          expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"), col("u"), col("v")),
+        rMicro = 2000L, res = 3, sampleMod = 50L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 === want)
+  }
+
   test("semivariogram: matches the quadratic brute force; trend field rises with lag") {
     val rows = Pipeline.geoImages(spark, sf)
       .select(expr("CAST(substring(image_id, 4) AS BIGINT)"), col("u"), col("v"),

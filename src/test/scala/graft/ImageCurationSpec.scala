@@ -251,6 +251,44 @@ class ImageCurationSpec extends AnyFunSuite {
       1000000L * ent / (n * ln9(n)))))
   }
 
+  test("sobelStats: step edges land in the right buckets; noise parity with in-JVM reference") {
+    // vertical step (columns 0,0,255,255): every interior gx = +3060, gy = 0
+    val vstep = Bmp.encode((0 until 16).flatMap { i =>
+      val v = if (i % 4 >= 2) 255.toByte else 0.toByte; Seq(v, v, v)
+    }.toArray, 4, 4)
+    // horizontal step (rows 0,0,255,255): gx = 0, gy = +3060
+    val hstep = Bmp.encode((0 until 16).flatMap { i =>
+      val v = if (i / 4 >= 2) 255.toByte else 0.toByte; Seq(v, v, v)
+    }.toArray, 4, 4)
+    val noise = Codec.encodeFor("png", 660066L, 9, 8)
+    val got = ImageOps.sobelStats(spark,
+        Seq(("v", "bmp", vstep), ("h", "bmp", hstep), ("n", "png", noise))
+          .toDF("image_id", "fmt", "bytes"), minMag2 = 1000L)
+      .collect().map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("m"), r.getAs[Long]("n_edge"), r.getAs[Long]("sum_abs_gx"),
+          r.getAs[Long]("sum_abs_gy"), r.getAs[Long]("h_cnt"), r.getAs[Long]("v_cnt"),
+          r.getAs[Long]("d1_cnt"), r.getAs[Long]("d2_cnt"))).toMap
+    assert(got("v") === ((4L, 4L, 4L * 3060, 0L, 4L, 0L, 0L, 0L)))
+    assert(got("h") === ((4L, 4L, 0L, 4L * 3060, 0L, 4L, 0L, 0L)))
+    // noise parity with an independent in-JVM reference
+    val rgb = Bmp.pixels(660066L, 9, 8)
+    def g(x: Int, y: Int): Long =
+      (0 until 3).map(c => (rgb((y * 9 + x) * 3 + c) & 0xff).toLong).sum
+    var (m, ne, sgx, sgy, ch, cv, cd1, cd2) = (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    for (y <- 1 until 7; x <- 1 until 8) {
+      val gx = g(x+1,y-1) + 2*g(x+1,y) + g(x+1,y+1) - g(x-1,y-1) - 2*g(x-1,y) - g(x-1,y+1)
+      val gy = g(x-1,y+1) + 2*g(x,y+1) + g(x+1,y+1) - g(x-1,y-1) - 2*g(x,y-1) - g(x+1,y-1)
+      m += 1; sgx += math.abs(gx); sgy += math.abs(gy)
+      if (gx*gx + gy*gy >= 1000L) {
+        ne += 1
+        if (math.abs(gx) >= 2*math.abs(gy)) ch += 1
+        else if (math.abs(gy) >= 2*math.abs(gx)) cv += 1
+        else if (gx*gy > 0) cd1 += 1 else cd2 += 1
+      }
+    }
+    assert(got("n") === ((m, ne, sgx, sgy, ch, cv, cd1, cd2)))
+  }
+
   test("phash components: a planted chain merges into ONE component with one survivor") {
     // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
     // plus an isolated far image that must NOT join
