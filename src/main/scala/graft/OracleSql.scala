@@ -471,6 +471,45 @@ $iterCtes
 SELECT id AS way_id, CAST(r AS BIGINT) AS rank_micro FROM p5 ORDER BY way_id"""
     },
 
+    // label propagation: the same way node-sharing graph, 3 synchronous
+    // rounds unrolled, identical (count DESC, label ASC) per-node argmax
+    "q_graph_label_prop" -> {
+      val roundCtes = (1 to 3).map { i =>
+        s"""l$i AS (
+  SELECT n.id, COALESCE(b.lbl, n.id) AS lbl
+  FROM pgnodes n LEFT JOIN (
+    SELECT id, lbl FROM (
+      SELECT e.src AS id, l.lbl,
+        ROW_NUMBER() OVER (PARTITION BY e.src
+          ORDER BY COUNT(*) DESC, l.lbl) AS rn
+      FROM pge e JOIN l${i - 1} l ON l.id = e.dst
+      GROUP BY e.src, l.lbl)
+    WHERE rn = 1) b USING (id))"""
+      }.mkString(",\n")
+      s"""WITH $gridCte,
+nw AS (
+  SELECT r.i AS way_id, r.i * 1000000 + c.i AS node_id
+  FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
+  UNION ALL
+  SELECT 1000000 + c.i, r.i * 1000000 + c.i
+  FROM ser r, ser c, p WHERE r.i < p.g AND c.i < p.g
+  UNION ALL
+  SELECT 2000000, 900000000000 + k.i FROM ser k, p WHERE k.i < p.g
+  UNION ALL SELECT 5000000, 900000000001
+  UNION ALL SELECT 5000000, 910000000001
+  UNION ALL SELECT 5000001, 910000000001
+  UNION ALL SELECT 5000001, 910000000002
+  UNION ALL SELECT 6000000, 1000001
+  UNION ALL SELECT 6000000, 1000002),
+pge AS (
+  SELECT DISTINCT a.way_id AS src, b.way_id AS dst
+  FROM nw a JOIN nw b USING (node_id) WHERE a.way_id <> b.way_id),
+pgnodes AS (SELECT src AS id FROM pge UNION SELECT dst FROM pge),
+l0 AS (SELECT id, id AS lbl FROM pgnodes),
+$roundCtes
+SELECT id AS way_id, CAST(lbl AS BIGINT) AS lbl FROM l3 ORDER BY way_id"""
+    },
+
     "q_way_shared_nodes" ->
       s"""WITH $gridCte,
 nw AS (
@@ -4017,6 +4056,31 @@ sc AS (
   WHERE b.cb >= 5)
 SELECT w1, w2, cb, c1, c2, pmi9 FROM sc
 ORDER BY pmi9 DESC, w1, w2 LIMIT 50""",
+
+    // per-source KL drift: the same per-factor nano-LN combination over
+    // (source, w) / corpus-marginal / source-marginal counts
+    "q_doc_kl_drift" ->
+      """WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS csw
+  FROM tok GROUP BY source, w),
+cw AS (SELECT w, CAST(SUM(csw) AS BIGINT) AS cwv FROM sw GROUP BY w),
+ns AS (SELECT source, CAST(SUM(csw) AS BIGINT) AS nsv FROM sw GROUP BY source),
+nt AS (SELECT CAST(SUM(nsv) AS BIGINT) AS n FROM ns),
+terms AS (
+  SELECT s.source, s.csw,
+    s.csw * (
+      CAST(ROUND(LN(CAST(s.csw AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)
+      - CAST(ROUND(LN(CAST(n2.nsv AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)
+      - CAST(ROUND(LN(CAST(c.cwv AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)
+      + CAST(ROUND(LN(CAST(t.n AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)) AS term9,
+    n2.nsv
+  FROM sw s JOIN cw c USING (w) JOIN ns n2 USING (source), nt t)
+SELECT source, CAST(MIN(nsv) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_terms,
+  CAST(SUM(term9) AS BIGINT) AS kl_num,
+  CAST(SUM(term9) // MIN(nsv) AS BIGINT) AS kl_per_tok_nano
+FROM terms GROUP BY source ORDER BY source""",
 
     // Heaps-law vocabulary growth: the same max_doc·i DIV 10 checkpoints,
     // cumulative tokens/docs by checkpoint cross join, cumulative vocab by

@@ -1031,6 +1031,22 @@ object SparkEntry {
     // bounded-hop shortest paths over the way-adjacency graph (4 rounds of
     // Bellman-Ford from the motorway + fake-name ways, deterministic
     // (src+dst)%97+1 weights); the oracle unrolls the identical recurrence
+    // synchronous label propagation (Raghavan et al. 2007): 3 rounds of
+    // most-frequent-neighbor-label with (count DESC, label ASC) argmax
+    // over the way node-sharing graph; the oracle unrolls the identical
+    // rounds — synchronous updates make it schedule-independent
+    "q_graph_label_prop" -> ((s, dir) => {
+      val (_, raw, _) = Pipeline.prepared(s, dir)
+      val nw = raw.select(col("id").as("way_id"), explode(col("nodes")).as("node_id"))
+        .distinct()
+      val e = nw.as("a").join(nw.as("b"), "node_id")
+        .filter(col("a.way_id") =!= col("b.way_id"))
+        .select(col("a.way_id").as("src"), col("b.way_id").as("dst")).distinct()
+      GraphOps.labelPropagation(e, rounds = 3)
+        .select(col("id").as("way_id"), col("lbl"))
+        .orderBy("way_id")
+    }),
+
     "q_graph_khop_dist" -> ((s, dir) => {
       val (_, raw, _) = Pipeline.prepared(s, dir)
       val sess = s; import sess.implicits._
@@ -1115,6 +1131,13 @@ object SparkEntry {
     "q_doc_heaps" -> ((s, dir) =>
       TextOps.vocabGrowth(Synth.documents(s, dir), buckets = 10)
         .orderBy("i")),
+
+    // per-source KL drift: every LN factor nano-rounded on its integer
+    // count and combined in BIGINT (the PMI convention) — the
+    // domain-shift detector, bit-decided in both engines
+    "q_doc_kl_drift" -> ((s, dir) =>
+      TextOps.sourceDrift(Synth.documents(s, dir))
+        .orderBy("source")),
 
     "q_doc_simhash" -> ((s, dir) =>
       TextOps.simHashPairs(Synth.documents(s, dir), maxHam = 12)

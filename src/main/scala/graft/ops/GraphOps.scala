@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Distributed connected components — the missing stage of the dedup
   * pipeline: near-dup PAIRS (MinHash-LSH / SimHash / embedding buckets) →
@@ -131,6 +132,46 @@ object GraphOps {
         .localCheckpoint(true)
     }
     rank.select(col("id"), col("r").as("rank_micro"))
+  }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara, Phys. Rev. E
+    * 2007 — public): `rounds` rounds of "adopt the most frequent label
+    * among your NEIGHBORS, ties to the smallest label" from the identity
+    * labeling — the classic near-linear community-detection heuristic.
+    * Determinism: the (count DESC, label ASC) argmax is a total order per
+    * node, and updates are SYNCHRONOUS (all nodes read the previous round's
+    * labels), so a fixed-round unrolled SQL oracle matches bit-for-bit —
+    * unlike the asynchronous variant, which is schedule-dependent by
+    * construction. Nodes without neighbors keep their own label.
+    *
+    * Scale shape: each round is ONE edge-keyed join (only (id, lbl) pairs
+    * shuffle, never adjacency payloads) + one (node, lbl)-keyed count with
+    * map-side combine + one node-keyed argmax window whose frames are
+    * distinct-neighbor-label-bounded; k rounds = k shuffles independent of
+    * graph size; localCheckpoint truncates per-round lineage (pageRank
+    * pattern).
+    *
+    * Input: symmetric edge list (src, dst). Output: (id, lbl). */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    var lab = nodes.select(col("id"), col("id").as("lbl"))
+    val w = Window.partitionBy("id").orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to rounds) {
+      val neigh = e.join(lab.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val upd = neigh.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("id"), col("lbl"))
+      lab = nodes.join(upd.withColumnRenamed("lbl", "new_lbl"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("id")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lab
   }
 
   /** Bounded-hop single-source(-set) shortest paths: `hops` rounds of

@@ -957,6 +957,43 @@ object TextOps {
       .orderBy("i")
   }
 
+  /** Per-source distribution drift: KL(P_source ‖ P_corpus) over unigram
+    * distributions (Kullback & Leibler 1951 — public) — the domain-shift /
+    * contamination detector of a mixing pipeline (a source whose language
+    * model diverges from the blend gets flagged before training). Exact
+    * integer form: kl_num = Σ_w c_sw·(ln9(c_sw) − ln9(n_s) − ln9(c_w) +
+    * ln9(N)) — every LN factor nano-rounded separately on its integer
+    * count (the PMI convention), combined in BIGINT; kl_num = n_s·KL in
+    * nano-nat·tokens, and kl_per_tok_nano = kl_num DIV n_s (non-negative
+    * up to rounding ≪ the signal, so floor = truncate in both engines).
+    * P_source ≪ P_corpus always holds (every source term is a corpus
+    * term), so no smoothing is needed — the quantity is finite by
+    * construction.
+    *
+    * Scale shape: one explode + one (source, w) aggregate; the corpus
+    * marginal is vocab-sized, the source marginal |sources|-sized; one
+    * vocab-keyed join + one source-keyed sum. N is a driver literal. */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), explode(tokensCol(col("text"))).as("w"))
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+    val cw = sw.groupBy("w").agg(sum(col("csw")).as("cwv"))
+    val ns = sw.groupBy("source").agg(sum(col("csw")).as("nsv"))
+    val nTot = ns.agg(sum(col("nsv"))).head().getLong(0) // driver scalar
+    def ln9(c: Column): Column =
+      round(log(c.cast("double")) * lit(1e9), 0).cast("long")
+    val lnN = Math.round(math.log(nTot.toDouble) * 1e9)
+    sw.join(cw, Seq("w")).join(ns, Seq("source"))
+      .withColumn("term9", col("csw") *
+        (ln9(col("csw")) - ln9(col("nsv")) - ln9(col("cwv")) + lit(lnN)))
+      .groupBy("source")
+      .agg(min(col("nsv")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("term9")).as("kl_num"))
+      .withColumn("kl_per_tok_nano", expr("kl_num div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        col("kl_num"), col("kl_per_tok_nano"))
+  }
+
   /** Deterministic COLLISION-FREE training-order shuffle via a Feistel
     * network (Luby, Rackoff, SIAM J. Comput. 1988 — a balanced Feistel over
     * any round function is a bijection; the format-preserving-encryption

@@ -210,6 +210,35 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got.map(_._5) === got.map(_._5).sorted)
   }
 
+  test("sourceDrift: skewed source scores higher than blend-typical; brute-force parity") {
+    val docs = Seq(
+      (1L, "a b c d", "en", "s1"), (2L, "a b c d", "en", "s1"),
+      (3L, "a a a a", "en", "s2"), (4L, "a a b b", "en", "s2"),
+      (5L, "a b c d", "en", "s3"), (6L, "d c b a", "en", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.sourceDrift(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // brute-force reference with the identical per-factor ln9 combination
+    def ln9(x: Long): Long = Math.round(math.log(x.toDouble) * 1e9)
+    val corp = Seq("s1" -> "a b c d a b c d", "s2" -> "a a a a a a b b",
+      "s3" -> "a b c d d c b a").flatMap { case (s, t) =>
+      t.split(" ").map(w => (s, w)) }
+    val cw = corp.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTot = corp.size.toLong
+    val want = corp.groupBy(_._1).map { case (s, ws) =>
+      val csw = ws.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val ns = ws.size.toLong
+      val kl = csw.map { case (w, c) =>
+        c * (ln9(c) - ln9(ns) - ln9(cw(w)) + ln9(nTot)) }.sum
+      s -> ((ns, csw.size.toLong, kl, kl / ns))
+    }
+    assert(got === want)
+    // s2 (heavily skewed toward 'a') must out-drift the blend-typical s1/s3
+    assert(got("s2")._3 > got("s1")._3 && got("s2")._3 > got("s3")._3)
+    assert(got("s1")._3 >= 0L && got("s2")._3 >= 0L && got("s3")._3 >= 0L)
+  }
+
   test("SimHash hamming pairs: identical docs at distance 0") {
     val docs = Seq(
       (1L, "a b c d e f g h"),

@@ -123,6 +123,44 @@ class GraphSpec extends AnyFunSuite {
       "clustering_ppb" -> (if (wedges == 0) 0L else 3L * tris * 1000000000L / wedges))
   }
 
+  test("labelPropagation matches the in-JVM synchronous reference; two cliques converge separately") {
+    def sym(e: Seq[(Long, Long)]): Seq[(Long, Long)] = e ++ e.map(_.swap)
+    // in-JVM synchronous reference with the identical argmax
+    def ref(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        lab = nodes.map { n =>
+          val cnt = adj.getOrElse(n, Nil).map(lab).groupBy(identity)
+            .view.mapValues(_.size).toSeq
+          n -> (if (cnt.isEmpty) lab(n)
+                else cnt.minBy { case (l, c) => (-c, l) }._1)
+        }.toMap
+      }
+      lab
+    }
+    // two triangles {1,2,3} and {10,11,12} joined by the weak bridge 3-10:
+    // after 3 rounds each triangle holds its own min label
+    val tri = sym(Seq((1L,2L),(2L,3L),(1L,3L),(10L,11L),(11L,12L),(10L,12L),(3L,10L)))
+    val got = GraphOps.labelPropagation(tri.toDF("src", "dst"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref(tri, 3))
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(10L) === got(11L) && got(11L) === got(12L))
+    // deterministic random graph parity at several round counts
+    val rnd = (0 until 120).map { i =>
+      val a = (i * 37L) % 29; val b = (i * 53L + 7) % 29
+      (math.min(a, b), math.max(a, b))
+    }.filter(t => t._1 != t._2).distinct
+    val se = sym(rnd)
+    for (r <- Seq(1, 2, 4)) {
+      val g = GraphOps.labelPropagation(se.toDF("src", "dst"), rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(g === ref(se, r), s"rounds=$r")
+    }
+  }
+
   test("triangleStats: K4 is fully transitive (clustering exactly 1e9 ppb)") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     assert(triMap(k4) === Map("n_nodes" -> 4L, "n_edges" -> 6L,
