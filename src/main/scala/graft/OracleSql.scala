@@ -4029,6 +4029,45 @@ rk AS (
 SELECT doc_id, rk, term, tf, score9 FROM rk WHERE rk <= 3
 ORDER BY doc_id, rk""",
 
+    // winnowing: k-grams + FNV-1a-by-recursive-CTE over the distinct-gram
+    // vocab, 63-bit mask so hash ORDER matches Spark's signed longs, the
+    // identical per-window (h ASC, pos DESC) argmin, distinct selections
+    "q_doc_winnow" ->
+      """WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 6),
+g0 AS (
+  SELECT doc_id, unnest(range(0, len(tk) - 2)) AS pos, tk,
+    CAST(len(tk) - 2 AS BIGINT) AS n_grams
+  FROM toks),
+g2 AS (
+  SELECT doc_id, pos, n_grams,
+    array_to_string(tk[pos + 1 : pos + 3], ' ') AS gram
+  FROM g0),
+vocab AS (SELECT DISTINCT gram AS s FROM g2),
+fnv(s, i, hf) AS (
+  SELECT s, 0, 14695981039346656037::HUGEINT FROM vocab
+  UNION ALL
+  SELECT s, i + 1,
+    (xor(hf, ord(substr(s, i + 1, 1))::HUGEINT) * 1099511628211::HUGEINT)
+      % 18446744073709551616::HUGEINT
+  FROM fnv WHERE i < length(s)),
+h0 AS (SELECT s, CAST(hf % 9223372036854775808::HUGEINT AS BIGINT) AS h
+  FROM fnv WHERE i = length(s)),
+hg AS (
+  SELECT g2.doc_id, g2.pos, g2.n_grams, h0.h
+  FROM g2 JOIN h0 ON h0.s = g2.gram),
+win AS (
+  SELECT doc_id, pos, h,
+    unnest(range(GREATEST(0, pos - 3), LEAST(pos, n_grams - 4) + 1)) AS w
+  FROM hg),
+sel AS (
+  SELECT doc_id, pos, h,
+    ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY h, pos DESC) AS rn
+  FROM win)
+SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, h
+FROM sel WHERE rn = 1 ORDER BY doc_id, pos""",
+
     // PMI collocations: bigram/unigram counts re-derived, every LN factor
     // nano-rounded SEPARATELY on its integer count, combined in BIGINT,
     // same (pmi9 DESC, w1, w2) top-50 cut
@@ -4759,6 +4798,35 @@ SELECT r.user_id, CAST(f.mx AS BIGINT) AS n_events, r.n_alarms,
   r.first_ts AS first_alarm_ts, r.peak AS peak_s
 FROM rec r JOIN fin f ON f.user_id = r.user_id AND r.rn = f.mx
 ORDER BY r.user_id""",
+
+    // streaming CUSUM: the identical recurrence, emitting ONE ROW PER
+    // ALARM (step ≥ h) with its running alarm index and the pre-reset s
+    "q_stream_cusum" ->
+      """WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT) AS v6,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, rn, ts_us,
+    GREATEST(0::BIGINT, v6 - 60000000) AS step,
+    CASE WHEN GREATEST(0::BIGINT, v6 - 60000000) >= 400000000
+         THEN 0::BIGINT ELSE GREATEST(0::BIGINT, v6 - 60000000) END AS s,
+    CASE WHEN GREATEST(0::BIGINT, v6 - 60000000) >= 400000000
+         THEN 1::BIGINT ELSE 0::BIGINT END AS n_alarms
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.ts_us,
+    GREATEST(0::BIGINT, r.s + e.v6 - 60000000),
+    CASE WHEN GREATEST(0::BIGINT, r.s + e.v6 - 60000000) >= 400000000
+         THEN 0::BIGINT ELSE GREATEST(0::BIGINT, r.s + e.v6 - 60000000) END,
+    r.n_alarms + CASE WHEN GREATEST(0::BIGINT, r.s + e.v6 - 60000000) >= 400000000
+         THEN 1::BIGINT ELSE 0::BIGINT END
+  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+SELECT user_id, n_alarms AS alarm_idx, ts_us,
+  CAST(step AS BIGINT) AS s_at_alarm
+FROM rec WHERE step >= 400000000 ORDER BY user_id, alarm_idx""",
 
     "q_events_funnel" ->
       """WITH f1 AS (

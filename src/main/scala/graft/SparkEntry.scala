@@ -1146,6 +1146,14 @@ object SparkEntry {
     "q_doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(Synth.documents(s, dir)).orderBy("doc_id")),
 
+    // winnowing (Schleimer et al. 2003): rightmost-min-per-window k-gram
+    // fingerprint SELECTION with positions — the oracle re-derives every
+    // FNV-1a hash by recursive CTE and replays the identical
+    // (h ASC, pos DESC) window argmax
+    "q_doc_winnow" -> ((s, dir) =>
+      TextOps.winnowFingerprints(Synth.documents(s, dir), k = 3, w = 4)
+        .orderBy("doc_id", "pos")),
+
     // Lee et al. 2022-style exact duplicated-span detection: every position
     // covered by a token 8-gram occurring >1× in the corpus, per-doc union
     // length via the same-length-interval window (no per-position explode)
@@ -2429,6 +2437,30 @@ object SparkEntry {
     // footprint is capped at the proven sf0.1 level instead of growing
     // O(sf): the sf1.0 evidence run measured the fixed 1/11 slice at
     // 36 s wall, all of it collect+replay rig, none of it operator.
+    // streaming CUSUM (the q_events_cusum twin live): per-user drift alarms
+    // from flatMapGroupsWithState with TWO longs of state per user; the
+    // single-batch replay is bit-identical to the batch recurrence, so the
+    // same recursive-CTE oracle gates the stream, alarm row by alarm row
+    "q_stream_cusum" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Synth.events(s, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)").as("ts_us"),
+          col("event_id").cast("long").as("event_id"),
+          floor(col("value") * lit(1e6)).cast("long").as("v6"))
+        .as[Streaming.CEv].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Streaming.CEv]
+      val q = Streaming.cusumStream(s, mem.toDS(),
+          targetMicro = 60000000L, hMicro = 400000000L)
+        .writeStream.format("memory").queryName("graft_q_stream_cusum")
+        .outputMode("append").start()
+      try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+      s.table("graft_q_stream_cusum").orderBy("user_id", "alarm_idx")
+    }),
+
     "q_stream_geofence" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -465,6 +465,23 @@ object CleanStreetKey {
   }
 }
 
+/** FNV-1a 64 of a string's UTF-8 bytes, masked to the non-negative 63-bit
+  * range — the plain engine-mirrorable string hash (the same Hashing core
+  * the minhash/simhash signatures build on, exposed directly for
+  * winnowing-style fingerprint selection where hash ORDER matters and so
+  * must agree between Spark's signed longs and an oracle's unsigned
+  * arithmetic). Codegen: one static call, stays in whole-stage codegen. */
+case class Fnv63(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Hashing.utf8Hash(v.asInstanceOf[UTF8String]) & Long.MaxValue
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"(graft.exprs.Hashing.utf8Hash($v) & Long.MAX_VALUE)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature over a token array: k independent hash mins.
   * Public construction (Broder 1997 shingling minhash); hash_i(t) =
   * murmur-style mix of (token bytes hash, seed i).
@@ -991,6 +1008,7 @@ object fns {
                              polys: Array[(String, Array[Array[Double]])], default: String): Column =
     c(PointInPolygonFirst(e(lat), e(lon), polys, default))
   def clean_street_key(raw: Column): Column = c(CleanStreetKey(e(raw)))
+  def fnv63(text: Column): Column = c(Fnv63(e(text)))
   def minhash_sig(tokens: Column, k: Int): Column = c(MinHashSig(e(tokens), k))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def rolling_min_hash(text: Column, window: Int): Column = c(RollingMinHash(e(text), window))

@@ -155,6 +155,42 @@ object Streaming {
         unix_timestamp(col("cap_ts")).as("cap_sec"), col("caption"))
   }
 
+  case class CEv(user_id: Long, ts_us: Long, event_id: Long, v6: Long)
+  case class CusumAlarm(user_id: Long, alarm_idx: Long, ts_us: Long,
+                        s_at_alarm: Long)
+
+  /** Streaming twin of `EventOps.cusum` (Page 1954): the identical
+    * per-user recurrence s = max(0, s + v − target) with reset-on-alarm,
+    * run INSIDE flatMapGroupsWithState — the live drift monitor that emits
+    * one row per alarm as it crosses h. State is exactly TWO longs per
+    * user (running s, alarm count) regardless of volume — the
+    * constant-size-state analog of the windowTopK story. Events are
+    * ordered (ts_us, event_id) within each micro-batch, the same total
+    * order as the batch op, so the replay harness's single-batch feed is
+    * bit-identical to the batch recurrence — and the DuckDB oracle that
+    * replays it gates the stream exactly. */
+  def cusumStream(spark: SparkSession, events: Dataset[CEv],
+                  targetMicro: Long, hMicro: Long): Dataset[CusumAlarm] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[CEv], state: GroupState[(Long, Long)]) =>
+          var (s, nAlarms) = state.getOption.getOrElse((0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[CusumAlarm]
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val step = math.max(0L, s + e.v6 - targetMicro)
+            if (step >= hMicro) {
+              nAlarms += 1
+              out += CusumAlarm(user, nAlarms, e.ts_us, step)
+              s = 0L
+            } else s = step
+          }
+          state.update((s, nAlarms))
+          out.iterator
+      }
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessState(sessId: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class SessOut(user_id: Long, sess_id: Long, n_events: Long,

@@ -622,6 +622,48 @@ object TextOps {
   def fingerprints(docs: DataFrame, window: Int = 16): DataFrame =
     docs.select(col("doc_id"), fns.rolling_min_hash(col("text"), window).as("fingerprint"))
 
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — public): from each window of `w` consecutive token-k-gram
+    * hashes select the minimum, rightmost position on ties — the
+    * guarantee-carrying local-sampling scheme (any match of length ≥
+    * w+k−1 tokens shares a selected fingerprint; density ~2/(w+1)) behind
+    * MOSS-style clone detection. Unlike `fingerprints` (one global
+    * rolling-min per doc), this emits the SELECTED SET with positions, so
+    * matches localize. Hash = FNV-1a 64 masked to 63 bits (`fns.fnv63`) —
+    * the mask makes Spark's signed ordering and the oracle's unsigned
+    * arithmetic agree, because selection depends on hash ORDER.
+    *
+    * Scale shape: pure map-side k-gram + w-fold window explode (w is a
+    * small constant), ONE (doc, win)-keyed argmin (map-side combinable
+    * min-struct, never corpus-wide), distinct on the selected triples —
+    * every stage is doc-local, no cross-doc work at all.
+    *
+    * Output: (doc_id, pos, h) — the selected fingerprints. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= k + w - 1) // need at least one full window
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - k),
+          i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(k))))))
+      .toDF("doc_id", "pos", "gram")
+      .withColumn("h", fns.fnv63(col("gram")))
+      .withColumn("n_grams", count(lit(1))
+        .over(Window.partitionBy("doc_id")))
+    // each position participates in windows max(0, pos-w+1) .. min(pos, n-w)
+    val inWin = grams
+      .select(col("doc_id"), col("pos"), col("h"),
+        explode(sequence(
+          greatest(lit(0), col("pos") - lit(w - 1)),
+          least(col("pos"), (col("n_grams") - lit(w)).cast("int")))).as("win"))
+    // rightmost minimum per window = min over (h, -pos) lexicographically
+    inWin.groupBy(col("doc_id"), col("win"))
+      .agg(min(struct(col("h"), (-col("pos")).as("np"))).as("sel"))
+      .select(col("doc_id"), (-col("sel.np")).as("pos"), col("sel.h").as("h"))
+      .distinct()
+  }
+
   /** Fixed-window token chunking with overlap — the standard training-prep
     * step that turns variable-length documents into model-context-sized
     * pieces. Chunks start every (size - overlap) tokens; the LAST window is

@@ -239,6 +239,41 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got("s1")._3 >= 0L && got("s2")._3 >= 0L && got("s3")._3 >= 0L)
   }
 
+  test("winnowFingerprints: in-JVM reference parity and the w+k-1 match guarantee") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val tk = text.split(" ")
+      if (tk.length < k + w - 1) Set.empty
+      else {
+        val hs = (0 to tk.length - k).map { i =>
+          graft.exprs.Hashing.utf8Hash(
+            UTF8String.fromString(tk.slice(i, i + k).mkString(" "))) & Long.MaxValue
+        }
+        (0 to hs.length - w).flatMap { s =>
+          // rightmost minimum in window s..s+w-1
+          val win = (s until s + w).map(p => (hs(p), p))
+          Some(win.minBy { case (h, p) => (h, -p) }).map { case (h, p) => (p, h) }
+        }.toSet
+      }
+    }
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "a completely different document quick brown fox jumps over the end",
+      3L -> "too short here") // 3 tokens < k+w-1 → no output
+    val docs = texts.map { case (id, t) => (id, t, "en", "web") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.winnowFingerprints(docs, k = 3, w = 4)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    for ((id, t) <- texts)
+      assert(got.getOrElse(id, Set.empty) === ref(t, 3, 4), s"doc $id")
+    // guarantee: docs 1 and 2 share the 6-token run "quick brown fox jumps
+    // over the" (= w+k-1), so they MUST share a selected hash
+    val h1 = got(1L).map(_._2); val h2 = got(2L).map(_._2)
+    assert((h1 & h2).nonEmpty)
+    assert(!got.contains(3L))
+  }
+
   test("SimHash hamming pairs: identical docs at distance 0") {
     val docs = Seq(
       (1L, "a b c d e f g h"),

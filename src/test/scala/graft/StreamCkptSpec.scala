@@ -263,6 +263,34 @@ class StreamCkptSpec extends AnyFunSuite {
     assert(rows().values.filter(_.is_first).map(_.doc_id).toSet === Set(3L, 7L, 9L))
   }
 
+  test("streaming cusum: alarms fire across batches with carried state; parity with batch recurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.CEv]
+    // target 10 units (1e7 µ), h 15 units (1.5e7 µ)
+    val q = Streaming.cusumStream(spark, mem.toDS(),
+        targetMicro = 10000000L, hMicro = 15000000L)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    def rows(): Seq[Streaming.CusumAlarm] =
+      spark.table("cusum_out").as[Streaming.CusumAlarm].collect().toSeq
+    // batch 1: user 1 values 18, 12 → s: 8, 10 — NO alarm yet; state = 10
+    mem.addData(Streaming.CEv(1L, 10L, 1L, 18000000L),
+      Streaming.CEv(1L, 20L, 2L, 12000000L))
+    q.processAllAvailable()
+    assert(rows().isEmpty, "no alarm before the threshold")
+    // batch 2: value 16 → s = 10 + 6 = 16 ≥ 15 → ALARM with carried state;
+    // then 26 → s = 0 + 16 ≥ 15 → second alarm immediately
+    mem.addData(Streaming.CEv(1L, 30L, 3L, 16000000L),
+      Streaming.CEv(1L, 40L, 4L, 26000000L))
+    q.processAllAvailable()
+    val got = rows().sortBy(_.alarm_idx)
+    assert(got === Seq(
+      Streaming.CusumAlarm(1L, 1L, 30L, 16000000L),
+      Streaming.CusumAlarm(1L, 2L, 40L, 16000000L)),
+      "cross-batch state must carry: the first alarm needs batch 1's s=10")
+    q.stop()
+  }
+
   test("streaming dedup kill-and-resume: state survives restart; earliest batch beats smaller doc_id") {
     // The cross-batch tie-break contract under failure: WITHIN a batch the
     // smallest doc_id wins (the iterator is sorted, so a retried/recomputed
