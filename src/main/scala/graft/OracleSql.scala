@@ -3781,6 +3781,53 @@ FROM red ORDER BY doc_id""",
     // 2nd of 6 + k%7 frames), per-frame splitmix pixel sums recomputed
     // from o_orderkey — same HUGEINT machinery as q_image_decode_sample
     // with phash = k*131071 + frame_idx
+    // scene cuts: both frames of every consecutive pair rebuilt from the
+    // splitmix chain (ph = k·131071 + f), diffed per (x, y, channel)
+    "q_video_scene_cut" ->
+      """WITH vid AS (
+  SELECT o_orderkey AS k, 8 + o_orderkey % 5 AS w, 9 + o_orderkey % 3 AS h,
+         6 + o_orderkey % 7 AS n_frames
+  FROM orders WHERE o_orderkey % 199 = 0),
+fr AS (SELECT i AS f FROM generate_series(0, 12) t(i)),
+frames AS (
+  SELECT k, w, h, f, (k * 131071 + f)::HUGEINT AS ph
+  FROM vid, fr WHERE f < n_frames),
+xs AS (SELECT i AS x FROM generate_series(0, 12) t(i)),
+ys AS (SELECT i AS y FROM generate_series(0, 11) t(i)),
+px AS (
+  SELECT k, f, w, h, x, y,
+    (ph + x * 11400714819323198485::HUGEINT
+        + y * 13787848793156543929::HUGEINT)
+      % 18446744073709551616::HUGEINT AS z0
+  FROM frames, xs, ys WHERE x < w AND y < h),
+m1 AS (
+  SELECT k, f, w, h, x, y,
+    ((x1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+     + (((x1 >> 32) * 484763065::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1
+  FROM (SELECT k, f, w, h, x, y, xor(z0, z0 >> 30) AS x1 FROM px)),
+m2 AS (
+  SELECT k, f, w, h, x, y,
+    ((x2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+     + (((x2 >> 32) * 321982955::HUGEINT) % 4294967296::HUGEINT)
+       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2
+  FROM (SELECT k, f, w, h, x, y, xor(z1, z1 >> 27) AS x2 FROM m1)),
+ch AS (
+  SELECT k, f, w, h, x, y,
+    z % 256 AS r, (z // 256) % 256 AS g, (z // 65536) % 256 AS b
+  FROM (SELECT k, f, w, h, x, y, xor(z2, z2 >> 31) AS z FROM m2)),
+pairs AS (
+  SELECT a.k, a.f, a.w, a.h,
+    CAST(SUM(ABS(a.r - b.r) + ABS(a.g - b.g) + ABS(a.b - b.b)) AS BIGINT) AS sad
+  FROM ch a JOIN ch b ON b.k = a.k AND b.f = a.f + 1
+    AND b.x = a.x AND b.y = a.y
+  GROUP BY a.k, a.f, a.w, a.h)
+SELECT k, CAST(f AS INTEGER) AS f1, CAST(f + 1 AS INTEGER) AS f2,
+  CAST(w * h AS BIGINT) AS n_px, sad,
+  CAST(sad * 1000 // (3 * w * h) AS BIGINT) AS sad_milli_px,
+  sad * 1000 // (3 * w * h) >= 85000 AS cut
+FROM pairs ORDER BY k, f1""",
+
     "q_video_frames" ->
       """WITH vid AS (
   SELECT o_orderkey AS k, 8 + o_orderkey % 5 AS w, 9 + o_orderkey % 3 AS h,
@@ -4028,6 +4075,30 @@ rk AS (
   FROM sc)
 SELECT doc_id, rk, term, tf, score9 FROM rk WHERE rk <= 3
 ORDER BY doc_id, rk""",
+
+    // Zipf fit: same vocab ranking, same per-integer micro-LN sums, the
+    // exact-rational slope numerator/denominator
+    "q_doc_zipf" ->
+      """WITH freq AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w),
+rk AS (
+  SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w) AS BIGINT) AS r
+  FROM freq),
+xy AS (
+  SELECT CAST(ROUND(LN(CAST(r AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS x,
+    CAST(ROUND(LN(CAST(f AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS y
+  FROM rk WHERE r <= 40),
+ag AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks, CAST(SUM(x) AS BIGINT) AS sum_x,
+    CAST(SUM(y) AS BIGINT) AS sum_y, CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+    CAST(SUM(x * x) AS BIGINT) AS sum_x2
+  FROM xy)
+SELECT n_ranks, sum_x, sum_y, sum_xy, sum_x2,
+  CAST(n_ranks * sum_xy - sum_x * sum_y AS BIGINT) AS slope_num,
+  CAST(n_ranks * sum_x2 - sum_x * sum_x AS BIGINT) AS slope_den
+FROM ag""",
 
     // winnowing: k-grams + FNV-1a-by-recursive-CTE over the distinct-gram
     // vocab, 63-bit mask so hash ORDER matches Spark's signed longs, the

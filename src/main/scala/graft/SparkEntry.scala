@@ -1146,6 +1146,12 @@ object SparkEntry {
     "q_doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(Synth.documents(s, dir)).orderBy("doc_id")),
 
+    // Zipf rank-frequency fit: least-squares slope of ln f vs ln r as an
+    // EXACT RATIONAL (num/den of per-integer micro-LN sums) — no float
+    // crosses an aggregation boundary
+    "q_doc_zipf" -> ((s, dir) =>
+      TextOps.zipfFit(Synth.documents(s, dir), topN = 40)),
+
     // winnowing (Schleimer et al. 2003): rightmost-min-per-window k-gram
     // fingerprint SELECTION with positions — the oracle re-derives every
     // FNV-1a hash by recursive CTE and replays the identical
@@ -2033,6 +2039,17 @@ object SparkEntry {
           sum(col("peak").cast("long")).as("sum_peak"),
           sum(when(col("decode_ok"), lit(1L)).otherwise(lit(0L))).as("n_ok"))
         .orderBy("sample_rate")),
+
+    // scene-cut detection: exact SAD between every consecutive decoded
+    // frame pair, integer milli-SAD per pixel-channel, cut threshold
+    // inside the observed spread — DuckDB rebuilds BOTH frames' pixels
+    // from the splitmix chain and re-diffs them per (x, y, channel)
+    "q_video_scene_cut" -> ((s, dir) =>
+      ImageOps.sceneCuts(s, Synth.videos(s, dir), cutMilliPerPx = 85000L)
+        .select(expr("CAST(substr(video_id, 4, 20) AS BIGINT)").as("k"),
+          col("f1"), col("f2"), col("n_px"), col("sad"),
+          col("sad_milli_px"), col("cut"))
+        .orderBy("k", "f1")),
 
     // video frame sampling, DRIVER-GATED with a first-principles oracle:
     // sampleFrames slices every 2nd frame out of the concatenated-BMP clip

@@ -726,6 +726,48 @@ object ImageOps {
         "sum_abs_gy", "h_cnt", "v_cnt", "d1_cnt", "d2_cnt")
   }
 
+  /** Scene-cut detection over fixed-frame video clips (the shot-boundary
+    * pre-pass of a video curation pipeline — frame-difference SAD is the
+    * classic hard-cut detector): for every consecutive decoded frame pair,
+    * the exact sum of absolute per-channel differences, normalized to
+    * integer milli-SAD per pixel-channel (sad·1000 DIV 3wh — positive, so
+    * floor = truncate in both engines), cut at ≥ threshold. Each frame is
+    * decoded ONCE and compared to its predecessor in the same streamed
+    * pass (two frame buffers live at a time, never the clip); truncated
+    * payloads yield the pairs that ARE there (corrupt-corpus contract).
+    * Only 7 scalars per pair shuffle. */
+  def sceneCuts(spark: SparkSession, videos: DataFrame,
+                cutMilliPerPx: Long): DataFrame = {
+    import spark.implicits._
+    videos.select("video_id", "fmt", "w", "h", "n_frames", "bytes")
+      .as[(String, String, Int, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, w, h, n, bytes) =>
+          if (fmt != "bmp") Iterator.empty
+          else {
+            val fsize = Bmp.encodedSize(w, h)
+            val avail = math.min(n.toLong, bytes.length.toLong / fsize).toInt
+            var prev: Array[Byte] = null
+            (0 until avail).iterator.flatMap { f =>
+              val (rgb, _, _) = Bmp.decode(
+                java.util.Arrays.copyOfRange(bytes, f * fsize, (f + 1) * fsize))
+              val out = if (f == 0) None else {
+                var sad = 0L; var i = 0
+                while (i < rgb.length) {
+                  sad += math.abs((rgb(i) & 0xff) - (prev(i) & 0xff)); i += 1
+                }
+                val milliPx = sad * 1000L / (3L * w * h)
+                Some((id, f - 1, f, w.toLong * h, sad, milliPx,
+                  milliPx >= cutMilliPerPx))
+              }
+              prev = rgb
+              out
+            }
+          }
+        }
+      }.toDF("video_id", "f1", "f2", "n_px", "sad", "sad_milli_px", "cut")
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

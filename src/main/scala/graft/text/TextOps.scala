@@ -1036,6 +1036,40 @@ object TextOps {
         col("kl_num"), col("kl_per_tok_nano"))
   }
 
+  /** Zipf rank–frequency fit (Zipf 1949 — public): the least-squares slope
+    * of ln f vs ln r over the top-N vocabulary ranks, carried as an EXACT
+    * RATIONAL — slope = slope_num / slope_den with slope_num = n·Σxy −
+    * Σx·Σy and slope_den = n·Σx² − (Σx)², where x = ln6(rank), y =
+    * ln6(freq) are per-integer micro-rounded LNs (micro, not nano, keeps
+    * every product and the n-scaled sums inside BIGINT for corpus
+    * frequencies up to 10^12 at n ≤ 64). No float ever crosses an
+    * aggregation boundary, so the fitted slope is bit-decided. A healthy
+    * natural corpus fits slope ≈ −1; a flat slope flags synthetic/spam
+    * sources.
+    *
+    * Scale shape: one vocab-sized count + a top-N rank window over the
+    * VOCAB (never the corpus) + one 5-scalar aggregate. */
+  def zipfFit(docs: DataFrame, topN: Int = 64): DataFrame = {
+    require(topN >= 2 && topN <= 4096)
+    val freq = docs.select(explode(tokensCol(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val wnd = Window.orderBy(col("f").desc, col("w")) // vocab-sized frame
+    def ln6(c: Column): Column =
+      round(log(c.cast("double")) * lit(1e6), 0).cast("long")
+    freq.withColumn("r", row_number().over(wnd).cast("long"))
+      .filter(col("r") <= topN)
+      .select(ln6(col("r")).as("x"), ln6(col("f")).as("y"))
+      .agg(count(lit(1)).as("n_ranks"), sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"), sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"))
+      .select(col("n_ranks"), col("sum_x"), col("sum_y"), col("sum_xy"),
+        col("sum_x2"),
+        (col("n_ranks") * col("sum_xy") - col("sum_x") * col("sum_y"))
+          .as("slope_num"),
+        (col("n_ranks") * col("sum_x2") - col("sum_x") * col("sum_x"))
+          .as("slope_den"))
+  }
+
   /** Deterministic COLLISION-FREE training-order shuffle via a Feistel
     * network (Luby, Rackoff, SIAM J. Comput. 1988 — a balanced Feistel over
     * any round function is a bijection; the format-preserving-encryption

@@ -148,6 +148,27 @@ class AudioSpec extends AnyFunSuite {
     assert(got === Seq(0, 2)) // frame 4 (sampled) is truncated -> dropped
   }
 
+  test("sceneCuts: identical frames no cut, changed frame cuts, truncated clip yields present pairs") {
+    import spark.implicits._
+    val w = 4; val h = 3
+    val fA = graft.synth.Bmp.encode(Array.fill(w * h * 3)(10.toByte), w, h)
+    val fB = graft.synth.Bmp.encode(Array.fill(w * h * 3)(200.toByte), w, h)
+    val clip = fA ++ fA ++ fB // pairs: (0,1) sad 0, (1,2) sad 190·36
+    val truncated = clip.dropRight(10) // frame 2 incomplete → only pair (0,1)
+    val df = Seq(
+      ("c1", "bmp", w, h, 3, clip),
+      ("c2", "bmp", w, h, 3, truncated))
+      .toDF("video_id", "fmt", "w", "h", "n_frames", "bytes")
+    val got = graft.ops.ImageOps.sceneCuts(spark, df, cutMilliPerPx = 50000L)
+      .collect().map(r => (r.getAs[String]("video_id"), r.getAs[Int]("f1")) ->
+        (r.getAs[Long]("sad"), r.getAs[Long]("sad_milli_px"), r.getAs[Boolean]("cut"))).toMap
+    assert(got(("c1", 0)) === ((0L, 0L, false)))
+    val sad = 190L * w * h * 3
+    assert(got(("c1", 1)) === ((sad, sad * 1000 / (3L * w * h), true)))
+    assert(!got.contains(("c2", 1)), "truncated frame must not form a pair")
+    assert(got(("c2", 0)) === ((0L, 0L, false)))
+  }
+
   test("silenceRuns: hand-built runs — boundary run counts, strict threshold, all-loud/all-silent") {
     import spark.implicits._
     def wav(vs: Seq[Int]) = Wav.encode(vs.map(_.toShort).toArray, 8000, 1)

@@ -239,6 +239,21 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got("s1")._3 >= 0L && got("s2")._3 >= 0L && got("s3")._3 >= 0L)
   }
 
+  test("zipfFit: exact-rational slope matches brute force; perfect power law fits exactly") {
+    def ln6(x: Long): Long = Math.round(math.log(x.toDouble) * 1e6)
+    // freqs: a×4, b×2, c×1 → ranks 1,2,3
+    val docs = Seq((1L, "a a b c", "en", "web"), (2L, "a a b", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.zipfFit(docs, topN = 40)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val xy = Seq((ln6(1), ln6(4)), (ln6(2), ln6(2)), (ln6(3), ln6(1)))
+    val (n, sx, sy, sxy, sx2) = (3L, xy.map(_._1).sum, xy.map(_._2).sum,
+      xy.map(p => p._1 * p._2).sum, xy.map(p => p._1 * p._1).sum)
+    assert(got === ((n, sx, sy, sxy, sx2, n * sxy - sx * sy, n * sx2 - sx * sx)))
+    // the slope is negative (frequency falls with rank) and den > 0
+    assert(got._6 < 0L && got._7 > 0L)
+  }
+
   test("winnowFingerprints: in-JVM reference parity and the w+k-1 match guarantee") {
     import org.apache.spark.unsafe.types.UTF8String
     def ref(text: String, k: Int, w: Int): Set[(Int, Long)] = {
