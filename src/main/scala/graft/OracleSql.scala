@@ -3605,6 +3605,52 @@ SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(CASE WHEN n > 1 THEN (1000000 * ent_num) // maxent ELSE 0 END AS BIGINT) AS ratio_ppm
 FROM fin2 ORDER BY k""",
 
+    // letterbox: both variants' pixels rebuilt (zero border rows + shifted
+    // splitmix rows), per-line uniformity = channel-wise MIN=MAX, the
+    // identical first/last-non-uniform arithmetic
+    "q_image_letterbox" ->
+      s"""WITH ${pxChainCtes(
+        "o_orderkey % 13 = 0 AND o_orderkey % 5 <> 1 AND o_orderkey % 5 <> 3")},
+chan AS (
+  SELECT k, w, h, x, y,
+    z % 256 AS r, (z // 256) % 256 AS g, (z // 65536) % 256 AS b
+  FROM (SELECT k, w, h, x, y, xor(z2, z2 >> 31) AS z FROM m2)),
+dims2 AS (SELECT DISTINCT k, w, h FROM chan WHERE k % 3 = 0),
+allpx AS (
+  SELECT k, FALSE AS lb, w, h, x, y, r, g, b FROM chan
+  UNION ALL
+  SELECT k, TRUE, w, h + 4, x, y + 2, r, g, b FROM chan WHERE k % 3 = 0
+  UNION ALL
+  SELECT d.k, TRUE, d.w, d.h + 4, xs.x, t.j, 0, 0, 0
+  FROM dims2 d, xs, (VALUES (0), (1)) t(j) WHERE xs.x < d.w
+  UNION ALL
+  SELECT d.k, TRUE, d.w, d.h + 4, xs.x, d.h + 2 + t.j, 0, 0, 0
+  FROM dims2 d, xs, (VALUES (0), (1)) t(j) WHERE xs.x < d.w),
+rw AS (
+  SELECT k, lb, w, h, y,
+    (MIN(r) = MAX(r) AND MIN(g) = MAX(g) AND MIN(b) = MAX(b)) AS uni
+  FROM allpx GROUP BY k, lb, w, h, y),
+cl AS (
+  SELECT k, lb, w, h, x,
+    (MIN(r) = MAX(r) AND MIN(g) = MAX(g) AND MIN(b) = MAX(b)) AS uni
+  FROM allpx GROUP BY k, lb, w, h, x),
+ra AS (
+  SELECT k, lb, w, h,
+    COALESCE(MIN(y) FILTER (WHERE NOT uni), h) AS top,
+    COALESCE(h - 1 - MAX(y) FILTER (WHERE NOT uni), h) AS bottom
+  FROM rw GROUP BY k, lb, w, h),
+ca AS (
+  SELECT k, lb, w, h,
+    COALESCE(MIN(x) FILTER (WHERE NOT uni), w) AS lft,
+    COALESCE(w - 1 - MAX(x) FILTER (WHERE NOT uni), w) AS rgt
+  FROM cl GROUP BY k, lb, w, h)
+SELECT ra.k, ra.lb, CAST(ra.w AS INTEGER) AS w, CAST(ra.h AS INTEGER) AS h,
+  CAST(ra.top AS BIGINT) AS top_rows, CAST(ra.bottom AS BIGINT) AS bottom_rows,
+  CAST(ca.lft AS BIGINT) AS left_cols, CAST(ca.rgt AS BIGINT) AS right_cols,
+  (ra.top + ra.bottom + ca.lft + ca.rgt > 0) AS boxed
+FROM ra JOIN ca ON ca.k = ra.k AND ca.lb = ra.lb
+ORDER BY ra.k, ra.lb""",
+
     // augmentation digests: the same splitmix rebuild, with hflip/rot180
     // expressed as a position REMAP (p0 recomputed from mirrored x/y) —
     // Spark physically rearranges decoded bytes, DuckDB re-weights the
@@ -4833,6 +4879,25 @@ tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY from_type
 SELECT c.from_type, c.to_type, c.n,
   CAST((c.n * 1000000) // tt.tot AS BIGINT) AS p_ppm
 FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""",
+
+    // z-score outliers: identical integer inequality on milli values
+    "q_events_zscore" ->
+      """WITH ev AS (
+  SELECT user_id, CAST(FLOOR(value * 1000.0::DOUBLE) AS BIGINT) AS x
+  FROM events),
+st AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+    CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM ev GROUP BY user_id),
+fl AS (
+  SELECT e.user_id, s.n, s.s1, s.n * s.s2 - s.s1 * s.s1 AS var_num,
+    s.n * e.x - s.s1 AS dev
+  FROM ev e JOIN st s USING (user_id))
+SELECT user_id, MIN(n) AS n_events, MIN(s1) AS sum_milli,
+  CAST(MIN(var_num) AS BIGINT) AS var_num,
+  CAST(SUM(CASE WHEN 4 * dev * dev >= 9 * var_num AND dev <> 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM fl GROUP BY user_id ORDER BY user_id""",
 
     // CUSUM: the identical per-user serial recurrence replayed by a
     // recursive CTE over (ts_us, event_id)-ranked rows, integer micros

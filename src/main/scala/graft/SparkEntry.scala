@@ -1659,6 +1659,37 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // letterbox/pillarbox border detection: for every k % 3 == 0 clip a
+    // LETTERBOXED twin is planted (2 black rows top + bottom around the
+    // same pixels); the border counter must report exactly (2, 2, 0, 0)
+    // on every plant and (0, 0, 0, 0) on every original — DuckDB rebuilds
+    // both variants' pixels (borders + shifted splitmix rows) and replays
+    // the same first/last-non-uniform-line arithmetic
+    "q_image_letterbox" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val base = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 13 === 0 && col("fmt") === "bmp")
+      val encLb = udf((phash: Long, w: Int, h: Int) => {
+        val src = graft.synth.Bmp.pixels(phash, w, h)
+        val out = new Array[Byte]((h + 4) * w * 3)
+        System.arraycopy(src, 0, out, 2 * w * 3, src.length)
+        graft.synth.Bmp.encode(out, w, h + 4)
+      })
+      val planted = base.filter(col("k") % 3 === 0)
+        .select(concat(col("image_id"), lit("_lb")).as("image_id"),
+          encLb(col("phash"), col("w"), col("h")).as("bytes"),
+          lit("bmp").as("fmt"))
+      ImageOps.borderStats(s,
+          base.select("image_id", "bytes", "fmt").unionByName(planted))
+        .select(
+          expr("CAST(regexp_extract(image_id, '^img([0-9]+)', 1) AS BIGINT)").as("k"),
+          col("image_id").endsWith("_lb").as("lb"), col("w"), col("h"),
+          col("top_rows"), col("bottom_rows"), col("left_cols"),
+          col("right_cols"), col("boxed"))
+        .orderBy("k", "lb")
+    }),
+
     // cross-codec exact dedup, TRUE SQL oracle: every lossless bmp with
     // k % 7 == 0 is re-encoded as PNG (same pixels, entirely different
     // bytes) and planted back into the corpus; the groups keyed on the
@@ -2144,6 +2175,12 @@ object SparkEntry {
     "q_events_markov" -> ((s, dir) =>
       EventOps.transitionMatrix(Synth.events(s, dir))
         .orderBy("from_type", "to_type")),
+
+    // per-user z-score outliers with NO sqrt/float: |z| ≥ 1.5 as the exact
+    // integer inequality 4·(n·x − s1)² ≥ 9·(n·s2 − s1²) on milli values
+    "q_events_zscore" -> ((s, dir) =>
+      EventOps.zscoreOutliers(Synth.events(s, dir))
+        .orderBy("user_id")),
 
     // one-sided CUSUM changepoint detection (Page 1954): the per-user
     // serial recurrence s = max(0, s + v − target) with reset-on-alarm,

@@ -157,6 +157,38 @@ object EventOps {
         col("res.peak").as("peak_s"))
   }
 
+  /** Per-user z-score outlier counting WITHOUT sqrt or float: the |z| ≥ 1.5
+    * test is the exact integer comparison 4·(n·x − s1)² ≥ 9·(n·s2 − s1²)
+    * (both sides are the z² inequality multiplied through by n²·σ²·4 —
+    * sign-safe since the variance numerator is non-negative) over
+    * milli-unit values, so outlier counts are bit-decided with no
+    * rounding convention at all. Degenerate users (zero variance) count
+    * zero outliers by the strict contract 4·(…)² ≥ 9·0 only when the
+    * deviation is also zero — a constant stream has no outliers. Value
+    * bound for Long safety: n·max|x_milli| < 3·10⁹ per user (n ≤ ~4000
+    * events at the 500k-milli value ceiling) — the per-user-window
+    * contract; beyond it, pre-aggregate or drop to centi units.
+    *
+    * Scale shape: one user-keyed window to attach (n, s1, s2) + one
+    * user-keyed count — same key, one exchange, AQE reuses it. */
+  def zscoreOutliers(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    events
+      .withColumn("x", floor(col("value") * lit(1e3)).cast("long"))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("s1", sum(col("x")).over(byUser))
+      .withColumn("s2", sum(col("x") * col("x")).over(byUser))
+      .withColumn("dev", col("n") * col("x") - col("s1"))
+      .withColumn("var_num", col("n") * col("s2") - col("s1") * col("s1"))
+      .withColumn("outlier",
+        lit(4L) * col("dev") * col("dev") >= lit(9L) * col("var_num") &&
+          col("dev") =!= 0L)
+      .groupBy("user_id")
+      .agg(min(col("n")).as("n_events"), min(col("s1")).as("sum_milli"),
+        min(col("var_num")).as("var_num"),
+        sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Ordered-funnel analysis: how many users reach each stage, where stage
     * i+1 counts only events STRICTLY AFTER the user's first qualifying
     * stage-i event (first-occurrence chaining — the standard product

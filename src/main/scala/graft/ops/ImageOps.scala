@@ -768,6 +768,52 @@ object ImageOps {
       }.toDF("video_id", "f1", "f2", "n_px", "sad", "sad_milli_px", "cut")
   }
 
+  /** Letterbox / pillarbox border detection (the crop-before-train
+    * curation pass: black bars waste pixels and shift aspect-ratio
+    * statistics): counts of consecutive UNIFORM rows from the top and
+    * bottom and uniform columns from the left and right, where a line is
+    * uniform iff every pixel on it is identical (all three channels) —
+    * pure integer comparisons in the decode pass, 9 scalars per image
+    * shuffle. A fully-uniform image reports top = bottom = h (the loop
+    * convention the oracle mirrors). */
+  def borderStats(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            @inline def eqPx(i: Int, j: Int): Boolean =
+              rgb(i) == rgb(j) && rgb(i + 1) == rgb(j + 1) && rgb(i + 2) == rgb(j + 2)
+            def rowUni(y: Int): Boolean = {
+              val base = y * w * 3
+              var x = 1
+              while (x < w && eqPx(base + x * 3, base)) x += 1
+              x == w
+            }
+            def colUni(x: Int): Boolean = {
+              val base = x * 3
+              var y = 1
+              while (y < h && eqPx((y * w) * 3 + base, base)) y += 1
+              y == h
+            }
+            var top = 0; while (top < h && rowUni(top)) top += 1
+            var bottom = 0
+            while (bottom < h - top && rowUni(h - 1 - bottom)) bottom += 1
+            // convention: fully-uniform image → top = h, bottom = h
+            if (top == h) bottom = h
+            var left = 0; while (left < w && colUni(left)) left += 1
+            var right = 0
+            while (right < w - left && colUni(w - 1 - right)) right += 1
+            if (left == w) right = w
+            (id, fmt, w, h, top.toLong, bottom.toLong, left.toLong,
+              right.toLong, top + bottom + left + right > 0)
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "top_rows", "bottom_rows",
+        "left_cols", "right_cols", "boxed")
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

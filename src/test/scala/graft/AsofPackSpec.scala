@@ -154,6 +154,23 @@ class AsofPackSpec extends AnyFunSuite {
     assert(got(3L) === ((2L, 1L, 50000000L, 20000000L)))
   }
 
+  test("zscoreOutliers: exact integer 1.5σ test — boundary, constant stream, brute-force parity") {
+    // user 1: values 0,0,0,0,15 (milli 0,0,0,0,15000): n=5, s1=15000,
+    //   s2=225e6, var_num=5·225e6−225e6=9e8; dev for x=15000:
+    //   5·15000−15000=60000 → 4·3.6e9=1.44e10 ≥ 9·9e8=8.1e9 → outlier;
+    //   dev for x=0: −15000 → 4·2.25e8=9e8 < 8.1e9 → not
+    // user 2: constant 7.0 → var 0, dev 0 → zero outliers
+    val df = eventsDf(Seq(
+      ev(1, 1, 10, "a", 0.0), ev(2, 1, 20, "a", 0.0), ev(3, 1, 30, "a", 0.0),
+      ev(4, 1, 40, "a", 0.0), ev(5, 1, 50, "a", 15.0),
+      ev(6, 2, 10, "a", 7.0), ev(7, 2, 20, "a", 7.0)))
+    val got = EventOps.zscoreOutliers(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === ((5L, 15000L, 900000000L, 1L)))
+    assert(got(2L) === ((2L, 14000L, 0L, 0L)))
+  }
+
   test("funnel: strict-after chaining — order matters, equal ts does not advance") {
     val rows = Seq(
       // user 1 completes A→B in order

@@ -289,6 +289,39 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(got("n") === ((m, ne, sgx, sgy, ch, cv, cd1, cd2)))
   }
 
+  test("borderStats: hand-built letterbox/pillarbox/flat/clean cases") {
+    // 4×5 with 1 uniform top row, 2 uniform bottom rows (different colors)
+    val lbPx = Array.fill(4 * 5 * 3)(0.toByte)
+    for (x <- 0 until 4; c <- 0 until 3) lbPx((0 * 4 + x) * 3 + c) = 9
+    for (x <- 0 until 4) { // rows 1,2 noise (make non-uniform)
+      lbPx((1 * 4 + x) * 3) = (x * 13 + 5).toByte
+      lbPx((2 * 4 + x) * 3) = (x * 29 + 1).toByte
+    }
+    for (x <- 0 until 4; c <- 0 until 3) {
+      lbPx((3 * 4 + x) * 3 + c) = 77; lbPx((4 * 4 + x) * 3 + c) = 77
+    }
+    val lb = Bmp.encode(lbPx, 4, 5)
+    // pillarbox: 5×3 with 1 uniform left col, 1 uniform right col
+    val pbPx = Array.fill(5 * 3 * 3)(0.toByte)
+    for (y <- 0 until 3) pbPx((y * 5 + 2) * 3) = (y * 31 + 7).toByte // noise col
+    for (y <- 0 until 3) pbPx((y * 5 + 1) * 3) = (y * 17 + 3).toByte
+    for (y <- 0 until 3) pbPx((y * 5 + 3) * 3) = (y * 11 + 5).toByte
+    val pb = Bmp.encode(pbPx, 5, 3)
+    val flat = Bmp.encode(Array.fill(3 * 2 * 3)(42.toByte), 3, 2)
+    val clean = Codec.encodeFor("png", 909090L, 8, 7)
+    val got = ImageOps.borderStats(spark,
+        Seq(("lb", "bmp", lb), ("pb", "bmp", pb), ("flat", "bmp", flat),
+          ("clean", "png", clean)).toDF("image_id", "fmt", "bytes"))
+      .collect().map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("top_rows"), r.getAs[Long]("bottom_rows"),
+          r.getAs[Long]("left_cols"), r.getAs[Long]("right_cols"),
+          r.getAs[Boolean]("boxed"))).toMap
+    assert(got("lb") === ((1L, 2L, 0L, 0L, true)))
+    assert(got("pb") === ((0L, 0L, 1L, 1L, true)))
+    assert(got("flat") === ((2L, 2L, 3L, 3L, true))) // all-uniform convention
+    assert(got("clean") === ((0L, 0L, 0L, 0L, false)))
+  }
+
   test("phash components: a planted chain merges into ONE component with one survivor") {
     // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
     // plus an isolated far image that must NOT join
