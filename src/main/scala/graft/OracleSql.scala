@@ -812,6 +812,38 @@ FROM pol ORDER BY name"""
     // q_traj_map_match (all tracks, no sample); consecutive-point deltas
     // via LAG on the emitted doubles, per-segment round-to-1e-9 BEFORE the
     // sum so the totals are integer sums
+    // turn statistics: per-step µ° deltas from the LCG power table, turns
+    // between consecutive steps, identical dot-product inequalities
+    "q_traj_turns" -> {
+      val m = 2147483647L; val a = 48271L
+      val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong
+      val powers = (1 to 78)
+        .map(j => s"($j,${BigInt(a).modPow(BigInt(j), BigInt(m))})").mkString(",")
+      s"""WITH pw(j, apow) AS (VALUES $powers),
+keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0 FROM orders),
+deltas AS (
+  SELECT k, (j + 1) // 2 AS t, j % 2 = 1 AS is_lat,
+    ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d
+  FROM keys, pw),
+stepd AS (
+  SELECT k, t, CAST(SUM(CASE WHEN is_lat THEN d ELSE 0 END) AS BIGINT) AS du,
+         CAST(SUM(CASE WHEN NOT is_lat THEN d ELSE 0 END) AS BIGINT) AS dv
+  FROM deltas GROUP BY k, t),
+turns AS (
+  SELECT s1.k, s1.du, s1.dv, s2.du AS du2, s2.dv AS dv2
+  FROM stepd s1 JOIN stepd s2 ON s2.k = s1.k AND s2.t = s1.t + 1),
+sc AS (
+  SELECT k, du * du2 + dv * dv2 AS dot,
+    du * du + dv * dv AS a2, du2 * du2 + dv2 * dv2 AS b2
+  FROM turns
+  WHERE du * du + dv * dv > 0 AND du2 * du2 + dv2 * dv2 > 0)
+SELECT k AS track_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(CASE WHEN dot <= 0 OR 2 * dot * dot <= a2 * b2
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_sharp45,
+  CAST(SUM(CASE WHEN dot <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sharp90
+FROM sc GROUP BY k ORDER BY k"""
+    },
+
     "q_traj_length" -> {
       val m = 2147483647L; val a = 48271L
       val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong
@@ -4879,6 +4911,28 @@ tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY from_type
 SELECT c.from_type, c.to_type, c.n,
   CAST((c.n * 1000000) // tt.tot AS BIGINT) AS p_ppm
 FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""",
+
+    // A/B chi-square: identical 2×2 cells and exact rational
+    "q_events_ab_chi2" ->
+      """WITH conv AS (
+  SELECT user_id, user_id % 2 AS bucket,
+    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)
+                  ELSE 0 END) >= 600000000 THEN 1 ELSE 0 END AS cv
+  FROM events GROUP BY user_id),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN bucket = 0 AND cv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN bucket = 0 AND cv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN bucket = 1 AND cv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN bucket = 1 AND cv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM conv)
+SELECT a + b + c + d AS n_users, a, b, c, d,
+  CAST((a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS BIGINT) AS chi2_num,
+  CAST((a + b) * (c + d) * (a + c) * (b + d) AS BIGINT) AS chi2_den,
+  1000 * ((a + b + c + d) * (a * d - b * c) * (a * d - b * c))
+    >= 3841 * ((a + b) * (c + d) * (a + c) * (b + d)) AS significant_05
+FROM cells""",
 
     // z-score outliers: identical integer inequality on milli values
     "q_events_zscore" ->

@@ -2176,6 +2176,20 @@ object SparkEntry {
       EventOps.transitionMatrix(Synth.events(s, dir))
         .orderBy("from_type", "to_type")),
 
+    // A/B conversion chi-square as an exact rational: 2×2 cells from the
+    // user_id % 2 bucket, chi² = N(ad−bc)²/Π(margins) carried as num/den,
+    // the 0.05 verdict decided by integer cross-multiplication
+    "q_events_ab_chi2" -> ((s, dir) =>
+      EventOps.abChiSquare(Synth.events(s, dir), convType = "purchase")),
+
+    // trajectory turn statistics with NO trigonometry: ≥45°/≥90° turn
+    // classification by exact integer dot-product inequalities over the
+    // µ° step vectors; DuckDB re-derives every step delta from the LCG
+    // power table and replays the same inequalities
+    "q_traj_turns" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.turnStats(Synth.tracks(s, dir))
+        .orderBy("track_id")),
+
     // per-user z-score outliers with NO sqrt/float: |z| ≥ 1.5 as the exact
     // integer inequality 4·(n·x − s1)² ≥ 9·(n·s2 − s1²) on milli values
     "q_events_zscore" -> ((s, dir) =>

@@ -189,6 +189,44 @@ object EventOps {
         sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** A/B conversion chi-square statistic as an EXACT RATIONAL (Pearson
+    * 1900 — public): users split by the deterministic bucket user_id % 2,
+    * "converted" = micro-exact `convType` spend ≥ minSpendMicro
+    * (the sumMicro convention — a has-any-event definition is vacuous on
+    * a dense synthetic stream); the 2×2 chi² =
+    * N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) is carried as
+    * (chi2_num, chi2_den) — no float, no sqrt, the experiment verdict is
+    * bit-decided (chi² ≥ 3.841 ⟺ 1000·num ≥ 3841·den, also emitted).
+    * Long-safety bound: ~3·10⁵ users per cell keeps N·(ad−bc)² < 2⁶³
+    * (document-and-require contract; shard the test beyond it).
+    *
+    * Scale shape: one user-keyed conversion aggregate (map-side
+    * combinable) + one 4-cell rollup; the statistic is computed on four
+    * scalars. */
+  def abChiSquare(events: DataFrame, convType: String = "purchase",
+                  minSpendMicro: Long = 600000000L): DataFrame = {
+    val conv = events.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === convType,
+        floor(col("value") * lit(1e6)).cast("long")).otherwise(0L)).as("spend"))
+      .withColumn("cv", when(col("spend") >= minSpendMicro, 1L).otherwise(0L))
+      .withColumn("bucket", col("user_id") % 2)
+    conv.agg(
+        sum(when(col("bucket") === 0 && col("cv") === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("bucket") === 0 && col("cv") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("bucket") === 1 && col("cv") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(col("bucket") === 1 && col("cv") === 0L, 1L).otherwise(0L)).as("d"))
+      .select(
+        (col("a") + col("b") + col("c") + col("d")).as("n_users"),
+        col("a"), col("b"), col("c"), col("d"),
+        ((col("a") + col("b") + col("c") + col("d")) *
+          (col("a") * col("d") - col("b") * col("c")) *
+          (col("a") * col("d") - col("b") * col("c"))).as("chi2_num"),
+        ((col("a") + col("b")) * (col("c") + col("d")) *
+          (col("a") + col("c")) * (col("b") + col("d"))).as("chi2_den"))
+      .withColumn("significant_05",
+        lit(1000L) * col("chi2_num") >= lit(3841L) * col("chi2_den"))
+  }
+
   /** Ordered-funnel analysis: how many users reach each stage, where stage
     * i+1 counts only events STRICTLY AFTER the user's first qualifying
     * stage-i event (first-occurrence chaining — the standard product

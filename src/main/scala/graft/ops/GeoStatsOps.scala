@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.exprs.fns
 import graft.synth.Codec
@@ -639,6 +640,58 @@ object GeoStatsOps {
         when(col("mind2").isNotNull,
           floor(sqrt(col("mind2").cast("double"))).cast("long"))
           .otherwise(lit(-1L)).as("min_d_micro"))
+  }
+
+  /** Trajectory turn statistics WITHOUT trigonometry: at every interior
+    * point the angle between consecutive segment vectors (exact µ°
+    * integers) is classified by sign/cross-multiplied dot products —
+    * ≥ 90° ⟺ dot ≤ 0, and ≥ 45° ⟺ dot ≤ 0 ∨ 2·dot² ≤ |a|²·|b|² (the
+    * cos² inequality cleared of square roots, valid on the dot > 0
+    * branch) — the GPS-noise / zig-zag / drive-style triage that usually
+    * reaches for atan2 and loses exactness. Zero-length segments carry no
+    * direction and are skipped by contract in both engines. Bounds: step
+    * deltas ≤ 1000 µ° keep every product ≤ 4·10¹² — Long-safe with six
+    * orders of margin.
+    *
+    * Scale shape: ZERO shuffles — segments and turns are intra-array, so
+    * the whole classification runs in one map-side pass over each track's
+    * geometry (typed island, the per-row-loop pattern); the output is
+    * already one row per track. (Two rejected cuts: a point-exploded
+    * lag/lead window shuffles 40× the rows for data that never leaves its
+    * row — 6.0 s at sf0.1; nested index-lambda higher-order functions get
+    * their array attributes INLINED by CollapseProject and re-evaluated
+    * per element access — superlinear blow-up, minutes at sf0.01.) */
+  def turnStats(tracks: DataFrame): DataFrame = {
+    val spark = tracks.sparkSession
+    import spark.implicits._
+    tracks.select(col("track_id"), col("geometry"))
+      .as[(Long, Seq[(Double, Double)])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, pts) =>
+          val n = pts.length
+          val u = new Array[Long](n); val v = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            u(i) = Math.round(pts(i)._1 * 1e6); v(i) = Math.round(pts(i)._2 * 1e6)
+            i += 1
+          }
+          var nT = 0L; var n45 = 0L; var n90 = 0L
+          var t = 1
+          while (t < n - 1) {
+            val du = u(t) - u(t - 1); val dv = v(t) - v(t - 1)
+            val du2 = u(t + 1) - u(t); val dv2 = v(t + 1) - v(t)
+            val a2 = du * du + dv * dv; val b2 = du2 * du2 + dv2 * dv2
+            if (a2 > 0 && b2 > 0) {
+              nT += 1
+              val dot = du * du2 + dv * dv2
+              if (dot <= 0) { n45 += 1; n90 += 1 }
+              else if (2 * dot * dot <= a2 * b2) n45 += 1
+            }
+            t += 1
+          }
+          if (nT > 0) Some((id, nT, n45, n90)) else None
+        }
+      }.toDF("track_id", "n_turns", "n_sharp45", "n_sharp90")
   }
 
   /** Region summary statistics — the aggregation layer over `regionGroup`:

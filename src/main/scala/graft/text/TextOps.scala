@@ -981,21 +981,30 @@ object TextOps {
     val toks = docs.select(col("doc_id"),
       size(tokensCol(col("text"))).cast("long").as("n_tokens"))
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) // driver scalar
+    // a doc/term first lands in checkpoint i(d) = min{i : cp_i ≥ d}; since
+    // cp_i = floor(maxId·i/B) and d is integer, that is ceil(B·d / maxId)
+    // (clamped to ≥ 1 for d = 0) — an EQUI key, so the corpus collapses to
+    // a ≤B-row per-bucket aggregate and the cumulative sums run as a tiny
+    // B-row window. No non-equi join anywhere (a `doc_id ≤ cp` cross join
+    // plans a nested-loop — the shape PlanHygieneSpec bans).
+    def idx(c: String): Column = // pure-integer ceil(B·d / maxId), clamped
+      expr(s"greatest(CAST(1 AS BIGINT), ($c * $buckets + ${maxId - 1}) div $maxId)")
     val cps = (1 to buckets).map(i => (i.toLong, maxId * i / buckets))
       .toDF("i", "cp")
     val firstSeen = docs
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("term"))
       .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
-    val tokCum = toks.select(col("doc_id"), col("n_tokens"))
-      .crossJoin(broadcast(cps)).filter(col("doc_id") <= col("cp"))
-      .groupBy("i", "cp")
-      .agg(count(lit(1)).as("docs_cum"), sum(col("n_tokens")).as("tokens_cum"))
-    val vocCum = firstSeen
-      .crossJoin(broadcast(cps)).filter(col("first_doc") <= col("cp"))
-      .groupBy("i", "cp").agg(count(lit(1)).as("vocab_cum"))
-    tokCum.join(vocCum, Seq("i", "cp"))
-      .select(col("i"), col("cp"), col("docs_cum"), col("tokens_cum"),
-        col("vocab_cum"))
+    val tokBuk = toks.groupBy(idx("doc_id").as("i"))
+      .agg(count(lit(1)).as("dn"), sum(col("n_tokens")).as("tn"))
+    val vocBuk = firstSeen.groupBy(idx("first_doc").as("i"))
+      .agg(count(lit(1)).as("vn"))
+    val w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    broadcast(cps)
+      .join(tokBuk, Seq("i"), "left").join(vocBuk, Seq("i"), "left")
+      .select(col("i"), col("cp"),
+        sum(coalesce(col("dn"), lit(0L))).over(w).as("docs_cum"),
+        sum(coalesce(col("tn"), lit(0L))).over(w).as("tokens_cum"),
+        sum(coalesce(col("vn"), lit(0L))).over(w).as("vocab_cum"))
       .orderBy("i")
   }
 

@@ -171,6 +171,29 @@ class AsofPackSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, 14000L, 0L, 0L)))
   }
 
+  test("abChiSquare: hand-built 2x2 — cells, rational, and the 3.841 verdict both ways") {
+    // users 0..3: buckets 0,1,0,1. spends (micro): u0 700, u2 100 (A: 1
+    // conv, 1 not), u1 650, u3 900 (B: 2 conv, 0 not) — threshold 600
+    val df = eventsDf(Seq(
+      ev(1, 0, 10, "purchase", 700.0), ev(2, 2, 10, "purchase", 100.0),
+      ev(3, 1, 10, "purchase", 650.0), ev(4, 3, 10, "purchase", 900.0),
+      ev(5, 0, 20, "view", 999.0))) // non-purchase never counts
+    val r = EventOps.abChiSquare(df, minSpendMicro = 600000000L).collect().head
+    val (a, b, c, d) = (1L, 1L, 2L, 0L)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((4L, a, b, c, d)))
+    val num = 4L * (a * d - b * c) * (a * d - b * c)
+    val den = (a + b) * (c + d) * (a + c) * (b + d)
+    assert((r.getLong(5), r.getLong(6)) === ((num, den)))
+    // chi² = 16/12 ≈ 1.33 < 3.841 → not significant
+    assert(!r.getBoolean(7))
+    // an extreme split IS significant: A all converts, B none (3 users each)
+    val ext = eventsDf((1 to 3).map(i => ev(i, i * 2L, 10, "purchase", 900.0)) ++
+      (4 to 6).map(i => ev(i, i * 2 + 1L, 10, "purchase", 100.0)))
+    assert(EventOps.abChiSquare(ext, minSpendMicro = 600000000L)
+      .collect().head.getBoolean(7)) // chi² = 6 ≥ 3.841
+  }
+
   test("funnel: strict-after chaining — order matters, equal ts does not advance") {
     val rows = Seq(
       // user 1 completes A→B in order

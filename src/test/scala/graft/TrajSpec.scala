@@ -63,6 +63,50 @@ class TrajSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._1 != v._2))
   }
 
+  test("turnStats: hand-built right-angle/straight/reversal/zero-segment cases + corpus parity") {
+    import spark.implicits._
+    // build geometry as array<struct<lat,lon>> in µ°-exact doubles
+    def track(id: Long, pts: Seq[(Long, Long)]) =
+      (id, pts.map { case (u, v) => (u * 1e-6, v * 1e-6) })
+    val df = Seq(
+      // t1: E, E, N, SW-ish: turns: straight (dot>0, 2dot²>a2b2 → not 45°),
+      //     right angle (dot=0 → 90 and 45), reversal-ish
+      track(1L, Seq((0L, 0L), (0L, 100L), (0L, 200L), (100L, 200L), (0L, 100L))),
+      // t2: zero-length middle segment is skipped
+      track(2L, Seq((0L, 0L), (0L, 100L), (0L, 100L), (0L, 200L)))
+    ).toDF("track_id", "geometry")
+      .withColumn("geometry", expr(
+        "transform(geometry, p -> struct(p._1 AS lat, p._2 AS lon))"))
+    val got = graft.ops.GeoStatsOps.turnStats(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // t1 turns: (E,E): dot=10000, a2=b2=10000 → 2·1e8 > 1e8 → straight.
+    // (E,N): dot=0 → sharp45+sharp90. (N, SW(-100,-100)): dot=-10000 → both.
+    assert(got(1L) === ((3L, 2L, 2L)))
+    // t2: BOTH turn points touch the zero-length segment → no valid turns,
+    // the track emits no row at all (skip contract)
+    assert(!got.contains(2L))
+    // corpus parity with an in-JVM brute force on real tracks
+    val rows = graft.synth.Synth.tracks(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .select(col("track_id"), expr(
+        "transform(geometry, p -> struct(CAST(round(p.lat*1e6) AS LONG) AS u, CAST(round(p.lon*1e6) AS LONG) AS v))"))
+      .as[(Long, Seq[(Long, Long)])].collect()
+    val want = rows.map { case (id, pts) =>
+      val segs = pts.zip(pts.tail).map { case (a, b) => (b._1 - a._1, b._2 - a._2) }
+      val turns = segs.zip(segs.tail).filter { case (a, b) =>
+        (a._1 * a._1 + a._2 * a._2) > 0 && (b._1 * b._1 + b._2 * b._2) > 0 }
+      val dots = turns.map { case (a, b) =>
+        (a._1 * b._1 + a._2 * b._2, a._1 * a._1 + a._2 * a._2, b._1 * b._1 + b._2 * b._2) }
+      id -> ((dots.size.toLong,
+        dots.count { case (d, a2, b2) => d <= 0 || 2 * d * d <= a2 * b2 }.toLong,
+        dots.count(_._1 <= 0).toLong))
+    }.toMap
+    val got2 = graft.ops.GeoStatsOps.turnStats(
+        graft.synth.Synth.tracks(spark, "/root/testdata/sf0.001").limit(50))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got2 === want)
+  }
+
   test("simplifyDp equals JTS DouglasPeuckerSimplifier on 200 random walks") {
     for (t <- 1 to 200) {
       val n = 3 + (nxt() % 60).toInt
