@@ -3544,6 +3544,27 @@ SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(SUM(e) AS BIGINT) AS sum_eq
 FROM eqpx GROUP BY k, fmt, w, h ORDER BY k""",
 
+    // RLE: the byte stream in scan order from the splitmix chain, runs via
+    // LAG IS DISTINCT FROM
+    "q_image_rle" ->
+      s"""WITH ${pxChainCtes("o_orderkey % 53 = 0 AND o_orderkey % 5 <> 3")},
+fin AS (SELECT k, fmt, w, h, x, y, xor(z2, z2 >> 31) AS z FROM m2),
+bts AS (
+  SELECT k, fmt, w, h, CAST((y * w + x) * 3 + cc.c AS BIGINT) AS p,
+    CASE cc.c WHEN 0 THEN z % 256 WHEN 1 THEN (z // 256) % 256
+              ELSE (z // 65536) % 256 END AS v
+  FROM fin, (VALUES (0), (1), (2)) cc(c)),
+runs AS (
+  SELECT k, fmt, w, h,
+    CASE WHEN LAG(v) OVER (PARTITION BY k ORDER BY p) IS DISTINCT FROM v
+         THEN 1 ELSE 0 END AS new_run
+  FROM bts)
+SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  CAST(COUNT(*) AS BIGINT) AS n_bytes, CAST(SUM(new_run) AS BIGINT) AS n_runs,
+  CAST(1000000 * 2 * SUM(new_run) // COUNT(*) AS BIGINT) AS ratio_ppm,
+  1000000 * 2 * SUM(new_run) // COUNT(*) < 1985000 AS compressible
+FROM runs GROUP BY k, fmt, w, h ORDER BY k""",
+
     // Otsu threshold: gray histogram from the splitmix chain, class moments
     // by window cumulative sums, the same division-free integer score
     // A² DIV (n0·n1) and (score DESC, t ASC) argmax
@@ -4540,6 +4561,30 @@ SELECT q_id, q_label, rk, neighbor, neighbor_label,
 FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
 
     "q_emb_topk" -> embTopkSql,
+
+    // kNN label classification: the embTopkSql candidate derivation with
+    // neighbor labels, the identical (cos9 DESC, neighbor) cut and the
+    // (votes DESC, label ASC) majority argmax
+    "q_emb_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe,
+           label AS true_label FROM embeddings),
+cand AS (
+  SELECT q.q_id, q.true_label, e.vec_id AS neighbor, e.label,
+    CAST(ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) * 1000000000.0::DOUBLE) AS BIGINT) AS cos9
+  FROM q, embeddings e WHERE q.q_id <> e.vec_id),
+knn AS (
+  SELECT q_id, true_label, label FROM (
+    SELECT q_id, true_label, label,
+      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos9 DESC, neighbor) AS rk
+    FROM cand) WHERE rk <= 5),
+vt AS (SELECT q_id, true_label, label, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM knn GROUP BY q_id, true_label, label),
+sel AS (SELECT q_id, true_label, label, votes,
+  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn
+  FROM vt)
+SELECT q_id, true_label, label AS pred_label, votes,
+  label = true_label AS correct
+FROM sel WHERE rn = 1 ORDER BY q_id""",
 
     // triangle census of the exact 5-NN graph: the embTopkSql derivation
     // with every vector as a query, canonicalized to undirected a<b edges;

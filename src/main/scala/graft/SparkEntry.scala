@@ -1399,6 +1399,13 @@ object SparkEntry {
       SimOps.bruteForceTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
         .orderBy("q_id", "rk")),
 
+    // kNN majority-vote label classification (label-noise audit): 5-NN
+    // labels vote with (votes DESC, label ASC) argmax; brute-force feed is
+    // the documented baseline, cut by the k-bounded TopKAgg
+    "q_emb_knn_classify" -> ((s, dir) =>
+      SimOps.knnClassify(s, Synth.embeddings(s, dir), k = 5)
+        .orderBy("q_id")),
+
     // Matryoshka truncation recall audit: top-5 on the 16-dim prefix vs
     // the full-64-dim truth, per-query hits + exact milli recall; both
     // legs are the documented brute-force baseline (this is an audit)
@@ -1939,6 +1946,20 @@ object SparkEntry {
         .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
           col("fmt"), col("w"), col("h"), col("eq_digest"), col("min_eq"),
           col("max_eq"), col("sum_eq"))
+        .orderBy("k")
+    }),
+
+    // RLE compressibility triage: exact run counts over the decoded scan
+    // order; DuckDB replays runs via LAG over the splitmix byte stream
+    "q_image_rle" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val imgs = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 53 === 0 && col("fmt") =!= "jpeg")
+      ImageOps.rleStats(s, imgs, maxRatioPpm = 1985000L)
+        .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
+          col("fmt"), col("w"), col("h"), col("n_bytes"), col("n_runs"),
+          col("ratio_ppm"), col("compressible"))
         .orderBy("k")
     }),
 

@@ -814,6 +814,36 @@ object ImageOps {
         "left_cols", "right_cols", "boxed")
   }
 
+  /** RLE compressibility triage (the cheap complexity proxy behind
+    * flat/synthetic/screenshot detection — a near-incompressible photo and
+    * a banded graphic separate by an order of magnitude): maximal
+    * equal-byte run count over the decoded RGB scan order, rle_size =
+    * 2·n_runs (count, value pairs), ratio_ppm = 1e6·rle_size DIV n_bytes.
+    * Pure integers in the decode pass; 5 scalars per image shuffle. */
+  def rleStats(spark: SparkSession, images: DataFrame,
+               maxRatioPpm: Long): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            var runs = if (rgb.nonEmpty) 1L else 0L
+            var i = 1
+            while (i < rgb.length) {
+              if (rgb(i) != rgb(i - 1)) runs += 1
+              i += 1
+            }
+            val ratio = if (rgb.isEmpty) 0L
+              else 1000000L * 2L * runs / rgb.length
+            (id, fmt, w, h, rgb.length.toLong, runs, ratio,
+              ratio < maxRatioPpm)
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "n_bytes", "n_runs", "ratio_ppm",
+        "compressible")
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

@@ -49,6 +49,41 @@ object SimOps {
       .select(col("q_id").as("a"), explode(col("top.tag")).as("b"))
   }
 
+  /** kNN majority-vote label classification (Fix & Hodges 1951 / Cover &
+    * Hart 1967 — public): predict each vector's label from its k nearest
+    * neighbors' labels, ties to the smallest label — the weak-supervision /
+    * label-propagation / label-noise-audit primitive of an embedding
+    * pipeline (a vector whose neighbors outvote its own label is a
+    * mislabeling candidate). The candidate feed is the DOCUMENTED
+    * brute-force baseline (PlanHygieneSpec whitelist — the LSH/IVF paths
+    * swap in at scale with the same (q_id, neighbor) pair shape); the cut
+    * is the k-bounded native TopKAgg (map-side combine discards
+    * non-contenders before the exchange), labels ride a vec_id equi-join,
+    * and the vote is a per-query argmax over ≤k rows.
+    *
+    * Output: (q_id, true_label, pred_label, votes, correct). */
+  def knnClassify(spark: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
+    val q = embeddings.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("label").as("true_label"))
+    val top = broadcast(q).join(embeddings, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("true_label"),
+        round(fns.cosine_sim(col("q_emb"), col("embedding")) * lit(1e9), 0)
+          .cast("long").as("cos9"),
+        col("vec_id"))
+      .groupBy("q_id", "true_label")
+      .agg(graft.exprs.topk.topk_agg(col("cos9"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), col("true_label"), explode(col("top.tag")).as("vec_id"))
+    val voted = top
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("label"))
+    voted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
+        col("votes"), (col("label") === col("true_label")).as("correct"))
+  }
+
   /** Matryoshka truncation recall audit (Kusupati et al., NeurIPS 2022 —
     * public): how much top-k quality survives when the index stores only
     * the first `dims` of each embedding? MRL-trained models front-load

@@ -254,6 +254,33 @@ class DedupSimSpec extends AnyFunSuite {
     assert(got._6 < 0L && got._7 > 0L)
   }
 
+  test("knnClassify: planted clusters classify correctly; outvoted self-label flags noise; tie → smallest label") {
+    // two tight clusters in 4-d: label 1 around e1, label 2 around e2;
+    // one MISLABELED vector sits in cluster 1 with label 9 → its
+    // neighbors outvote it (correct = false, pred = 1)
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (1L, v(1, 0, 0, 0.00), 1), (2L, v(1, 0, 0, 0.01), 1),
+      (3L, v(1, 0, 0, 0.02), 1), (4L, v(1, 0, 0, 0.03), 9), // mislabeled
+      (10L, v(0, 1, 0, 0.00), 2), (11L, v(0, 1, 0, 0.01), 2),
+      (12L, v(0, 1, 0, 0.02), 2), (13L, v(0, 1, 0, 0.03), 2))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = SimOps.knnClassify(spark, df, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getBoolean(4))).toMap
+    // cluster-1 members: 3 NNs are the other cluster-1 vectors
+    assert(got(1L) === ((1, 1, 2L, true)))  // neighbors 2,3 (lbl 1) + 4 (lbl 9)
+    assert(got(4L) === ((9, 1, 3L, false))) // outvoted → label-noise flag
+    assert(got(10L) === ((2, 2, 3L, true)))
+    // tie case: isolated pair with distinct labels — 1-NN world
+    val tie = Seq((1L, v(1, 0, 0, 0), 5), (2L, v(1, 0, 0, 0.01), 7),
+      (3L, v(0, 1, 0, 0), 6)).toDF("vec_id", "embedding", "label")
+    val t = SimOps.knnClassify(spark, tie, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // vec 1's neighbors: 2 (lbl 7) and 3 (lbl 6) — 1 vote each → smallest label wins
+    assert(t(1L) === 6)
+  }
+
   test("winnowFingerprints: in-JVM reference parity and the w+k-1 match guarantee") {
     import org.apache.spark.unsafe.types.UTF8String
     def ref(text: String, k: Int, w: Int): Set[(Int, Long)] = {

@@ -322,6 +322,20 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(got("clean") === ((0L, 0L, 0L, 0L, false)))
   }
 
+  test("rleStats: flat image 1 run, striped exact runs, boundary ratio") {
+    val flat = Bmp.encode(Array.fill(4 * 2 * 3)(50.toByte), 4, 2)
+    // 2×1: pixels (1,2,3), (4,5,6) → 6 bytes all distinct → 6 runs
+    val dist = Bmp.encode(Array[Byte](1, 2, 3, 4, 5, 6), 2, 1)
+    val got = ImageOps.rleStats(spark,
+        Seq(("flat", "bmp", flat), ("dist", "bmp", dist))
+          .toDF("image_id", "fmt", "bytes"), maxRatioPpm = 1985000L)
+      .collect().map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("ratio_ppm"), r.getAs[Boolean]("compressible"))).toMap
+    assert(got("flat") === ((24L, 1L, 1000000L * 2 / 24, true)))
+    assert(got("dist") === ((6L, 6L, 2000000L, false)))
+  }
+
   test("phash components: a planted chain merges into ONE component with one survivor") {
     // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
     // plus an isolated far image that must NOT join

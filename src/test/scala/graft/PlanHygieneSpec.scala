@@ -43,7 +43,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       // LSH/IVF kNN graph swaps in at scale with the same pair shape); the
       // operator under test (degree-oriented triangle join) is equi-joins
       // only, and its three 1-row metric aggregates cross-join by design
-      "q_graph_triangles")
+      "q_graph_triangles",
+      // q_emb_knn_classify: same documented brute-force kNN FEED as
+      // q_emb_topk/q_graph_triangles (LSH/IVF swap in at scale); the
+      // vote itself is an equi-join + bounded argmax
+      "q_emb_knn_classify")
 
   test("no registered query plans a cartesian or nested-loop join (whitelist: brute-force baselines)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
