@@ -1998,6 +1998,28 @@ SELECT CAST(rc.r AS BIGINT) AS r_micro, nf.c AS n_focals, rc.cnt AS n_neighbors,
   CAST((rc.cnt * 1000) // nf.c AS BIGINT) AS mean_milli
 FROM rc CROSS JOIN nf ORDER BY r_micro""",
 
+    // ---- mirror: Epanechnikov kernel density -----------------------------------
+    // brute force under the safe bbox prefilter (oracle cost), the same
+    // strict d² < R² support and the same Σ(R² − d²) BIGINT weight
+    "q_geo_kde" ->
+      s"""WITH $imgCte,
+f AS (SELECT CAST(substring(image_id, 4) AS BIGINT) AS pid, image_id, u, v
+      FROM imgs WHERE CAST(substring(image_id, 4) AS BIGINT) % 50 = 0),
+prs AS (
+  SELECT f.pid,
+    (i.u - f.u) * (i.u - f.u) + (i.v - f.v) * (i.v - f.v) AS d2
+  FROM f, imgs i
+  WHERE i.image_id <> f.image_id
+    AND ABS(i.u - f.u) <= 2000 AND ABS(i.v - f.v) <= 2000),
+ag AS (
+  SELECT pid,
+    CAST(COUNT(*) FILTER (WHERE d2 < 4000000) AS BIGINT) AS n_in_disk,
+    CAST(SUM(4000000 - d2) FILTER (WHERE d2 < 4000000) AS BIGINT) AS density
+  FROM prs GROUP BY pid)
+SELECT f.pid, COALESCE(a.n_in_disk, 0::BIGINT) AS n_in_disk,
+  COALESCE(a.density, 0::BIGINT) AS density
+FROM f LEFT JOIN ag a ON a.pid = f.pid ORDER BY f.pid""",
+
     // ---- mirror: bounded nearest-neighbor distance -----------------------------
     // brute force focals × corpus under the same safe bbox prefilter as
     // ripley (oracle cost); disk semantics restored by the d2 <= R² filter,
@@ -3543,6 +3565,32 @@ SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(MIN(e) AS BIGINT) AS min_eq, CAST(MAX(e) AS BIGINT) AS max_eq,
   CAST(SUM(e) AS BIGINT) AS sum_eq
 FROM eqpx GROUP BY k, fmt, w, h ORDER BY k""",
+
+    // box downsample: every 2×2 source block re-averaged (integer floor)
+    // from the splitmix chain, digest re-derived at downsampled positions
+    "q_image_boxdown" ->
+      s"""WITH ${pxChainCtes("o_orderkey % 59 = 0 AND o_orderkey % 5 <> 3")},
+fin AS (SELECT k, fmt, w, h, x, y, xor(z2, z2 >> 31) AS z FROM m2),
+chan AS (
+  SELECT k, fmt, w, h, x, y, cc.c,
+    CASE cc.c WHEN 0 THEN z % 256 WHEN 1 THEN (z // 256) % 256
+              ELSE (z // 65536) % 256 END AS v
+  FROM fin, (VALUES (0), (1), (2)) cc(c)),
+down AS (
+  SELECT k, fmt, w, h, w // 2 AS dw, h // 2 AS dh,
+    x // 2 AS dx, y // 2 AS dy, c, CAST(SUM(v) // 4 AS BIGINT) AS dv
+  FROM chan
+  WHERE x < (w // 2) * 2 AND y < (h // 2) * 2
+  GROUP BY k, fmt, w, h, x // 2, y // 2, c),
+dig AS (
+  SELECT k, fmt, w, h, dw, dh,
+    CAST((dy * dw + dx) * 3 + c AS BIGINT) AS p, dv
+  FROM down WHERE dw > 0 AND dh > 0)
+SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  CAST(dw AS INTEGER) AS dw, CAST(dh AS INTEGER) AS dh,
+  CAST(SUM((p + 1) * (p + 7) * (dv + 17)) AS BIGINT) AS down_digest,
+  CAST(SUM(dv) AS BIGINT) AS sum_down
+FROM dig GROUP BY k, fmt, w, h, dw, dh ORDER BY k""",
 
     // RLE: the byte stream in scan order from the splitmix chain, runs via
     // LAG IS DISTINCT FROM

@@ -884,6 +884,17 @@ object SparkEntry {
           radiiMicroDeg = Seq(500L, 1000L, 2000L), res = 3, sampleMod = 50L)
         .orderBy("r_micro")),
 
+    // Epanechnikov-kernel density at sampled focals: w = max(0, R² − d²)
+    // is a polynomial in exact integer d², so the density surface is
+    // BIGINT-exact; compact support = the cell-disk bound
+    "q_geo_kde" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.kernelDensity(
+          Pipeline.geoImages(s, dir).select(
+            expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+            col("u"), col("v")),
+          rMicro = 2000L, res = 3, sampleMod = 50L)
+        .orderBy("pid")),
+
     // nearest-neighbor distance within R=2000µ° (Clark & Evans 1954
     // ingredient, truncation-exact): per sampled focal the min d² over the
     // bounded cell-disk join; no-neighbor focals report −1, never a
@@ -1946,6 +1957,22 @@ object SparkEntry {
         .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
           col("fmt"), col("w"), col("h"), col("eq_digest"), col("min_eq"),
           col("max_eq"), col("sum_eq"))
+        .orderBy("k")
+    }),
+
+    // 2×2 box-AVERAGE downsample (the anti-aliased resize leg; thumbs is
+    // decimation): every output pixel = floor mean of its source block,
+    // pinned by the position-weighted digest — DuckDB re-averages the
+    // splitmix blocks and re-derives the digest
+    "q_image_boxdown" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val imgs = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 59 === 0 && col("fmt") =!= "jpeg")
+      ImageOps.boxDownsample(s, imgs)
+        .select(expr("CAST(substr(image_id, 4, 20) AS BIGINT)").as("k"),
+          col("fmt"), col("w"), col("h"), col("dw"), col("dh"),
+          col("down_digest"), col("sum_down"))
         .orderBy("k")
     }),
 

@@ -694,6 +694,51 @@ object GeoStatsOps {
       }.toDF("track_id", "n_turns", "n_sharp45", "n_sharp90")
   }
 
+  /** Kernel density estimate at sampled query locations with the
+    * Epanechnikov-family kernel w(d) = max(0, R² − d²) — the spatial
+    * smoothing/heat-surface primitive, made EXACT by evaluating the kernel
+    * on squared integer µ° distances (a triangular kernel needs sqrt; the
+    * parabolic one is a polynomial in d², so every weight and the summed
+    * density are BIGINTs). Same bounded cell-disk equi-join as
+    * ripleyK/variogram — never a theta join; the kernel's compact support
+    * IS the disk bound, so the join prunes exactly the zero-weight pairs.
+    *
+    * Input: (pid, u, v). Output per focal: (pid, n_in_disk, density). */
+  def kernelDensity(points: DataFrame, rMicro: Long, res: Int,
+                    sampleMod: Long,
+                    frameLat0: Double = graft.synth.Synth.LAT0,
+                    frameLon0: Double = graft.synth.Synth.LON0): DataFrame = {
+    require(res >= 0 && res <= 5)
+    val cellMicro = math.round(1e6 / graft.cells.GridCell.pow10(res))
+    val k = (rMicro / cellMicro + 1L).toInt
+    val uDeg = (u: org.apache.spark.sql.Column) =>
+      lit(frameLat0) + u.cast("double") * lit(1e-6)
+    val vDeg = (v: org.apache.spark.sql.Column) =>
+      lit(frameLon0) + v.cast("double") * lit(1e-6)
+    val samp = points
+      .withColumn("s_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .select(col("s_cell"), col("pid").as("spid"),
+        col("u").as("su"), col("v").as("sv"))
+      .hint("SHUFFLE_HASH")
+    val focals = points.filter(col("pid") % sampleMod === 0)
+    val near = focals
+      .withColumn("p_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .withColumn("cand_cell", explode(fns.cell_disk(col("p_cell"), lit(k), res)))
+      .join(samp, col("cand_cell") === col("s_cell"))
+      .filter(col("spid") =!= col("pid"))
+      .withColumn("d2",
+        (col("su") - col("u")) * (col("su") - col("u")) +
+          (col("sv") - col("v")) * (col("sv") - col("v")))
+      .filter(col("d2") < lit(rMicro * rMicro))
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_in_disk"),
+        sum(lit(rMicro * rMicro) - col("d2")).as("density"))
+    focals.select(col("pid")).join(near, Seq("pid"), "left")
+      .select(col("pid"),
+        coalesce(col("n_in_disk"), lit(0L)).as("n_in_disk"),
+        coalesce(col("density"), lit(0L)).as("density"))
+  }
+
   /** Region summary statistics — the aggregation layer over `regionGroup`:
     * per labeled region its class, tile count, point mass, and BOUNDARY
     * tile count (tiles with fewer than 4 same-class 4-neighbors — the

@@ -844,6 +844,51 @@ object ImageOps {
         "compressible")
   }
 
+  /** 2×2 box-average downsample (the anti-aliased mip level — `thumbs` is
+    * the every-2nd-pixel DECIMATION; this is the AVERAGING variant that
+    * real resize pipelines use): each output channel byte is the integer
+    * floor mean of its 2×2 source block, odd edge rows/cols drop (floor
+    * dims). The position-weighted digest of the downsampled bytes pins
+    * EVERY output pixel while only 8 scalars per image shuffle. */
+  def boxDownsample(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).flatMap { case (rgb, w, h) =>
+            val dw = w / 2; val dh = h / 2
+            if (dw == 0 || dh == 0) None
+            else {
+              val out = new Array[Byte](dw * dh * 3)
+              var sum = 0L
+              var y = 0
+              while (y < dh) {
+                var x = 0
+                while (x < dw) {
+                  var c = 0
+                  while (c < 3) {
+                    val i00 = ((2 * y) * w + 2 * x) * 3 + c
+                    val i01 = i00 + 3
+                    val i10 = ((2 * y + 1) * w + 2 * x) * 3 + c
+                    val i11 = i10 + 3
+                    val v = ((rgb(i00) & 0xff) + (rgb(i01) & 0xff) +
+                      (rgb(i10) & 0xff) + (rgb(i11) & 0xff)) / 4
+                    out((y * dw + x) * 3 + c) = v.toByte
+                    sum += v
+                    c += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              Some((id, fmt, w, h, dw, dh, pixelDigest(out), sum))
+            }
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "dw", "dh", "down_digest", "sum_down")
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

@@ -322,6 +322,36 @@ class GeoStatsSpec extends AnyFunSuite {
     assert(got2 === want)
   }
 
+  test("kernelDensity: hand weights, strict support boundary, empty disk; corpus brute-force parity") {
+    // focal pid 0 at origin: neighbor at d2=25 → w = R²−25; at d2=R² → ZERO
+    // (strict support); pid 2 isolated → (0, 0)
+    val r2 = 2000L * 2000L
+    val pts = Seq(
+      (0L, 0L, 0L), (1L, 3L, 4L), (3L, 2000L, 0L), // d2 = R² exactly
+      (2L, 100000L, 100000L))
+      .toDF("pid", "u", "v")
+    val got = GeoStatsOps.kernelDensity(pts, rMicro = 2000L, res = 3, sampleMod = 2L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) === ((1L, r2 - 25L))) // the boundary point contributes nothing
+    assert(got(2L) === ((0L, 0L)))
+    // corpus parity vs quadratic brute force
+    val rows = Pipeline.geoImages(spark, sf)
+      .select(expr("CAST(substring(image_id, 4) AS BIGINT)"), col("u"), col("v"))
+      .as[(Long, Long, Long)].collect()
+    val want = rows.filter(_._1 % 50 == 0).map { case (fp, fu, fv) =>
+      val d2s = rows.collect { case (p, u, v) if p != fp &&
+        (u - fu) * (u - fu) + (v - fv) * (v - fv) < r2 =>
+        (u - fu) * (u - fu) + (v - fv) * (v - fv) }
+      (fp, d2s.length.toLong, d2s.map(r2 - _).sum)
+    }.sortBy(_._1).toSeq
+    val got2 = GeoStatsOps.kernelDensity(
+        Pipeline.geoImages(spark, sf).select(
+          expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"), col("u"), col("v")),
+        rMicro = 2000L, res = 3, sampleMod = 50L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 === want)
+  }
+
   test("semivariogram: matches the quadratic brute force; trend field rises with lag") {
     val rows = Pipeline.geoImages(spark, sf)
       .select(expr("CAST(substring(image_id, 4) AS BIGINT)"), col("u"), col("v"),

@@ -336,6 +336,35 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(got("dist") === ((6L, 6L, 2000000L, false)))
   }
 
+  test("boxDownsample: hand 4x2 block means, odd edges drop, 1-px-tall skipped, noise parity") {
+    // 4×2 all-channels values: blocks {10,20,30,40}→25, {100,101,102,103}→101
+    val px = Array[Byte](10, 10, 10, 20, 20, 20, 100, 100, 100, 101, 101, 101,
+      30, 30, 30, 40, 40, 40, 102, 102, 102, 103, 103, 103)
+    val four = Bmp.encode(px, 4, 2)
+    // 3×3: odd row+col drop → 1×1 = mean of the top-left 2×2 block
+    val nine = Codec.encodeFor("bmp", 31337L, 3, 3)
+    val tiny = Bmp.encode(Array.fill(2 * 1 * 3)(5.toByte), 2, 1) // dh=0 → no row
+    val got = ImageOps.boxDownsample(spark,
+        Seq(("four", "bmp", four), ("nine", "bmp", nine), ("tiny", "bmp", tiny))
+          .toDF("image_id", "fmt", "bytes"))
+      .collect().map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Int]("dw"), r.getAs[Int]("dh"),
+          r.getAs[Long]("down_digest"), r.getAs[Long]("sum_down"))).toMap
+    val wantFour = Array.fill(3)(25) ++ Array.fill(3)(101)
+    val digFour = wantFour.zipWithIndex.map { case (v, p) =>
+      (p + 1L) * (p + 7L) * (v + 17L) }.sum
+    assert(got("four") === ((2, 1, digFour, 3L * 25 + 3L * 101)))
+    assert(!got.contains("tiny"))
+    // noise parity from known source pixels
+    val rgb = Bmp.pixels(31337L, 3, 3)
+    val dv = (0 until 3).map { c =>
+      ((rgb(c) & 0xff) + (rgb(3 + c) & 0xff) + (rgb(9 + c) & 0xff) + (rgb(12 + c) & 0xff)) / 4
+    }
+    val digNine = dv.zipWithIndex.map { case (v, p) =>
+      (p + 1L) * (p + 7L) * (v + 17L) }.sum
+    assert(got("nine") === ((1, 1, digNine, dv.map(_.toLong).sum)))
+  }
+
   test("phash components: a planted chain merges into ONE component with one survivor") {
     // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
     // plus an isolated far image that must NOT join
