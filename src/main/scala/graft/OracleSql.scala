@@ -4567,6 +4567,58 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2::DOUBLE
 ORDER BY id1, id2""",
 
+    // incremental dedup: same corpus/batch/plant construction, brute-force
+    // candidate scopes (batch×corpus + batch-internal smaller-id-wins) with
+    // the identical integer Jaccard and (jac DESC, id ASC) best match
+    "q_doc_incr_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+corpus AS (SELECT doc_id, text FROM base WHERE doc_id % 4 <> 0),
+batch AS (
+  SELECT doc_id, text FROM base WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000,
+    array_to_string(list_slice(string_split(text, ' '), 1,
+      len(string_split(text, ' ')) - 2), ' ')
+  FROM base WHERE doc_id % 4 <> 0 AND doc_id % 20 = 10
+  UNION ALL
+  SELECT doc_id + 2000000,
+    array_to_string(list_slice(string_split(text, ' '), 1,
+      len(string_split(text, ' ')) - 2), ' ')
+  FROM base WHERE doc_id % 40 = 0),
+shc AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+      THEN [array_to_string(string_split(text,' '), ' ')]
+      ELSE list_transform(range(0, len(string_split(text,' ')) - 2),
+           i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')) END) AS s
+  FROM corpus),
+shb AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+      THEN [array_to_string(string_split(text,' '), ' ')]
+      ELSE list_transform(range(0, len(string_split(text,' ')) - 2),
+           i -> array_to_string(list_slice(string_split(text,' '), i + 1, i + 3), ' ')) END) AS s
+  FROM batch),
+cand AS (
+  SELECT b.doc_id, c.doc_id AS match_id,
+    1000 * len(list_intersect(b.s, c.s))
+      // len(list_distinct(list_concat(b.s, c.s))) AS jac_milli
+  FROM shb b, shc c
+  UNION ALL
+  SELECT b2.doc_id, b1.doc_id,
+    1000 * len(list_intersect(b2.s, b1.s))
+      // len(list_distinct(list_concat(b2.s, b1.s)))
+  FROM shb b1 JOIN shb b2 ON b1.doc_id < b2.doc_id),
+best AS (
+  SELECT doc_id, match_id, jac_milli,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY jac_milli DESC, match_id) AS rn
+  FROM cand WHERE jac_milli >= 200)
+SELECT b.doc_id, s.doc_id IS NULL AS keep, s.match_id AS dup_of,
+  s.jac_milli
+FROM batch b LEFT JOIN (SELECT * FROM best WHERE rn = 1) s USING (doc_id)
+ORDER BY b.doc_id""",
+
     // ---- mirror: dedup clusters (connected components over exact pairs) ----
     // transitive closure via recursive CTE — an algorithm entirely different
     // from the engine's large/small-star rounds, same fixpoint

@@ -1129,6 +1129,25 @@ object SparkEntry {
       TextOps.tfidfKeywords(Synth.documents(s, dir), k = 3)
         .orderBy("doc_id", "rk")),
 
+    // incremental text dedup: the batch (new-day docs + PLANTED truncated
+    // twins of corpus and batch docs) probes the at-rest band index;
+    // corpus × corpus never re-pairs. The oracle brute-forces the same
+    // candidate scopes with exact integer Jaccard (oracle cost)
+    "q_doc_incr_dedup" -> ((s, dir) => {
+      val base = Synth.documents(s, dir).select("doc_id", "text")
+      val trunc = expr(
+        "array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 2), ' ')")
+      val corpus = base.filter(col("doc_id") % 4 =!= 0)
+      val batch = base.filter(col("doc_id") % 4 === 0)
+        .unionByName(base
+          .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 20 === 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"), trunc.as("text")))
+        .unionByName(base.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), trunc.as("text")))
+      TextOps.incrementalTextDedup(corpus, batch, tMilli = 200L)
+        .orderBy("doc_id")
+    }),
+
     // PMI collocations: per-integer nano-rounded LN factors combined in
     // BIGINT (no cross-factor double sums), so the top-k cut under the
     // total order (pmi9 DESC, w1, w2) is bit-decided in both engines

@@ -214,6 +214,60 @@ object TextOps {
       .select("id1", "id2", "jaccard")
   }
 
+  /** INCREMENTAL (daily-ingest) text dedup — the text twin of
+    * `ImageOps.incrementalPhashDedup`: a new batch probes the AT-REST
+    * (band, bucket) minhash index of the standing corpus plus its own
+    * batch-internal pairs; corpus × corpus is never re-paired — the shape
+    * that makes daily dedup O(batch·index-probe) instead of O(corpus²) at
+    * 100 TB. Candidates verify by EXACT integer Jaccard (jac_milli =
+    * 1000·|∩| DIV |∪| ≥ tMilli); each batch doc keeps its best match by
+    * the (jac_milli DESC, match_id ASC) total order (min-struct on the
+    * complement — map-side combinable). Batch-internal duplicates credit
+    * the SMALLER doc_id as the original.
+    *
+    * Output per batch doc: (doc_id, keep, dup_of, jac_milli). */
+  def incrementalTextDedup(corpus: DataFrame, batch: DataFrame,
+                           bands: Int = 8, rows: Int = 4,
+                           tMilli: Long = 200L): DataFrame = {
+    val k = bands * rows
+    def withSig(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", fns.minhash_sig(col("sh"), k))
+      .localCheckpoint(true)
+    def banded(s0: DataFrame): DataFrame = s0.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val sc0 = withSig(corpus); val sb0 = withSig(batch)
+    val bc = banded(sc0); val bb = banded(sb0)
+    val vsCorpus = bb
+      .join(bc.select(col("band"), col("bucket"), col("doc_id").as("match_id")),
+        Seq("band", "bucket"))
+      .select(col("doc_id"), col("match_id")).dropDuplicates()
+    val internal = bb.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+      .join(bb.select(col("band"), col("bucket"), col("doc_id").as("id2")),
+        Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id2").as("doc_id"), col("id1").as("match_id"))
+      .dropDuplicates()
+    val allSh = sc0.select(col("doc_id").as("match_id"), col("sh").as("msh"))
+      .unionByName(sb0.select(col("doc_id").as("match_id"), col("sh").as("msh")))
+    val verified = vsCorpus.unionByName(internal).dropDuplicates()
+      .join(sb0.select(col("doc_id"), col("sh")), Seq("doc_id"))
+      .join(allSh, Seq("match_id"))
+      .withColumn("jac_milli", expr(
+        "1000 * size(array_intersect(sh, msh)) div size(array_union(sh, msh))"))
+      .filter(col("jac_milli") >= tMilli)
+      .groupBy(col("doc_id"))
+      .agg(min(struct((lit(1000L) - col("jac_milli")).as("nj"),
+        col("match_id"))).as("m"))
+    batch.select(col("doc_id")).join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("m").isNull.as("keep"),
+        col("m.match_id").as("dup_of"),
+        when(col("m").isNull, lit(null).cast("long"))
+          .otherwise(lit(1000L) - col("m.nj")).as("jac_milli"))
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash over tokens, 4×16-bit band
     * blocking (any equal quarter → candidate), verified by Hamming ≤ maxHam.
     */

@@ -281,6 +281,30 @@ class DedupSimSpec extends AnyFunSuite {
     assert(t(1L) === 6)
   }
 
+  test("incrementalTextDedup: batch matches corpus and itself; corpus-internal dups never pair; best-match order") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val corpus = Seq(
+      (10L, t1), (11L, t1), // corpus-internal dup — must NOT appear in output
+      (12L, t2)).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, t1),                                     // dups vs BOTH 10 and 11 → best = min id 10
+      (21L, "alpha beta gamma delta epsilon zeta"),  // truncated t1: J = 4/6
+      (22L, "totally unrelated words appear here now then"),
+      (23L, t2), (24L, t2)                           // 24 also dups 23 (internal) and 12; J=1000 ties → min id 12
+    ).toDF("doc_id", "text")
+    val got = TextOps.incrementalTextDedup(corpus, batch, tMilli = 200L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)).map(_.toString.toLong),
+          Option(r.get(3)).map(_.toString.toLong))).toMap
+    assert(got(20L) === ((false, Some(10L), Some(1000L))))
+    assert(got(21L) === ((false, Some(10L), Some(666L)))) // 1000·4 div 6
+    assert(got(22L) === ((true, None, None)))
+    assert(got(23L) === ((false, Some(12L), Some(1000L))))
+    assert(got(24L) === ((false, Some(12L), Some(1000L)))) // tie → smallest id
+    assert(got.size === 5) // one row per batch doc, corpus never re-paired
+  }
+
   test("winnowFingerprints: in-JVM reference parity and the w+k-1 match guarantee") {
     import org.apache.spark.unsafe.types.UTF8String
     def ref(text: String, k: Int, w: Int): Set[(Int, Long)] = {
