@@ -5057,6 +5057,34 @@ SELECT c.from_type, c.to_type, c.n,
   CAST((c.n * 1000000) // tt.tot AS BIGINT) AS p_ppm
 FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""",
 
+    // lag cross-correlation: identical zero-filled grid and exact sums
+    "q_events_lag_corr" ->
+      """WITH b AS (
+  SELECT epoch_us(ts) // 600000000 AS bucket, event_type FROM events),
+rng AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b),
+grid AS (SELECT unnest(range(b0, b1 + 1)) AS bucket FROM rng),
+xs AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS xc FROM b
+  WHERE event_type = 'view' GROUP BY bucket),
+ys AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS yc FROM b
+  WHERE event_type = 'purchase' GROUP BY bucket),
+ser AS (
+  SELECT g.bucket, COALESCE(x.xc, 0) AS x, COALESCE(y.yc, 0) AS y
+  FROM grid g LEFT JOIN xs x USING (bucket) LEFT JOIN ys y USING (bucket)),
+lg AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+ag AS (
+  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(a.x) AS BIGINT) AS sum_x, CAST(SUM(bb.y) AS BIGINT) AS sum_y,
+    CAST(SUM(a.x * bb.y) AS BIGINT) AS sum_xy,
+    CAST(SUM(a.x * a.x) AS BIGINT) AS sum_x2,
+    CAST(SUM(bb.y * bb.y) AS BIGINT) AS sum_y2
+  FROM lg l JOIN ser a ON TRUE JOIN ser bb ON bb.bucket = a.bucket + l.lag
+  GROUP BY l.lag)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs, sum_x, sum_y, sum_xy,
+  CAST(n_pairs * sum_xy - sum_x * sum_y AS BIGINT) AS cov_num,
+  CAST(n_pairs * sum_x2 - sum_x * sum_x AS BIGINT) AS varx_num,
+  CAST(n_pairs * sum_y2 - sum_y * sum_y AS BIGINT) AS vary_num
+FROM ag ORDER BY lag""",
+
     // A/B chi-square: identical 2×2 cells and exact rational
     "q_events_ab_chi2" ->
       """WITH conv AS (

@@ -2243,6 +2243,13 @@ object SparkEntry {
       EventOps.transitionMatrix(Synth.events(s, dir))
         .orderBy("from_type", "to_type")),
 
+    // lagged cross-correlation (does viewing lead purchasing?): Pearson
+    // numerators per lag over zero-filled 600s count series, all BIGINT
+    "q_events_lag_corr" -> ((s, dir) =>
+      EventOps.lagCrossCorr(Synth.events(s, dir), "view", "purchase",
+        windowSec = 600L, maxLag = 3)
+        .orderBy("lag")),
+
     // A/B conversion chi-square as an exact rational: 2×2 cells from the
     // user_id % 2 bucket, chi² = N(ad−bc)²/Π(margins) carried as num/den,
     // the 0.05 verdict decided by integer cross-multiplication

@@ -189,6 +189,55 @@ object EventOps {
         sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Lagged cross-correlation between two event-type count series as
+    * EXACT RATIONALS — the "does X lead Y?" product diagnostic (views →
+    * purchases, deploys → errors): per lag L the Pearson numerator
+    * cov_num = n·Σxy − Σx·Σy and both variance numerators over the
+    * ZERO-FILLED tumbling-count series (missing buckets are real zeros —
+    * dropping them biases the correlation; the grid spans the driver-known
+    * [min, max] bucket range). All counts are integers, so every sum and
+    * numerator is a BIGINT — the lead/lag ranking is bit-decided without
+    * ever forming a float correlation.
+    *
+    * Scale shape: two bucket-keyed count aggregates + a range-table left
+    * join; each lag is a bucket+L equi self-join of the (bucket, x, y)
+    * series (localCheckpointed once, reused across lags); |lags| is a
+    * small constant. */
+  def lagCrossCorr(events: DataFrame, typeX: String, typeY: String,
+                   windowSec: Long = 600L, maxLag: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    val b = events.withColumn("bucket",
+      expr(s"unix_micros(cast(ts as timestamp)) DIV ${windowSec * 1000000L}"))
+    val r = b.agg(min(col("bucket")), max(col("bucket"))).head()
+    val (b0, b1) = (r.getLong(0), r.getLong(1)) // driver scalars
+    val xs = b.filter(col("event_type") === typeX)
+      .groupBy("bucket").agg(count(lit(1)).as("xc"))
+    val ys = b.filter(col("event_type") === typeY)
+      .groupBy("bucket").agg(count(lit(1)).as("yc"))
+    val series = spark.range(b0, b1 + 1).select(col("id").as("bucket"))
+      .join(xs, Seq("bucket"), "left").join(ys, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("xc"), lit(0L)).as("x"),
+        coalesce(col("yc"), lit(0L)).as("y"))
+      .localCheckpoint(true)
+    (0 to maxLag).map { l =>
+      series.as("a")
+        .join(series.as("b"), col("a.bucket") + l === col("b.bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.x")).as("sum_x"), sum(col("b.y")).as("sum_y"),
+          sum(col("a.x") * col("b.y")).as("sum_xy"),
+          sum(col("a.x") * col("a.x")).as("sum_x2"),
+          sum(col("b.y") * col("b.y")).as("sum_y2"))
+        .select(lit(l.toLong).as("lag"), col("n_pairs"), col("sum_x"),
+          col("sum_y"), col("sum_xy"),
+          (col("n_pairs") * col("sum_xy") - col("sum_x") * col("sum_y"))
+            .as("cov_num"),
+          (col("n_pairs") * col("sum_x2") - col("sum_x") * col("sum_x"))
+            .as("varx_num"),
+          (col("n_pairs") * col("sum_y2") - col("sum_y") * col("sum_y"))
+            .as("vary_num"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** A/B conversion chi-square statistic as an EXACT RATIONAL (Pearson
     * 1900 — public): users split by the deterministic bucket user_id % 2,
     * "converted" = micro-exact `convType` spend ≥ minSpendMicro

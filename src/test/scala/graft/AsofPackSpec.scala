@@ -194,6 +194,29 @@ class AsofPackSpec extends AnyFunSuite {
       .collect().head.getBoolean(7)) // chi² = 6 ≥ 3.841
   }
 
+  test("lagCrossCorr: perfect lag-1 lead detected exactly; zero-fill counts empty buckets") {
+    // X fires in buckets 0 and 2 (600s buckets), Y mirrors one bucket later
+    // (1 and 3); bucket 4 has an unrelated event to stretch the grid to 5.
+    // series x = (1,0,1,0,0), y = (0,1,0,1,0)
+    val df = eventsDf(Seq(
+      ev(1, 1, 10, "view", 0), ev(2, 1, 1210, "view", 0),
+      ev(3, 2, 610, "purchase", 0), ev(4, 2, 1810, "purchase", 0),
+      ev(5, 3, 2500, "error", 0)))
+    val got = EventOps.lagCrossCorr(df, "view", "purchase", 600L, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    // lag 0: pairs over all 5 buckets; Σxy = 0 → cov = 5·0 − 2·2 = −4
+    assert(got(0L) === ((5L, 0L, -4L)))
+    // lag 1: 4 pairs (x_t, y_t+1): (1,1),(0,0),(1,1),(0,0) → Σxy=2,
+    // Σx=2 (buckets 0..3), Σy=2 (buckets 1..4) → cov = 4·2 − 4 = 4 > 0
+    assert(got(1L) === ((4L, 2L, 4L)))
+    // lag 2: 3 pairs: x=(1,0,1) vs y=(0,1,0) → Σxy = 0, cov = −2·1...
+    // Σx(0..2)=2, Σy(2..4)=1 → cov = 3·0 − 2 = −2
+    assert(got(2L) === ((3L, 0L, -2L)))
+    // the lag-1 lead dominates: cov(1) is the unique positive numerator
+    assert(got(1L)._3 > 0 && got(0L)._3 < 0 && got(2L)._3 < 0)
+  }
+
   test("funnel: strict-after chaining — order matters, equal ts does not advance") {
     val rows = Seq(
       // user 1 completes A→B in order
