@@ -3706,6 +3706,35 @@ SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(CASE WHEN n > 1 THEN (1000000 * ent_num) // maxent ELSE 0 END AS BIGINT) AS ratio_ppm
 FROM fin2 ORDER BY k""",
 
+    // channel correlation: both variants' channels from the splitmix chain
+    // (gray twin = (r+g+b) DIV 3 everywhere), identical integer Pearson
+    // numerators and the exact r=g=b count
+    "q_image_channel_corr" ->
+      s"""WITH ${pxChainCtes("o_orderkey % 61 = 0 AND o_orderkey % 5 <> 3")},
+chan3 AS (
+  SELECT k, w, h,
+    z % 256 AS r, (z // 256) % 256 AS g, (z // 65536) % 256 AS b
+  FROM (SELECT k, w, h, xor(z2, z2 >> 31) AS z FROM m2)),
+allpx AS (
+  SELECT k, FALSE AS gs, w, h, r, g, b FROM chan3
+  UNION ALL
+  SELECT k, TRUE, w, h, (r + g + b) // 3, (r + g + b) // 3, (r + g + b) // 3
+  FROM chan3 WHERE k % 3 = 0),
+ag AS (
+  SELECT k, gs, w, h, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN r = g AND g = b THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+    CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(g) AS BIGINT) AS sg,
+    CAST(SUM(r * g) AS BIGINT) AS srg, CAST(SUM(r * r) AS BIGINT) AS sr2,
+    CAST(SUM(g * g) AS BIGINT) AS sg2
+  FROM allpx GROUP BY k, gs, w, h)
+SELECT k, gs, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  n AS n_px, n_eq,
+  CAST(n * srg - sr * sg AS BIGINT) AS cov_num,
+  CAST(n * sr2 - sr * sr AS BIGINT) AS varr_num,
+  CAST(n * sg2 - sg * sg AS BIGINT) AS varg_num,
+  n_eq = n AS grayscale
+FROM ag ORDER BY k, gs""",
+
     // letterbox: both variants' pixels rebuilt (zero border rows + shifted
     // splitmix rows), per-line uniformity = channel-wise MIN=MAX, the
     // identical first/last-non-uniform arithmetic
@@ -5056,6 +5085,22 @@ tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY from_type
 SELECT c.from_type, c.to_type, c.n,
   CAST((c.n * 1000000) // tt.tot AS BIGINT) AS p_ppm
 FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""",
+
+    // behavioral entropy: identical per-user identity and threshold
+    "q_events_entropy" ->
+      """WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type),
+ag AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+    CAST(COUNT(*) AS BIGINT) AS n_types,
+    CAST(SUM(c * CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS acc
+  FROM c GROUP BY user_id)
+SELECT user_id, n_events, n_types,
+  CAST(n_events * CAST(ROUND(LN(CAST(n_events AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT) - acc AS BIGINT) AS ent_num,
+  n_events * CAST(ROUND(LN(CAST(n_events AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT) - acc
+    >= 1580000000 * n_events AS balanced
+FROM ag ORDER BY user_id""",
 
     // lag cross-correlation: identical zero-filled grid and exact sums
     "q_events_lag_corr" ->

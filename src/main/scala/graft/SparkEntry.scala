@@ -1696,6 +1696,40 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // inter-channel correlation / grayscale detection: for every k % 3 == 0
+    // lossless image a GRAYSCALE twin is planted ((r+g+b) DIV 3 in all
+    // channels); exact integer Pearson numerators + the exact r=g=b count —
+    // every plant must report grayscale=true, every original false
+    "q_image_channel_corr" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val base = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 61 === 0 && col("fmt") =!= "jpeg")
+      val encGray = udf((phash: Long, w: Int, h: Int) => {
+        val src = graft.synth.Bmp.pixels(phash, w, h)
+        val out = new Array[Byte](src.length)
+        var i = 0
+        while (i < src.length) {
+          val v = (((src(i) & 0xff) + (src(i + 1) & 0xff) + (src(i + 2) & 0xff)) / 3).toByte
+          out(i) = v; out(i + 1) = v; out(i + 2) = v
+          i += 3
+        }
+        graft.synth.Bmp.encode(out, w, h)
+      })
+      val planted = base.filter(col("k") % 3 === 0)
+        .select(concat(col("image_id"), lit("_g")).as("image_id"),
+          encGray(col("phash"), col("w"), col("h")).as("bytes"),
+          lit("bmp").as("fmt"))
+      ImageOps.channelCorrStats(s,
+          base.select("image_id", "bytes", "fmt").unionByName(planted))
+        .select(
+          expr("CAST(regexp_extract(image_id, '^img([0-9]+)', 1) AS BIGINT)").as("k"),
+          col("image_id").endsWith("_g").as("gs"), col("w"), col("h"),
+          col("n_px"), col("n_eq"), col("cov_num"), col("varr_num"),
+          col("varg_num"), col("grayscale"))
+        .orderBy("k", "gs")
+    }),
+
     // letterbox/pillarbox border detection: for every k % 3 == 0 clip a
     // LETTERBOXED twin is planted (2 black rows top + bottom around the
     // same pixels); the border counter must report exactly (2, 2, 0, 0)
@@ -2242,6 +2276,12 @@ object SparkEntry {
     "q_events_markov" -> ((s, dir) =>
       EventOps.transitionMatrix(Synth.events(s, dir))
         .orderBy("from_type", "to_type")),
+
+    // per-user behavioral entropy (bot/diversity triage): the exact BIGINT
+    // identity n·ln9(n) − Σ cnt·ln9(cnt) under the nano-LN convention
+    "q_events_entropy" -> ((s, dir) =>
+      EventOps.behaviorEntropy(Synth.events(s, dir), minNanoNats = 1580000000L)
+        .orderBy("user_id")),
 
     // lagged cross-correlation (does viewing lead purchasing?): Pearson
     // numerators per lag over zero-filled 600s count series, all BIGINT

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -187,6 +187,30 @@ object EventOps {
       .agg(min(col("n")).as("n_events"), min(col("s1")).as("sum_milli"),
         min(col("var_num")).as("var_num"),
         sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Per-user behavioral entropy — Shannon entropy of each user's
+    * event-type distribution (bots and single-purpose scripts are
+    * low-entropy; the diversity triage of a behavioral pipeline), in the
+    * EXACT BIGINT identity form of the image-entropy op: ent_num =
+    * n·ln9(n) − Σ_type cnt·ln9(cnt) = n·H in nano-nats, under the proven
+    * nano-LN convention. The `balanced` verdict compares against the
+    * threshold in integer nano-nats — bit-decided. One (user, type) count
+    * aggregate (map-side combinable, ≤ |types| rows per user) + one
+    * user-keyed rollup. */
+  def behaviorEntropy(events: DataFrame, minNanoNats: Long): DataFrame = {
+    val cnt = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    def ln9(c: Column): Column =
+      round(log(c.cast("double")) * lit(1e9), 0).cast("long")
+    cnt.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * ln9(col("c"))).as("acc"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (col("n_events") * ln9(col("n_events")) - col("acc")).as("ent_num"))
+      .withColumn("balanced",
+        col("ent_num") >= lit(minNanoNats) * col("n_events"))
   }
 
   /** Lagged cross-correlation between two event-type count series as

@@ -889,6 +889,40 @@ object ImageOps {
       }.toDF("image_id", "fmt", "w", "h", "dw", "dh", "down_digest", "sum_down")
   }
 
+  /** Inter-channel correlation — monochrome/grayscale/sepia detection (a
+    * curation gate: grayscale re-encodes of color images are a distinct
+    * duplicate class, and monochrome-heavy shards skew training): the R–G
+    * Pearson numerators as EXACT integers — cov_num = n·Σrg − Σr·Σg,
+    * var numerators likewise — and the grayscale verdict r=g=b∀px as an
+    * exact equality count. No float correlation is ever formed; the
+    * monochrome test is n_eq = n. One decode pass, 8 scalars/image. */
+  def channelCorrStats(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            var sr = 0L; var sg = 0L; var srg = 0L
+            var sr2 = 0L; var sg2 = 0L; var nEq = 0L
+            var i = 0
+            while (i < rgb.length) {
+              val r = (rgb(i) & 0xff).toLong; val g = (rgb(i + 1) & 0xff).toLong
+              val b = (rgb(i + 2) & 0xff).toLong
+              sr += r; sg += g; srg += r * g; sr2 += r * r; sg2 += g * g
+              if (r == g && g == b) nEq += 1
+              i += 3
+            }
+            val n = w.toLong * h
+            (id, fmt, w, h, n, nEq,
+              n * srg - sr * sg, n * sr2 - sr * sr, n * sg2 - sg * sg,
+              nEq == n)
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "n_px", "n_eq",
+        "cov_num", "varr_num", "varg_num", "grayscale")
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

@@ -217,6 +217,22 @@ class AsofPackSpec extends AnyFunSuite {
     assert(got(1L)._3 > 0 && got(0L)._3 < 0 && got(2L)._3 < 0)
   }
 
+  test("behaviorEntropy: single-type user → 0, uniform two-type exact, threshold verdict") {
+    def ln9(x: Long): Long = Math.round(math.log(x.toDouble) * 1e9)
+    val df = eventsDf(Seq(
+      ev(1, 1, 10, "a", 0), ev(2, 1, 20, "a", 0), ev(3, 1, 30, "a", 0),
+      ev(4, 2, 10, "a", 0), ev(5, 2, 20, "b", 0),
+      ev(6, 2, 30, "a", 0), ev(7, 2, 40, "b", 0)))
+    // user 1: one type → ent 0. user 2: 2+2 of a/b → ent_num = 4·ln9(4) − 4·ln9(2)
+    val got = EventOps.behaviorEntropy(df, minNanoNats = 600000000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(1L) === ((3L, 1L, 0L, false)))
+    val e2 = 4L * ln9(4) - 4L * ln9(2) // = 4·ln9(2) up to rounding → H = ln 2
+    assert(got(2L) === ((4L, 2L, e2, e2 >= 600000000L * 4)))
+    assert(got(2L)._4) // ln 2 ≈ 0.693 nats ≥ 0.6 → balanced
+  }
+
   test("funnel: strict-after chaining — order matters, equal ts does not advance") {
     val rows = Seq(
       // user 1 completes A→B in order

@@ -365,6 +365,32 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(got("nine") === ((1, 1, digNine, dv.map(_.toLong).sum)))
   }
 
+  test("channelCorrStats: grayscale exact, anti-correlated channels, brute-force parity") {
+    // grayscale: r=g=b everywhere → n_eq = n, cov = var (perfect corr basis)
+    val gray = Bmp.encode(Array[Byte](10, 10, 10, 200.toByte, 200.toByte, 200.toByte), 2, 1)
+    // anti-correlated: r high where g low → cov_num < 0; never r=g=b
+    val anti = Bmp.encode(Array[Byte](200.toByte, 10, 0, 10, 200.toByte, 0), 2, 1)
+    val noise = Codec.encodeFor("png", 424243L, 7, 6)
+    val got = ImageOps.channelCorrStats(spark,
+        Seq(("gray", "bmp", gray), ("anti", "bmp", anti), ("noise", "png", noise))
+          .toDF("image_id", "fmt", "bytes"))
+      .collect().map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("n_eq"), r.getAs[Long]("cov_num"),
+          r.getAs[Long]("varr_num"), r.getAs[Boolean]("grayscale"))).toMap
+    // gray: sr=sg=210, srg=100+40000=40100 → cov = 2·40100 − 210² = 36100
+    assert(got("gray") === ((2L, 36100L, 36100L, true)))
+    assert(got("anti")._2 < 0 && !got("anti")._4 && got("anti")._1 === 0L)
+    // noise parity with brute force on the known pixels
+    val rgb = Bmp.pixels(424243L, 7, 6)
+    val px = rgb.grouped(3).map(p => (p(0) & 0xff, p(1) & 0xff, p(2) & 0xff)).toSeq
+    val n = px.size.toLong
+    val (sr, sg) = (px.map(_._1.toLong).sum, px.map(_._2.toLong).sum)
+    val srg = px.map(p => p._1.toLong * p._2).sum
+    val sr2 = px.map(p => p._1.toLong * p._1).sum
+    val nEq = px.count(p => p._1 == p._2 && p._2 == p._3).toLong
+    assert(got("noise") === ((nEq, n * srg - sr * sg, n * sr2 - sr * sr, nEq == n)))
+  }
+
   test("phash components: a planted chain merges into ONE component with one survivor") {
     // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
     // plus an isolated far image that must NOT join
