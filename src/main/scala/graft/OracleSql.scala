@@ -812,6 +812,55 @@ FROM pol ORDER BY name"""
     // q_traj_map_match (all tracks, no sample); consecutive-point deltas
     // via LAG on the emitted doubles, per-segment round-to-1e-9 BEFORE the
     // sum so the totals are integer sums
+    // self-intersections: every µ° point from the LCG closed form, all
+    // non-adjacent segment pairs, identical sign-only crossing test
+    "q_traj_selfint" -> {
+      val m = 2147483647L; val a = 48271L
+      val inv = BigInt(a - 1).modInverse(BigInt(m)).toLong
+      val powers = (1 to 78)
+        .map(j => s"($j,${BigInt(a).modPow(BigInt(j), BigInt(m))})").mkString(",")
+      s"""WITH pw(j, apow) AS (VALUES $powers),
+keys AS (SELECT o_orderkey AS k, o_orderkey % 2147483648 AS s0 FROM orders
+         WHERE o_orderkey % 3 = 0),
+deltas AS (
+  SELECT k, (j + 1) // 2 AS t, j % 2 = 1 AS is_lat,
+    ((apow * s0 + 11 * ((CAST(apow AS HUGEINT) - 1) * $inv % $m)) % $m) % 2001 - 1000 AS d
+  FROM keys, pw),
+stepd AS (
+  SELECT k, t, SUM(CASE WHEN is_lat THEN d ELSE 0 END) AS dl,
+         SUM(CASE WHEN NOT is_lat THEN d ELSE 0 END) AS dn
+  FROM deltas GROUP BY k, t),
+cums AS (
+  SELECT k, t,
+    SUM(dl) OVER (PARTITION BY k ORDER BY t) AS dlat,
+    SUM(dn) OVER (PARTITION BY k ORDER BY t) AS dlon
+  FROM stepd),
+pts AS (
+  SELECT k, 0 AS t, CAST(37000000 + (k % 1000) * 100 AS BIGINT) AS u,
+    CAST(-122000000 + (k % 997) * 100 AS BIGINT) AS v
+  FROM keys
+  UNION ALL
+  SELECT k, t, CAST(37000000 + (k % 1000) * 100 + dlat AS BIGINT),
+    CAST(-122000000 + (k % 997) * 100 + dlon AS BIGINT)
+  FROM cums),
+segs AS (
+  SELECT p1.k, p1.t AS s, p1.u AS ax, p1.v AS ay, p2.u AS bx, p2.v AS by
+  FROM pts p1 JOIN pts p2 ON p2.k = p1.k AND p2.t = p1.t + 1),
+prs AS (
+  SELECT s1.k,
+    CASE WHEN
+      sign((s1.bx - s1.ax) * (s2.ay - s1.ay) - (s1.by - s1.ay) * (s2.ax - s1.ax))
+      * sign((s1.bx - s1.ax) * (s2.by - s1.ay) - (s1.by - s1.ay) * (s2.bx - s1.ax)) < 0
+      AND
+      sign((s2.bx - s2.ax) * (s1.ay - s2.ay) - (s2.by - s2.ay) * (s1.ax - s2.ax))
+      * sign((s2.bx - s2.ax) * (s1.by - s2.ay) - (s2.by - s2.ay) * (s1.bx - s2.ax)) < 0
+    THEN 1 ELSE 0 END AS x
+  FROM segs s1 JOIN segs s2 ON s2.k = s1.k AND s2.s >= s1.s + 2)
+SELECT k AS track_id, CAST(39 AS BIGINT) AS n_segs,
+  CAST(SUM(x) AS BIGINT) AS n_crossings, SUM(x) > 0 AS has_loop
+FROM prs GROUP BY k ORDER BY k"""
+    },
+
     // turn statistics: per-step µ° deltas from the LCG power table, turns
     // between consecutive steps, identical dot-product inequalities
     "q_traj_turns" -> {
@@ -3705,6 +3754,34 @@ SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   n AS n_px, n_bins, CAST(ent_num AS BIGINT) AS ent_num,
   CAST(CASE WHEN n > 1 THEN (1000000 * ent_num) // maxent ELSE 0 END AS BIGINT) AS ratio_ppm
 FROM fin2 ORDER BY k""",
+
+    // palette: distinct packed colors + (cnt DESC, color ASC) argmax over
+    // both variants (posterized twin = v & 0x80 ≡ (v // 128) * 128)
+    "q_image_palette" ->
+      s"""WITH ${pxChainCtes("o_orderkey % 67 = 0 AND o_orderkey % 5 <> 3")},
+chan3 AS (
+  SELECT k, w, h,
+    z % 256 AS r, (z // 256) % 256 AS g, (z // 65536) % 256 AS b
+  FROM (SELECT k, w, h, xor(z2, z2 >> 31) AS z FROM m2)),
+allpx AS (
+  SELECT k, FALSE AS pz, w, h, r * 65536 + g * 256 + b AS c FROM chan3
+  UNION ALL
+  SELECT k, TRUE, w, h,
+    (r // 128) * 128 * 65536 + (g // 128) * 128 * 256 + (b // 128) * 128
+  FROM chan3 WHERE k % 3 = 0),
+cc AS (SELECT k, pz, w, h, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM allpx GROUP BY k, pz, w, h, c),
+tp AS (
+  SELECT k, pz, w, h, c, cnt,
+    ROW_NUMBER() OVER (PARTITION BY k, pz ORDER BY cnt DESC, c) AS rn,
+    COUNT(*) OVER (PARTITION BY k, pz) AS n_colors,
+    SUM(cnt) OVER (PARTITION BY k, pz) AS n
+  FROM cc)
+SELECT k, pz, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+  CAST(n_colors AS BIGINT) AS n_colors, CAST(c AS BIGINT) AS top_color,
+  CAST(1000000 * cnt // n AS BIGINT) AS top_share_ppm,
+  n_colors <= 48 AS limited_palette
+FROM tp WHERE rn = 1 ORDER BY k, pz""",
 
     // channel correlation: both variants' channels from the splitmix chain
     // (gray twin = (r+g+b) DIV 3 everywhere), identical integer Pearson

@@ -1696,6 +1696,34 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // palette counting / limited-palette detection: for every k % 3 == 0
+    // lossless image a POSTERIZED twin is planted (v & 0x80 per channel,
+    // ≤ 8 colors); every plant must flag limited_palette, no original may
+    "q_image_palette" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      val base = Synth.images(s, dir, g0)
+        .withColumn("k", expr("CAST(substr(image_id, 4, 20) AS BIGINT)"))
+        .filter(col("k") % 67 === 0 && col("fmt") =!= "jpeg")
+      val encPost = udf((phash: Long, w: Int, h: Int) => {
+        val src = graft.synth.Bmp.pixels(phash, w, h)
+        val out = src.map(b => (b & 0x80).toByte)
+        graft.synth.Bmp.encode(out, w, h)
+      })
+      val planted = base.filter(col("k") % 3 === 0)
+        .select(concat(col("image_id"), lit("_p")).as("image_id"),
+          encPost(col("phash"), col("w"), col("h")).as("bytes"),
+          lit("bmp").as("fmt"))
+      ImageOps.paletteStats(s,
+          base.select("image_id", "bytes", "fmt").unionByName(planted),
+          maxColors = 48L)
+        .select(
+          expr("CAST(regexp_extract(image_id, '^img([0-9]+)', 1) AS BIGINT)").as("k"),
+          col("image_id").endsWith("_p").as("pz"), col("w"), col("h"),
+          col("n_colors"), col("top_color"), col("top_share_ppm"),
+          col("limited_palette"))
+        .orderBy("k", "pz")
+    }),
+
     // inter-channel correlation / grayscale detection: for every k % 3 == 0
     // lossless image a GRAYSCALE twin is planted ((r+g+b) DIV 3 in all
     // channels); exact integer Pearson numerators + the exact r=g=b count —
@@ -2295,6 +2323,15 @@ object SparkEntry {
     // the 0.05 verdict decided by integer cross-multiplication
     "q_events_ab_chi2" -> ((s, dir) =>
       EventOps.abChiSquare(Synth.events(s, dir), convType = "purchase")),
+
+    // self-intersection (loop) detection: proper segment crossings by pure
+    // integer orientation SIGN tests (no epsilon, nothing multiplied that
+    // can overflow); DuckDB re-derives every µ° point from the LCG closed
+    // form and replays the identical sign tests pair by pair
+    "q_traj_selfint" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.selfIntersections(
+          Synth.tracks(s, dir).filter(col("track_id") % 3 === 0))
+        .orderBy("track_id")),
 
     // trajectory turn statistics with NO trigonometry: ≥45°/≥90° turn
     // classification by exact integer dot-product inequalities over the

@@ -739,6 +739,56 @@ object GeoStatsOps {
         coalesce(col("density"), lit(0L)).as("density"))
   }
 
+  /** Self-intersection (loop) detection per trajectory — the GPS-noise /
+    * loop-route / bad-track triage: pairs of NON-ADJACENT segments that
+    * PROPERLY cross, decided by pure integer orientation SIGN tests on µ°
+    * coordinates (o = (Bx−Ax)(Cy−Ay) − (By−Ay)(Cx−Ax); proper crossing ⟺
+    * opposite signs on both sides — signs compared, never multiplied, so
+    * nothing can overflow and no epsilon exists). Proper-only is the
+    * deliberate contract: collinear touches are ambiguous under any
+    * epsilon-free rule, sign tests are not. O(L²) per track with L
+    * bounded (per-track-window contract), one map-side typed-island pass,
+    * zero shuffles.
+    *
+    * Output: (track_id, n_segs, n_crossings, has_loop). */
+  def selfIntersections(tracks: DataFrame): DataFrame = {
+    val spark = tracks.sparkSession
+    import spark.implicits._
+    tracks.select(col("track_id"), col("geometry"))
+      .as[(Long, Seq[(Double, Double)])]
+      .mapPartitions { it =>
+        it.map { case (id, pts) =>
+          val n = pts.length
+          val u = new Array[Long](n); val v = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            u(i) = Math.round(pts(i)._1 * 1e6); v(i) = Math.round(pts(i)._2 * 1e6)
+            i += 1
+          }
+          @inline def o(ax: Long, ay: Long, bx: Long, by: Long,
+                        cx: Long, cy: Long): Int = {
+            val d = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            if (d > 0) 1 else if (d < 0) -1 else 0
+          }
+          var cross = 0L
+          var a = 0
+          while (a < n - 1) {
+            var b = a + 2 // skip the adjacent segment (shares a vertex)
+            while (b < n - 1) {
+              val o1 = o(u(a), v(a), u(a + 1), v(a + 1), u(b), v(b))
+              val o2 = o(u(a), v(a), u(a + 1), v(a + 1), u(b + 1), v(b + 1))
+              val o3 = o(u(b), v(b), u(b + 1), v(b + 1), u(a), v(a))
+              val o4 = o(u(b), v(b), u(b + 1), v(b + 1), u(a + 1), v(a + 1))
+              if (o1 * o2 < 0 && o3 * o4 < 0) cross += 1
+              b += 1
+            }
+            a += 1
+          }
+          (id, (n - 1).toLong, cross, cross > 0)
+        }
+      }.toDF("track_id", "n_segs", "n_crossings", "has_loop")
+  }
+
   /** Region summary statistics — the aggregation layer over `regionGroup`:
     * per labeled region its class, tile count, point mass, and BOUNDARY
     * tile count (tiles with fewer than 4 same-class 4-neighbors — the

@@ -923,6 +923,45 @@ object ImageOps {
         "cov_num", "varr_num", "varg_num", "grayscale")
   }
 
+  /** Distinct-color (palette) counting — the graphic/synthetic-image
+    * detector complementing RLE: photographs use thousands of distinct
+    * colors, rendered graphics dozens. Exact distinct count of packed
+    * (r,g,b) triples per image plus the most frequent color's share in
+    * exact ppm (argmax ties to the smallest packed color); limited-palette
+    * flag at ≤ maxColors. One decode pass with a per-image hash set;
+    * 6 scalars per image shuffle. */
+  def paletteStats(spark: SparkSession, images: DataFrame,
+                   maxColors: Long): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "fmt", "bytes")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fmt, bytes) =>
+          Codec.decodeAny(fmt, bytes).map { case (rgb, w, h) =>
+            val counts = new java.util.HashMap[Integer, Long]()
+            var i = 0
+            while (i < rgb.length) {
+              val c = ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) |
+                (rgb(i + 2) & 0xff)
+              counts.merge(c, 1L, (a, b) => a + b)
+              i += 3
+            }
+            var bestC = -1L; var bestN = 0L
+            val itr = counts.entrySet().iterator()
+            while (itr.hasNext) {
+              val e = itr.next()
+              val c = e.getKey.toLong; val n0 = e.getValue
+              if (n0 > bestN || (n0 == bestN && c < bestC)) { bestN = n0; bestC = c }
+            }
+            val n = w.toLong * h
+            (id, fmt, w, h, counts.size.toLong, bestC,
+              1000000L * bestN / n, counts.size.toLong <= maxColors)
+          }
+        }
+      }.toDF("image_id", "fmt", "w", "h", "n_colors", "top_color",
+        "top_share_ppm", "limited_palette")
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

@@ -391,6 +391,21 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(got("noise") === ((nEq, n * srg - sr * sg, n * sr2 - sr * sr, nEq == n)))
   }
 
+  test("paletteStats: exact distinct colors, argmax tie to smallest packed color, limited flag") {
+    // 3 pixels: two colors — (1,2,3) twice, (200,0,0) once → top = packed(1,2,3)
+    val two = Bmp.encode(Array[Byte](1, 2, 3, 200.toByte, 0, 0, 1, 2, 3), 3, 1)
+    // 2 pixels, 2 distinct colors with EQUAL counts → smallest packed wins
+    val tie = Bmp.encode(Array[Byte](5, 0, 0, 1, 0, 0), 2, 1)
+    val got = ImageOps.paletteStats(spark,
+        Seq(("two", "bmp", two), ("tie", "bmp", tie))
+          .toDF("image_id", "fmt", "bytes"), maxColors = 2L)
+      .collect().map(r => r.getAs[String]("image_id") ->
+        (r.getAs[Long]("n_colors"), r.getAs[Long]("top_color"),
+          r.getAs[Long]("top_share_ppm"), r.getAs[Boolean]("limited_palette"))).toMap
+    assert(got("two") === ((2L, (1L << 16) | (2L << 8) | 3L, 666666L, true)))
+    assert(got("tie") === ((2L, 1L << 16, 500000L, true)))
+  }
+
   test("phash components: a planted chain merges into ONE component with one survivor") {
     // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
     // plus an isolated far image that must NOT join

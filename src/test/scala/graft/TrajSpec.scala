@@ -107,6 +107,31 @@ class TrajSpec extends AnyFunSuite {
     assert(got2 === want)
   }
 
+  test("selfIntersections: bowtie crosses, square path doesn't, collinear touch excluded, adjacency skipped") {
+    import spark.implicits._
+    def track(id: Long, pts: Seq[(Long, Long)]) =
+      (id, pts.map { case (u, v) => (u * 1e-6, v * 1e-6) })
+    val df = Seq(
+      // bowtie: (0,0)→(10,10)→(10,0)→(0,10): segments 0 and 2 cross properly
+      track(1L, Seq((0L, 0L), (10L, 10L), (10L, 0L), (0L, 10L))),
+      // open square: no crossing
+      track(2L, Seq((0L, 0L), (0L, 10L), (10L, 10L), (10L, 0L))),
+      // T-touch: segment 2 ENDS on segment 0 (collinear endpoint touch) —
+      // proper-only contract excludes it
+      track(3L, Seq((0L, 0L), (10L, 0L), (10L, 10L), (5L, 0L))),
+      // adjacent segments share a vertex — never counted
+      track(4L, Seq((0L, 0L), (10L, 0L), (0L, 1L)))
+    ).toDF("track_id", "geometry")
+      .withColumn("geometry", expr(
+        "transform(geometry, p -> struct(p._1 AS lat, p._2 AS lon))"))
+    val got = graft.ops.GeoStatsOps.selfIntersections(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((1L, true)))
+    assert(got(2L) === ((0L, false)))
+    assert(got(3L) === ((0L, false)))
+    assert(got(4L) === ((0L, false)))
+  }
+
   test("simplifyDp equals JTS DouglasPeuckerSimplifier on 200 random walks") {
     for (t <- 1 to 200) {
       val n = 3 + (nxt() % 60).toInt
