@@ -2126,6 +2126,45 @@ SELECT CAST(hi AS BIGINT) AS lag_micro, CAST(lo AS BIGINT) AS lag_lo_micro,
   CAST(CASE WHEN n = 0 THEN 0 ELSE (s * 1000) // (2 * n) END AS BIGINT) AS gamma_milli
 FROM rc ORDER BY lag_micro""",
 
+    // ---- mirror: directional semivariogram -------------------------------------
+    // same brute force with |du|/|dv| sector classification; the combo
+    // table keeps empty (lag, dir) cells at zero like Spark's left join
+    "q_geo_variogram_aniso" ->
+      s"""WITH $imgCte,
+val AS (
+  SELECT image_id, u, v,
+    (u + v) // 10 +
+    ((CAST(substring(image_id, 4) AS BIGINT) * 48271 + 11) % 2147483647) % 257 AS z
+  FROM imgs),
+f AS (SELECT image_id, u, v, z FROM val
+      WHERE CAST(substring(image_id, 4) AS BIGINT) % 50 = 0),
+prs AS (
+  SELECT ABS(i.u - f.u) AS du, ABS(i.v - f.v) AS dv,
+         (i.u - f.u) * (i.u - f.u) + (i.v - f.v) * (i.v - f.v) AS d2,
+         (i.z - f.z) * (i.z - f.z) AS dz2
+  FROM f, val i
+  WHERE i.image_id <> f.image_id
+    AND ABS(i.u - f.u) <= 2000 AND ABS(i.v - f.v) <= 2000),
+cls AS (
+  SELECT CASE WHEN d2 > 0 AND d2 <= 1000000 THEN 1000
+              WHEN d2 > 1000000 AND d2 <= 4000000 THEN 2000 END AS lag_micro,
+    CASE WHEN du >= 2 * dv THEN 'ns'
+         WHEN dv >= 2 * du THEN 'ew' ELSE 'diag' END AS dir,
+    dz2
+  FROM prs),
+combos AS (SELECT * FROM (VALUES (1000), (2000)) l(lag_micro),
+                         (VALUES ('diag'), ('ew'), ('ns')) d(dir)),
+rc AS (
+  SELECT lag_micro, dir, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(dz2) AS BIGINT) AS s
+  FROM cls WHERE lag_micro IS NOT NULL GROUP BY lag_micro, dir)
+SELECT CAST(c.lag_micro AS BIGINT) AS lag_micro, c.dir,
+  COALESCE(r.n, 0::BIGINT) AS n_pairs, COALESCE(r.s, 0::BIGINT) AS sse,
+  CAST(CASE WHEN COALESCE(r.n, 0) = 0 THEN 0
+       ELSE (r.s * 1000) // (2 * r.n) END AS BIGINT) AS gamma_milli
+FROM combos c LEFT JOIN rc r ON r.lag_micro = c.lag_micro AND r.dir = c.dir
+ORDER BY 1, 2""",
+
     // ---- mirror: region summary statistics -------------------------------------
     // the region-group closure + a same-class 4-neighbor count; boundary =
     // fewer than 4 same-class neighbors; all integers

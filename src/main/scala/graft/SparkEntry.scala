@@ -923,6 +923,21 @@ object SparkEntry {
           lagsMicroDeg = Seq(500L, 1000L, 2000L), res = 3, sampleMod = 50L)
         .orderBy("lag_micro")),
 
+    // DIRECTIONAL semivariogram (anisotropy detection): γ per lag × sector
+    // (NS/EW/diag by integer comparisons); the trend field (u+v) DIV 10
+    // is anisotropic BY CONSTRUCTION (constant along the anti-diagonal,
+    // steepest along the diagonal), so γ separates strongly by sector —
+    // 12.1k/9.95k/8.15k milli at lag 1000 (diag/ns/ew at sf0.1) — the
+    // non-vacuity witness the oracle re-derives
+    "q_geo_variogram_aniso" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.semivariogramDirectional(
+          Pipeline.geoImages(s, dir).select(
+            expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+            col("u"), col("v"),
+            expr("(u + v) DIV 10 + (phash DIV 2147483648) % 257").as("value")),
+          lagsMicroDeg = Seq(1000L, 2000L), res = 3, sampleMod = 50L)
+        .orderBy("lag_micro", "dir")),
+
     // region summary statistics: per region-group region its class, tile
     // count, point mass, and discrete-perimeter boundary count — the
     // dissolve/compactness layer; all-integer oracle closes the same CC

@@ -553,6 +553,72 @@ object GeoStatsOps {
     }.toDF("lag_micro", "lag_lo_micro", "n_pairs", "sse", "gamma_milli")
   }
 
+  /** DIRECTIONAL (anisotropic) semivariogram — the kriging-practice
+    * extension of `semivariogram`: γ per (lag annulus × direction sector),
+    * the anisotropy detector (a field correlated along the coast but not
+    * across it has direction-dependent range; fitting one isotropic
+    * variogram to it is the classic kriging mistake). Direction sectors
+    * use integer comparisons ONLY on the µ° displacement (NS ⟺ |du| ≥
+    * 2|dv|, EW ⟺ |dv| ≥ 2|du|, else DIAG — the turn-stats convention, no
+    * atan); all sums exact BIGINTs, γ exact-milli. Empty (lag, dir) cells
+    * are kept at zero via the literal combo table, so the output shape is
+    * fixed. Same bounded cell-disk equi-join as the isotropic op. */
+  def semivariogramDirectional(points: DataFrame, lagsMicroDeg: Seq[Long],
+      res: Int, sampleMod: Long,
+      frameLat0: Double = graft.synth.Synth.LAT0,
+      frameLon0: Double = graft.synth.Synth.LON0): DataFrame = {
+    require(lagsMicroDeg.nonEmpty && lagsMicroDeg == lagsMicroDeg.sorted &&
+      res >= 0 && res <= 5)
+    val maxR = lagsMicroDeg.max
+    val cellMicro = math.round(1e6 / graft.cells.GridCell.pow10(res))
+    val k = (maxR / cellMicro + 1L).toInt
+    val uDeg = (u: org.apache.spark.sql.Column) =>
+      lit(frameLat0) + u.cast("double") * lit(1e-6)
+    val vDeg = (v: org.apache.spark.sql.Column) =>
+      lit(frameLon0) + v.cast("double") * lit(1e-6)
+    val samp = points
+      .withColumn("s_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .select(col("s_cell"), col("pid").as("spid"),
+        col("u").as("su"), col("v").as("sv"), col("value").as("sval"))
+      .hint("SHUFFLE_HASH")
+    val focals = points.filter(col("pid") % sampleMod === 0)
+    val bounds = (0L +: lagsMicroDeg).zip(lagsMicroDeg)
+    val lagCol = bounds.foldLeft(lit(null).cast("long")) { case (acc, (lo, hi)) =>
+      when(col("d2") > lit(lo * lo) && col("d2") <= lit(hi * hi), lit(hi))
+        .otherwise(acc)
+    }
+    val cand = focals
+      .withColumn("p_cell", fns.cell_encode(uDeg(col("u")), vDeg(col("v")), res))
+      .withColumn("cand_cell", explode(fns.cell_disk(col("p_cell"), lit(k), res)))
+      .join(samp, col("cand_cell") === col("s_cell"))
+      .filter(col("spid") =!= col("pid"))
+      .withColumn("du", abs(col("su") - col("u")))
+      .withColumn("dv", abs(col("sv") - col("v")))
+      .withColumn("d2", col("du") * col("du") + col("dv") * col("dv"))
+      .withColumn("dz2",
+        (col("sval") - col("value")) * (col("sval") - col("value")))
+      .withColumn("lag_micro", lagCol)
+      .filter(col("lag_micro").isNotNull)
+      .withColumn("dir",
+        when(col("du") >= lit(2L) * col("dv"), "ns")
+          .when(col("dv") >= lit(2L) * col("du"), "ew")
+          .otherwise("diag"))
+      .groupBy("lag_micro", "dir")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dz2")).as("sse"))
+    val sp = points.sparkSession
+    import sp.implicits._
+    val combos = lagsMicroDeg.flatMap(l => Seq("diag", "ew", "ns").map(d => (l, d)))
+      .toDF("lag_micro", "dir")
+    broadcast(combos).join(cand, Seq("lag_micro", "dir"), "left")
+      .select(col("lag_micro"), col("dir"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("sse"), lit(0L)).as("sse"))
+      .withColumn("gamma_milli",
+        when(col("n_pairs") === 0L, 0L)
+          .otherwise(expr("sse * 1000 div (2 * n_pairs)")))
+      .orderBy("lag_micro", "dir")
+  }
+
   def ripleyK(points: DataFrame, radiiMicroDeg: Seq[Long], res: Int,
               sampleMod: Long,
               frameLat0: Double = graft.synth.Synth.LAT0,

@@ -352,6 +352,40 @@ class GeoStatsSpec extends AnyFunSuite {
     assert(got2 === want)
   }
 
+  test("semivariogramDirectional: brute-force parity incl. sectors; diagonal trend separates directions") {
+    val rows = Pipeline.geoImages(spark, sf)
+      .select(expr("CAST(substring(image_id, 4) AS BIGINT)"), col("u"), col("v"),
+        expr("(u + v) DIV 10 + (phash DIV 2147483648) % 257"))
+      .as[(Long, Long, Long, Long)].collect()
+    val lags = Seq(1000L, 2000L)
+    val acc = scala.collection.mutable.Map[(Long, String), (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    for ((fp, fu, fv, fz) <- rows if fp % 50 == 0;
+         (p, u, v, z) <- rows if p != fp) {
+      val du = math.abs(u - fu); val dv = math.abs(v - fv)
+      val d2 = du * du + dv * dv
+      val lag = if (d2 > 0 && d2 <= 1000000L) Some(1000L)
+        else if (d2 > 1000000L && d2 <= 4000000L) Some(2000L) else None
+      lag.foreach { l =>
+        val dir = if (du >= 2 * dv) "ns" else if (dv >= 2 * du) "ew" else "diag"
+        val (n, s) = acc((l, dir))
+        acc((l, dir)) = (n + 1, s + (z - fz) * (z - fz))
+      }
+    }
+    val want = (for (l <- lags; d <- Seq("diag", "ew", "ns")) yield {
+      val (n, s) = acc((l, d))
+      (l, d, n, s, if (n == 0) 0L else s * 1000L / (2L * n))
+    }).sortBy(r => (r._1, r._2))
+    val got = GeoStatsOps.semivariogramDirectional(
+        Pipeline.geoImages(spark, sf).select(
+          expr("CAST(substring(image_id, 4) AS BIGINT)").as("pid"),
+          col("u"), col("v"),
+          expr("(u + v) DIV 10 + (phash DIV 2147483648) % 257").as("value")),
+        lagsMicroDeg = lags, res = 3, sampleMod = 50L)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === want)
+  }
+
   test("semivariogram: matches the quadratic brute force; trend field rises with lag") {
     val rows = Pipeline.geoImages(spark, sf)
       .select(expr("CAST(substring(image_id, 4) AS BIGINT)"), col("u"), col("v"),
