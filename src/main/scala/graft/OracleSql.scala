@@ -2195,6 +2195,35 @@ FROM lbl l LEFT JOIN sn s USING (tile_id)
 GROUP BY l.region_id ORDER BY l.region_id""",
 
     // ---- mirror: focal (3×3) statistics --------------------------------------
+    // tile-coverage entropy: the focal tiles CTE + the entropy identity
+    // and the same two-step floored ratios
+    "q_geo_tile_entropy" ->
+      s"""WITH $imgCte,
+tiles AS (SELECT
+  14 * 4503599627370496 +
+  CAST(FLOOR((lon + 180.0::DOUBLE) / 360.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT) * 67108864 +
+  CAST(FLOOR((1.0::DOUBLE - LN(TAN(RADIANS(lat)) + 1.0::DOUBLE / COS(RADIANS(lat))) / PI()) / 2.0::DOUBLE * 16384.0::DOUBLE) AS BIGINT)
+  AS tile_id, CAST(COUNT(*) AS BIGINT) AS n FROM imgs GROUP BY 1),
+ag AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_points,
+    CAST(COUNT(*) AS BIGINT) AS n_tiles,
+    CAST(SUM(n * CAST(ROUND(LN(CAST(n AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS acc,
+    CAST(MAX(n) AS BIGINT) AS max_tile_n
+  FROM tiles),
+f1 AS (
+  SELECT n_points, n_tiles,
+    n_points * CAST(ROUND(LN(CAST(n_points AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT) - acc AS ent_num,
+    max_tile_n, 1000000 * max_tile_n // n_points AS max_share_ppm
+  FROM ag),
+f2 AS (SELECT *, ent_num // n_points AS per_point_nano FROM f1)
+SELECT n_points, n_tiles, CAST(ent_num AS BIGINT) AS ent_num, max_tile_n,
+  CAST(max_share_ppm AS BIGINT) AS max_share_ppm,
+  CAST(per_point_nano AS BIGINT) AS per_point_nano,
+  CAST(CASE WHEN n_tiles > 1 THEN 1000000 * per_point_nano //
+    CAST(ROUND(LN(CAST(n_tiles AS DOUBLE)) * 1000000000.0::DOUBLE) AS BIGINT)
+  ELSE 0 END AS BIGINT) AS evenness_ppm
+FROM f2""",
+
     "q_geo_focal" ->
       s"""WITH $imgCte,
 tiles AS (SELECT

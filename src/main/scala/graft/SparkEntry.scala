@@ -923,6 +923,13 @@ object SparkEntry {
           lagsMicroDeg = Seq(500L, 1000L, 2000L), res = 3, sampleMod = 50L)
         .orderBy("lag_micro")),
 
+    // tile-coverage entropy (corpus spatial-balance diagnostic): the exact
+    // BIGINT entropy identity over the z14 tile histogram + max-tile share
+    // and Pielou evenness, identical two-step floored ratios both engines
+    "q_geo_tile_entropy" -> ((s, dir) =>
+      graft.ops.GeoStatsOps.tileCoverageEntropy(
+        Pipeline.geoImages(s, dir).select(col("lat"), col("lon")), zoom = 14)),
+
     // DIRECTIONAL semivariogram (anisotropy detection): γ per lag × sector
     // (NS/EW/diag by integer comparisons); the trend field (u+v) DIV 10
     // is anisotropic BY CONSTRUCTION (constant along the anti-diagonal,

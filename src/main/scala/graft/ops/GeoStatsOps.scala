@@ -619,6 +619,38 @@ object GeoStatsOps {
       .orderBy("lag_micro", "dir")
   }
 
+  /** Tile-coverage entropy — the corpus-balance diagnostic (is the
+    * geodata spread over the map or piled into a few hot tiles? the
+    * spatial twin of the Heaps/source-mix health checks, and the summary
+    * statistic behind q_geo_cap_sample's WHY): Shannon entropy of the
+    * z-tile histogram via the exact BIGINT identity ent_num = n·ln9(n) −
+    * Σ cnt·ln9(cnt), plus the max-tile share and the Pielou evenness
+    * ratio ent/ln(T) — both as floored integer ratios computed in the
+    * SAME two-step order in both engines (per_point_nano first, then
+    * ppm), so every digit is bit-decided. One tile-keyed count (map-side
+    * combinable) + one scalar rollup. */
+  def tileCoverageEntropy(points: DataFrame, zoom: Int): DataFrame = {
+    val tiles = points
+      .select(fns.tile_id(col("lat"), col("lon"), zoom).as("tile_id"))
+      .groupBy(col("tile_id")).agg(count(lit(1)).as("n"))
+    def ln9(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")) * lit(1e9), 0).cast("long")
+    tiles.agg(
+        sum(col("n")).as("n_points"),
+        count(lit(1)).as("n_tiles"),
+        sum(col("n") * ln9(col("n"))).as("acc"),
+        max(col("n")).as("max_tile_n"))
+      .select(col("n_points"), col("n_tiles"),
+        (col("n_points") * ln9(col("n_points")) - col("acc")).as("ent_num"),
+        col("max_tile_n"),
+        expr("1000000 * max_tile_n div n_points").as("max_share_ppm"))
+      .withColumn("per_point_nano", expr("ent_num div n_points"))
+      .withColumn("evenness_ppm", expr(
+        """CASE WHEN n_tiles > 1 THEN 1000000 * per_point_nano div
+          |  CAST(round(ln(CAST(n_tiles AS DOUBLE)) * 1e9) AS BIGINT)
+          |ELSE 0 END""".stripMargin))
+  }
+
   def ripleyK(points: DataFrame, radiiMicroDeg: Seq[Long], res: Int,
               sampleMod: Long,
               frameLat0: Double = graft.synth.Synth.LAT0,

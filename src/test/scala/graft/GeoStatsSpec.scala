@@ -386,6 +386,37 @@ class GeoStatsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("tileCoverageEntropy: brute-force parity on the corpus; perfectly-even fixture hits evenness ≈ 1e6") {
+    def ln9(x: Long): Long = Math.round(math.log(x.toDouble) * 1e9)
+    // corpus parity
+    val counts = Pipeline.geoImages(spark, sf)
+      .select(graft.exprs.fns.tile_id(col("lat"), col("lon"), 14).as("t"))
+      .groupBy("t").count().as[(Long, Long)].collect().map(_._2)
+    val n = counts.sum; val t = counts.length.toLong
+    val ent = n * ln9(n) - counts.map(c => c * ln9(c)).sum
+    val pp = ent / n
+    val want = (n, t, ent, counts.max,
+      1000000L * counts.max / n, pp,
+      if (t > 1) 1000000L * pp / ln9(t) else 0L)
+    val got = GeoStatsOps.tileCoverageEntropy(
+        Pipeline.geoImages(spark, sf).select(col("lat"), col("lon")), zoom = 14)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got === want)
+    // perfectly even two-tile fixture: evenness = ln2/ln2 → 1e6 (up to the
+    // two-step floor); single-tile → ent 0, evenness 0
+    val even = Seq((37.0, -122.0), (37.0, -122.0), (38.5, -100.0), (38.5, -100.0))
+      .toDF("lat", "lon")
+    val e = GeoStatsOps.tileCoverageEntropy(even, zoom = 14)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(e._1 === 4L && e._2 === 2L)
+    assert(e._3 === 4L * ln9(4) - 4L * ln9(2))
+    assert(e._7 >= 999998L && e._7 <= 1000000L) // evenness ≈ 1e6
+    val single = Seq((37.0, -122.0), (37.0, -122.0)).toDF("lat", "lon")
+    val s1 = GeoStatsOps.tileCoverageEntropy(single, zoom = 14)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(s1._3 === 0L && s1._7 === 0L)
+  }
+
   test("semivariogram: matches the quadratic brute force; trend field rises with lag") {
     val rows = Pipeline.geoImages(spark, sf)
       .select(expr("CAST(substring(image_id, 4) AS BIGINT)"), col("u"), col("v"),
