@@ -5231,6 +5231,25 @@ SELECT c.from_type, c.to_type, c.n,
   CAST((c.n * 1000000) // tt.tot AS BIGINT) AS p_ppm
 FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""",
 
+    // spend Gini: identical ranked-totals rational
+    "q_events_gini" ->
+      """WITH t AS (
+  SELECT user_id,
+    CAST(SUM(CAST(FLOOR(value * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY user_id),
+r AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+  FROM t),
+ag AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(x) AS BIGINT) AS total_micro, CAST(SUM(i * x) AS BIGINT) AS ix
+  FROM r)
+SELECT n_users, total_micro,
+  CAST(2 * ix - (n_users + 1) * total_micro AS BIGINT) AS gini_num,
+  CAST(n_users * total_micro AS BIGINT) AS gini_den,
+  CAST(1000 * (2 * ix - (n_users + 1) * total_micro)
+    // (n_users * total_micro) AS BIGINT) AS gini_milli
+FROM ag""",
+
     // behavioral entropy: identical per-user identity and threshold
     "q_events_entropy" ->
       """WITH c AS (

@@ -2327,6 +2327,11 @@ object SparkEntry {
       EventOps.transitionMatrix(Synth.events(s, dir))
         .orderBy("from_type", "to_type")),
 
+    // Gini concentration of per-user spend (whale diagnostic): exact
+    // rational over ranked micro totals, no float anywhere
+    "q_events_gini" -> ((s, dir) =>
+      EventOps.spendGini(Synth.events(s, dir))),
+
     // per-user behavioral entropy (bot/diversity triage): the exact BIGINT
     // identity n·ln9(n) − Σ cnt·ln9(cnt) under the nano-LN convention
     "q_events_entropy" -> ((s, dir) =>

@@ -189,6 +189,30 @@ object EventOps {
         sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Gini concentration of per-user spend (Gini 1912 — public): the
+    * whale/inequality diagnostic of a transaction stream, as an EXACT
+    * RATIONAL — with per-user micro totals x sorted ascending (ties by
+    * user_id) and ranked i = 1..n, gini_num = 2·Σ i·x_i − (n+1)·Σx and
+    * gini_den = n·Σx; G = num/den needs no float ever. The rank is a
+    * ROW_NUMBER over the |users|-sized totals table (users ≪ events —
+    * the aggregate collapses first), not the event stream.
+    *
+    * Output single row: (n_users, total_micro, gini_num, gini_den,
+    * gini_milli = 1000·num DIV den). */
+  def spendGini(events: DataFrame): DataFrame = {
+    val totals = events.groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
+    val w = Window.orderBy(col("x"), col("user_id"))
+    totals.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_micro"),
+        sum(col("i") * col("x")).as("ix"))
+      .select(col("n_users"), col("total_micro"),
+        (lit(2L) * col("ix") - (col("n_users") + 1) * col("total_micro"))
+          .as("gini_num"),
+        (col("n_users") * col("total_micro")).as("gini_den"))
+      .withColumn("gini_milli", expr("1000 * gini_num div gini_den"))
+  }
+
   /** Per-user behavioral entropy — Shannon entropy of each user's
     * event-type distribution (bots and single-purpose scripts are
     * low-entropy; the diversity triage of a behavioral pipeline), in the

@@ -233,6 +233,18 @@ class AsofPackSpec extends AnyFunSuite {
     assert(got(2L)._4) // ln 2 ≈ 0.693 nats ≥ 0.6 → balanced
   }
 
+  test("spendGini: equal spenders → 0; one-whale pair → exactly 1/2; rank ties break on user_id") {
+    val equal = eventsDf(Seq(ev(1, 1, 10, "purchase", 5.0), ev(2, 2, 20, "purchase", 5.0)))
+    val g1 = EventOps.spendGini(equal).collect().head
+    assert(g1.getLong(2) === 0L && g1.getLong(4) === 0L)
+    // users 1 (spend 0-ish: value 0.0) and 2 (10.0): G = 1/2 exactly
+    val whale = eventsDf(Seq(ev(1, 1, 10, "a", 0.0), ev(2, 2, 20, "a", 10.0)))
+    val g2 = EventOps.spendGini(whale).collect().head
+    assert((g2.getLong(0), g2.getLong(1)) === ((2L, 10000000L)))
+    assert(g2.getLong(2) * 2 === g2.getLong(3)) // num/den = 1/2
+    assert(g2.getLong(4) === 500L)
+  }
+
   test("funnel: strict-after chaining — order matters, equal ts does not advance") {
     val rows = Seq(
       // user 1 completes A→B in order
