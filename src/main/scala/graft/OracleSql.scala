@@ -3709,6 +3709,22 @@ SELECT k, fmt, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
   CAST(SUM(dv) AS BIGINT) AS sum_down
 FROM dig GROUP BY k, fmt, w, h, dw, dh ORDER BY k""",
 
+    // aspect histogram: dims from the closed form, gcd-reduced, ppm shares
+    "q_image_aspect_hist" ->
+      """WITH img AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 48271 + 11) % 2147483647 AS h1,
+         (o_orderkey * 69621 + 7) % 2147483647 AS h2
+  FROM orders),
+dims AS (SELECT CAST(8 + h1 % 8 AS INTEGER) AS w,
+                CAST(8 + h2 % 8 AS INTEGER) AS h FROM img),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM dims),
+red AS (SELECT CAST(w // gcd(w, h) AS INTEGER) AS rw,
+               CAST(h // gcd(w, h) AS INTEGER) AS rh FROM dims)
+SELECT rw, rh, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(1000000 * COUNT(*) // t AS BIGINT) AS share_ppm
+FROM red, tot GROUP BY rw, rh, t ORDER BY rw, rh""",
+
     // RLE: the byte stream in scan order from the splitmix chain, runs via
     // LAG IS DISTINCT FROM
     "q_image_rle" ->

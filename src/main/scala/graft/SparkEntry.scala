@@ -2079,6 +2079,15 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // reduced aspect-ratio histogram (shape audit behind aspect bucketing):
+    // gcd-reduced (w, h) counts with exact ppm shares, metadata-only
+    "q_image_aspect_hist" -> ((s, dir) => {
+      val (g0, _, _) = Pipeline.prepared(s, dir)
+      ImageOps.aspectHistogram(
+          Synth.images(s, dir, g0, withBytes = false).select("w", "h"))
+        .orderBy("rw", "rh")
+    }),
+
     // RLE compressibility triage: exact run counts over the decoded scan
     // order; DuckDB replays runs via LAG over the splitmix byte stream
     "q_image_rle" -> ((s, dir) => {

@@ -962,6 +962,27 @@ object ImageOps {
         "top_share_ppm", "limited_palette")
   }
 
+  /** Reduced aspect-ratio histogram — the shape-distribution audit behind
+    * aspect-ratio bucketing (how many distinct w:h shapes does the corpus
+    * actually have, and which dominate?): each image's (w, h) reduced by
+    * gcd to lowest terms, counted per reduced ratio with exact ppm share.
+    * Metadata-only (no decode — w/h are columns); one ratio-keyed
+    * map-side-combined count. */
+  def aspectHistogram(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val reduced = images.select(col("w").cast("int"), col("h").cast("int"))
+      .as[(Int, Int)]
+      .map { case (w, h) =>
+        var a = w; var b = h
+        while (b != 0) { val t = a % b; a = b; b = t }
+        (w / a, h / a)
+      }.toDF("rw", "rh")
+    val total = images.count() // driver scalar
+    reduced.groupBy("rw", "rh").agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm", expr(s"1000000 * n div ${total}L"))
+  }
+
   /** Cross-codec EXACT duplicate groups: the image twin of exact text dedup,
     * keyed on decoded CONTENT rather than the byte payload — a BMP and a PNG
     * of the same pixels land in the same group even though their bytes (and

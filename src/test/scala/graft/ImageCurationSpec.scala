@@ -406,6 +406,18 @@ class ImageCurationSpec extends AnyFunSuite {
     assert(got("tie") === ((2L, 1L << 16, 500000L, true)))
   }
 
+  test("aspectHistogram: gcd reduction and ppm shares on a hand corpus") {
+    val df = Seq((8, 8), (12, 12), (8, 12), (10, 15), (9, 8))
+      .toDF("w", "h")
+    val got = ImageOps.aspectHistogram(df)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((1, 1)) === ((2L, 400000L)))   // 8:8 and 12:12
+    assert(got((2, 3)) === ((2L, 400000L)))   // 8:12 and 10:15
+    assert(got((9, 8)) === ((1L, 200000L)))   // coprime stays
+    assert(got.size === 3)
+  }
+
   test("phash components: a planted chain merges into ONE component with one survivor") {
     // chain: p, p^1, p^3 — pairwise hamming ≤ 2, all within ≤3 of each other;
     // plus an isolated far image that must NOT join
