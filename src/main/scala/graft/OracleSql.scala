@@ -4850,6 +4850,17 @@ SELECT q_id, q_label, rk, neighbor, neighbor_label,
   CAST(cos9 AS DOUBLE) / 1000000000.0::DOUBLE AS cos_sim
 FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""",
 
+    // norm audit: the same in-order double accumulation (list_aggregate
+    // folds left-to-right like Spark's aggregate), nano-rounded
+    "q_emb_norm_audit" ->
+      """WITH n AS (
+  SELECT CAST(ROUND(SQRT(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) * 1000000000.0::DOUBLE) AS BIGINT) AS norm9
+  FROM embeddings)
+SELECT norm9 // 10000000 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MIN(norm9) AS BIGINT) AS min_norm9, CAST(MAX(norm9) AS BIGINT) AS max_norm9,
+  CAST(SUM(CASE WHEN ABS(norm9 - 1000000000) <= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit
+FROM n GROUP BY 1 ORDER BY 1""",
+
     "q_emb_topk" -> embTopkSql,
 
     // kNN label classification: the embTopkSql candidate derivation with
@@ -5246,6 +5257,20 @@ tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY from_type
 SELECT c.from_type, c.to_type, c.n,
   CAST((c.n * 1000000) // tt.tot AS BIGINT) AS p_ppm
 FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type""",
+
+    // inter-arrival: identical per-user lag gaps in integer micros
+    "q_events_interarrival" ->
+      """WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+  CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+  CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+  CAST(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_session_breaks
+FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""",
 
     // spend Gini: identical ranked-totals rational
     "q_events_gini" ->

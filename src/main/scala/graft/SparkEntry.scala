@@ -1451,6 +1451,12 @@ object SparkEntry {
       SimOps.bruteForceTopK(Synth.embeddings(s, dir), col("vec_id") % 100 === 0, k = 5)
         .orderBy("q_id", "rk")),
 
+    // embedding L2-norm audit (normalization gate): norm9 under the
+    // sequential-double convention, centi-bucket histogram + unit count
+    "q_emb_norm_audit" -> ((s, dir) =>
+      SimOps.normAudit(s, Synth.embeddings(s, dir))
+        .orderBy("bucket")),
+
     // kNN majority-vote label classification (label-noise audit): 5-NN
     // labels vote with (votes DESC, label ASC) argmax; brute-force feed is
     // the documented baseline, cut by the k-bounded TopKAgg
@@ -2335,6 +2341,12 @@ object SparkEntry {
     "q_events_markov" -> ((s, dir) =>
       EventOps.transitionMatrix(Synth.events(s, dir))
         .orderBy("from_type", "to_type")),
+
+    // per-user inter-arrival gap statistics (sessionization-threshold
+    // evidence): integer-micro gaps via one user-keyed lag window
+    "q_events_interarrival" -> ((s, dir) =>
+      EventOps.interArrival(Synth.events(s, dir), gapSec = 1800L)
+        .orderBy("user_id")),
 
     // Gini concentration of per-user spend (whale diagnostic): exact
     // rational over ranked micro totals, no float anywhere

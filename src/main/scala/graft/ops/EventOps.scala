@@ -189,6 +189,29 @@ object EventOps {
         sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Per-user inter-arrival gap statistics — the empirical basis for the
+    * sessionization gap threshold (is 1800 s actually in the tail of the
+    * user's cadence?) and the burst/idle cadence triage. All integer
+    * micros: per user the gap count, min/max/sum gap, and how many gaps
+    * exceed the session threshold — the LAST number is exactly the
+    * session count minus one, an identity the fixture pins against
+    * `sessionize`. ONE user-keyed shuffle for the lag window (the
+    * per-track-window contract); the aggregate reuses the partitioning. */
+  def interArrival(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", col("ts_us") - col("prev"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"),
+        sum(col("gap")).as("sum_gap_us"),
+        sum(when(col("gap") > gapSec * 1000000L, 1L).otherwise(0L))
+          .as("n_session_breaks"))
+  }
+
   /** Gini concentration of per-user spend (Gini 1912 — public): the
     * whale/inequality diagnostic of a transaction stream, as an EXACT
     * RATIONAL — with per-user micro totals x sorted ascending (ties by

@@ -49,6 +49,28 @@ object SimOps {
       .select(col("q_id").as("a"), explode(col("top.tag")).as("b"))
   }
 
+  /** Embedding L2-norm audit — the normalization gate of an embedding
+    * pipeline (cosine and inner-product retrieval agree ONLY on unit
+    * vectors; a mixed-norm corpus silently breaks IP indexes): per-vector
+    * norm9 = round(sqrt(Σx²)·1e9) with the sum accumulated in array
+    * order — the same sequential-double convention the proven cos9
+    * parity rests on — histogrammed into centi-buckets (norm9 DIV 1e7),
+    * plus the unit-vector count at |norm9 − 1e9| ≤ tol. Map-side only;
+    * one bucket-keyed combinable count. */
+  def normAudit(spark: SparkSession, embeddings: DataFrame,
+                tolNano: Long = 1000000L): DataFrame = {
+    val norm9 = round(
+      sqrt(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        * lit(1e9), 0).cast("long")
+    embeddings.select(norm9.as("norm9"))
+      .withColumn("bucket", expr("norm9 div 10000000"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("norm9")).as("min_norm9"), max(col("norm9")).as("max_norm9"),
+        sum(when(abs(col("norm9") - lit(1000000000L)) <= tolNano, 1L)
+          .otherwise(0L)).as("n_unit"))
+  }
+
   /** kNN majority-vote label classification (Fix & Hodges 1951 / Cover &
     * Hart 1967 — public): predict each vector's label from its k nearest
     * neighbors' labels, ties to the smallest label — the weak-supervision /
