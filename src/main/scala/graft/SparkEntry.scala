@@ -70,6 +70,17 @@ object SparkEntry {
         .otherwise(col("text")))
       .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
 
+  /** replayed streams are tiny (bounded slices/collects): 32 state-store
+    * partitions are pure per-micro-batch task overhead, and every stateful
+    * operator here is keyed (partition-count-invariant output), so the
+    * micro-batches run at 8 and the session default is restored after —
+    * the same documented pattern q_stream_join shipped with. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- spatial core (reference parity) --------------------------------
     "q_topo_intersections" -> ((s, dir) =>
@@ -1438,7 +1449,7 @@ object SparkEntry {
     // sketch's error on this corpus. At 100 TB the sketch shuffles one 4 KiB
     // register array per group per map task instead of every token.
     "q_doc_token_hll" -> ((s, dir) =>
-      Synth.documents(s, dir)
+      graft.ops.Par.spread(Synth.documents(s, dir), col("doc_id"))
         .select(col("lang"), col("text"),
           explode(TextOps.shingles(col("text"))).as("sh"))
         .groupBy("lang")
@@ -2434,11 +2445,13 @@ object SparkEntry {
         .as[(java.sql.Timestamp, String, Double)].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
-      val q = Streaming.tumblingCounts(mem.toDF().toDF("ts", "event_type", "value"), 300)
-        .writeStream.format("memory").queryName("graft_q_stream_tumbling")
-        .outputMode("complete").start()
-      try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
-      finally q.stop()
+      withStreamShuffle(s, 8) {
+        val q = Streaming.tumblingCounts(mem.toDF().toDF("ts", "event_type", "value"), 300)
+          .writeStream.format("memory").queryName("graft_q_stream_tumbling")
+          .outputMode("complete").start()
+        try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      }
       s.table("graft_q_stream_tumbling")
         .select(col("event_type"), col("window_start_sec"), col("n"),
           col("sum_value").cast("long").as("sum_value_micro"))
@@ -2457,12 +2470,14 @@ object SparkEntry {
         .as[(java.sql.Timestamp, String, Double)].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
-      val q = Streaming.slidingCounts(
-          mem.toDF().toDF("ts", "event_type", "value"), 600, 300)
-        .writeStream.format("memory").queryName("graft_q_stream_sliding")
-        .outputMode("complete").start()
-      try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
-      finally q.stop()
+      withStreamShuffle(s, 8) {
+        val q = Streaming.slidingCounts(
+            mem.toDF().toDF("ts", "event_type", "value"), 600, 300)
+          .writeStream.format("memory").queryName("graft_q_stream_sliding")
+          .outputMode("complete").start()
+        try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      }
       s.table("graft_q_stream_sliding")
         .select(col("event_type"), col("window_start_sec"), col("n"),
           col("sum_value").cast("long").as("sum_value_micro"))
@@ -2480,12 +2495,14 @@ object SparkEntry {
         .as[(java.sql.Timestamp, Long, Double)].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, Double)]
-      val q = Streaming.windowTopK(
-          mem.toDF().toDF("ts", "user_id", "value"), 300, 3)
-        .writeStream.format("memory").queryName("graft_q_stream_topk")
-        .outputMode("complete").start()
-      try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
-      finally q.stop()
+      withStreamShuffle(s, 8) {
+        val q = Streaming.windowTopK(
+            mem.toDF().toDF("ts", "user_id", "value"), 300, 3)
+          .writeStream.format("memory").queryName("graft_q_stream_topk")
+          .outputMode("complete").start()
+        try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      }
       s.table("graft_q_stream_topk")
         .orderBy("window_start_sec", "rk")
     }),
@@ -2518,16 +2535,18 @@ object SparkEntry {
       }.sum
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Streaming.Ev]
-      val q = Streaming.sessionize(s, mem.toDS(), 1800L)
-        .writeStream.format("memory").queryName("graft_q_stream_sessions")
-        .outputMode("append").start()
-      try {
-        mem.addData((ev ++ sentinels).toIndexedSeq)
-        val deadline = System.currentTimeMillis() + 180000L
-        while (s.table("graft_q_stream_sessions").count() < expected &&
-               System.currentTimeMillis() < deadline)
-          Thread.sleep(500)
-      } finally q.stop()
+      withStreamShuffle(s, 8) {
+        val q = Streaming.sessionize(s, mem.toDS(), 1800L)
+          .writeStream.format("memory").queryName("graft_q_stream_sessions")
+          .outputMode("append").start()
+        try {
+          mem.addData((ev ++ sentinels).toIndexedSeq)
+          val deadline = System.currentTimeMillis() + 180000L
+          while (s.table("graft_q_stream_sessions").count() < expected &&
+                 System.currentTimeMillis() < deadline)
+            Thread.sleep(100)
+        } finally q.stop()
+      }
       require(s.table("graft_q_stream_sessions").count() == expected,
         s"q_stream_sessions: stream did not converge to $expected sessions")
       s.table("graft_q_stream_sessions")
@@ -2557,16 +2576,18 @@ object SparkEntry {
       val expected = docs.length.toLong
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Streaming.DocIn]
-      val q = Streaming.dedupStream(s, mem.toDS())
-        .writeStream.format("memory").queryName("graft_q_stream_dedup")
-        .outputMode("append").start()
-      try {
-        mem.addData(docs.toIndexedSeq)
-        val deadline = System.currentTimeMillis() + 180000L
-        while (s.table("graft_q_stream_dedup").count() < expected &&
-               System.currentTimeMillis() < deadline)
-          Thread.sleep(500)
-      } finally q.stop()
+      withStreamShuffle(s, 8) {
+        val q = Streaming.dedupStream(s, mem.toDS())
+          .writeStream.format("memory").queryName("graft_q_stream_dedup")
+          .outputMode("append").start()
+        try {
+          mem.addData(docs.toIndexedSeq)
+          val deadline = System.currentTimeMillis() + 180000L
+          while (s.table("graft_q_stream_dedup").count() < expected &&
+                 System.currentTimeMillis() < deadline)
+            Thread.sleep(100)
+        } finally q.stop()
+      }
       require(s.table("graft_q_stream_dedup").count() == expected,
         s"q_stream_dedup: stream did not converge to $expected rows")
       s.table("graft_q_stream_dedup")
@@ -2719,12 +2740,14 @@ object SparkEntry {
         .as[Streaming.CEv].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Streaming.CEv]
-      val q = Streaming.cusumStream(s, mem.toDS(),
-          targetMicro = 60000000L, hMicro = 400000000L)
-        .writeStream.format("memory").queryName("graft_q_stream_cusum")
-        .outputMode("append").start()
-      try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
-      finally q.stop()
+      withStreamShuffle(s, 8) {
+        val q = Streaming.cusumStream(s, mem.toDS(),
+            targetMicro = 60000000L, hMicro = 400000000L)
+          .writeStream.format("memory").queryName("graft_q_stream_cusum")
+          .outputMode("append").start()
+        try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      }
       s.table("graft_q_stream_cusum").orderBy("user_id", "alarm_idx")
     }),
 
@@ -2741,11 +2764,13 @@ object SparkEntry {
         .as[Streaming.GeoPt].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Streaming.GeoPt]
-      val q = Streaming.geofenceStream(s, mem.toDS(), Synth.cityPolys(g))
-        .writeStream.format("memory").queryName("graft_q_stream_geofence")
-        .outputMode("append").start()
-      try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
-      finally q.stop()
+      withStreamShuffle(s, 8) {
+        val q = Streaming.geofenceStream(s, mem.toDS(), Synth.cityPolys(g))
+          .writeStream.format("memory").queryName("graft_q_stream_geofence")
+          .outputMode("append").start()
+        try { mem.addData(rows.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      }
       s.table("graft_q_stream_geofence").orderBy("track_id", "step")
     }),
 

@@ -1004,6 +1004,14 @@ object fns {
       "clipRectAreaData",
       Seq(e(rings), e(latLo), e(lonLo), e(latHi), e(lonHi)),
       propagateNull = true))
+  /** |A ∩ B| of two SORTED (sort_array order = binary UTF8String order)
+    * distinct string arrays by linear merge — no per-row hash set, no
+    * allocation (vs array_intersect, which builds a hash map per row: the
+    * PPJoin verify stage over ~4·10⁵ candidate pairs spent ~7 s there). */
+  def sorted_inter_count(a: Column, b: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      classOf[SortedSets.type], LongType, "interCount",
+      Seq(e(a), e(b)), propagateNull = true))
   def point_in_polygon_first(lat: Column, lon: Column,
                              polys: Array[(String, Array[Array[Double]])], default: String): Column =
     c(PointInPolygonFirst(e(lat), e(lon), polys, default))
@@ -1035,5 +1043,25 @@ object fns {
   def manhattan_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     import org.apache.spark.sql.functions.{abs, lit}
     lit(1e5) * (abs(lat1 - lat2) + abs(lon1 - lon2))
+  }
+}
+
+/** Static kernel for fns.sorted_inter_count: linear merge over two sorted
+  * distinct string arrays. Ordering contract: both inputs were produced by
+  * sort_array(...), whose string order is UTF8String.compareTo (binary) —
+  * the same comparator used here, so the merge sees both arrays in strictly
+  * increasing order and counts exactly |A ∩ B|. */
+object SortedSets {
+  def interCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1L; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
   }
 }

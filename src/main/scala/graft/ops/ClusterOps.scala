@@ -52,8 +52,12 @@ object ClusterOps {
     require(epsMeters > 0.0, "epsMeters must be positive")
     require(minPts >= 1, "minPts must be >= 1")
     graft.plans.GraftPlans.enable(points.sparkSession)
-    val a = points.select(col("pid").as("a_id"), col("lat").as("a_lat"), col("lon").as("a_lon"))
-    val b = points.select(col("pid").as("b_id"), col("lat").as("b_lat"), col("lon").as("b_lon"))
+    // the rewritten ε-join explodes a cell disk per point BEFORE its first
+    // exchange — spread an undersized scan so that map stage isn't pinned
+    // to the input's file-split count (no-op at real scale)
+    val pts = Par.spread(points, col("pid"))
+    val a = pts.select(col("pid").as("a_id"), col("lat").as("a_lat"), col("lon").as("a_lon"))
+    val b = pts.select(col("pid").as("b_id"), col("lat").as("b_lat"), col("lon").as("b_lon"))
     val pairs = a.join(b,
         fns.haversine_m(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon"))
           <= lit(epsMeters))

@@ -32,12 +32,16 @@ object GraphOps {
     var e = edges
       .select(greatest(col(src), col(dst)).as("a"), least(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the signature action below
     var sig = signature(e)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = star(star(e, large = true), large = false).localCheckpoint(true)
+      // LAZY checkpoint: the signature action below both materializes the
+      // round's result (truncating lineage exactly as before) and computes
+      // the convergence fingerprint — one job per round instead of two
+      val next = star(star(e, large = true), large = false)
+        .localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       e = next; sig = nextSig; it += 1
@@ -71,6 +75,10 @@ object GraphOps {
         joined.filter(col("v") <= col("u"))
           .select(col("v").as("a"), col("m").as("b"))
           .union(mins.select(col("u").as("a"), col("m").as("b")))
+    // dedup after EVERY star: min-aggregates are duplicate-insensitive, but
+    // a dense component (an ε-clique in DBSCAN) makes the undeduped
+    // large-star output quadratic in component size — measured +2 s on
+    // q_raster_polygonize when this distinct was deferred to once per round
     out.filter(col("a") =!= col("b")).distinct()
   }
 

@@ -275,19 +275,31 @@ object SpatialOps {
         // it is the big side by construction
         .join(segs.hint("SHUFFLE_HASH"), Seq("cell"))
         .select(col("image_id"), col("way_id"),
-          fns.point_seg_dist(col("lat"), col("lon"),
-            col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("seg_dist"))
-      val grouped = perSeg.groupBy(col("image_id"), col("way_id"))
-        .agg(min(col("seg_dist")).as("dist"))
-        .withColumn("dist9", round(col("dist") * lit(1e9), 0).cast("long"))
-      val w = Window.partitionBy("image_id").orderBy(col("dist9"), col("way_id"))
+          round(fns.point_seg_dist(col("lat"), col("lon"),
+            col("lat1"), col("lon1"), col("lat2"), col("lon2")) * lit(1e9), 0)
+            .cast("long").as("dist9"))
       // materialize the candidate top-k ONCE per round: the settle check,
       // the settled slice, and the pending anti-join all reuse it (without
-      // this the whole join+window pipeline re-executes 3× per round)
-      val topk = grouped
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-        .localCheckpoint(true)
+      // this the whole join+window pipeline re-executes 3× per round).
+      // k = 1 (map matching): a single codegen'd struct-min straight over
+      // per-SEGMENT rows — per-segment rounding commutes with the per-way
+      // min (round is monotone) and lexicographic (dist9, way_id) min is
+      // exactly the window's (dist9 ASC, way_id ASC) first row, so ONE
+      // map-side-combinable shuffle replaces the per-(image, way) exchange
+      // plus the per-image sort (guide §2.3/§2.4).
+      val topk = (
+        if (k == 1)
+          perSeg.groupBy(col("image_id"))
+            .agg(min(struct(col("dist9"), col("way_id"))).as("m"))
+            .select(col("image_id"), col("m.way_id").as("way_id"),
+              col("m.dist9").as("dist9"), lit(1).as("rk"))
+        else {
+          val grouped = perSeg.groupBy(col("image_id"), col("way_id"))
+            .agg(min(col("dist9")).as("dist9"))
+          val w = Window.partitionBy("image_id").orderBy(col("dist9"), col("way_id"))
+          grouped.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        }
+      ).localCheckpoint(true)
       if (last) { settledParts += topk; remaining = false }
       else {
         // an image is PROVEN exact iff k candidates were found AND the k-th
@@ -298,11 +310,13 @@ object SpatialOps {
         // dense common case then skips the semi/anti-join machinery and this
         // loop costs one candidate pass plus two small aggregates.
         if (nPending < 0) nPending = pending.count()
-        val proven = topk.groupBy(col("image_id"))
-          .agg(count(lit(1)).as("nk"), max(col("dist9")).as("d9max"))
-          .filter(col("nk") === k &&
-            col("d9max") < lit(math.round(r * cs * 1e9)))
-          .select(col("image_id"))
+        val bound = math.round(r * cs * 1e9)
+        val proven =
+          (if (k == 1) topk.filter(col("dist9") < lit(bound))
+           else topk.groupBy(col("image_id"))
+             .agg(count(lit(1)).as("nk"), max(col("dist9")).as("d9max"))
+             .filter(col("nk") === k && col("d9max") < lit(bound)))
+            .select(col("image_id"))
         val nProven = proven.count()
         if (nProven == nPending) { settledParts += topk; remaining = false }
         else {
@@ -316,6 +330,7 @@ object SpatialOps {
       }
     }
     val topkAll = settledParts.reduce(_ unionByName _)
+      .select(col("image_id"), col("rk"), col("way_id"))
     // join-back tables scale with ways/images — no forced broadcast; AQE
     // picks broadcast at small scale and sort-merge/shuffled-hash at large
     val names = wayData.select(col("way_id"), col("name")).distinct()

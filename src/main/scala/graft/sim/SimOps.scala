@@ -16,9 +16,10 @@ object SimOps {
     * engine-reproducible. */
   def bruteForceTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
                      k: Int): DataFrame = {
-    val q = embeddings.filter(queryPred)
+    val emb = graft.ops.Par.spread(embeddings, col("vec_id"))
+    val q = emb.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val cand = broadcast(q).join(embeddings, col("q_id") =!= col("vec_id"))
+    val cand = broadcast(q).join(emb, col("q_id") =!= col("vec_id"))
       .withColumn("cos", fns.cosine_sim(col("q_emb"), col("embedding")))
       .withColumn("cos9", round(col("cos") * lit(1e9), 0).cast("long"))
     val w = Window.partitionBy("q_id").orderBy(col("cos9").desc, col("vec_id"))
@@ -37,9 +38,10 @@ object SimOps {
     * the full-candidate sort disappears. Tie order (cos9 DESC, vec_id ASC)
     * is identical to the window form, so the graph is engine-reproducible. */
   def knnGraph(embeddings: DataFrame, k: Int): DataFrame = {
-    val q = embeddings
+    val emb = graft.ops.Par.spread(embeddings, col("vec_id"))
+    val q = emb
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val cand = broadcast(q).join(embeddings, col("q_id") =!= col("vec_id"))
+    val cand = broadcast(q).join(emb, col("q_id") =!= col("vec_id"))
       .select(col("q_id"),
         round(fns.cosine_sim(col("q_emb"), col("embedding")) * lit(1e9), 0)
           .cast("long").as("cos9"),
@@ -85,9 +87,10 @@ object SimOps {
     *
     * Output: (q_id, true_label, pred_label, votes, correct). */
   def knnClassify(spark: SparkSession, embeddings: DataFrame, k: Int): DataFrame = {
-    val q = embeddings.select(col("vec_id").as("q_id"),
+    val emb = graft.ops.Par.spread(embeddings, col("vec_id"))
+    val q = emb.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("label").as("true_label"))
-    val top = broadcast(q).join(embeddings, col("q_id") =!= col("vec_id"))
+    val top = broadcast(q).join(emb, col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("true_label"),
         round(fns.cosine_sim(col("q_emb"), col("embedding")) * lit(1e9), 0)
           .cast("long").as("cos9"),
@@ -96,7 +99,7 @@ object SimOps {
       .agg(graft.exprs.topk.topk_agg(col("cos9"), col("vec_id"), k).as("top"))
       .select(col("q_id"), col("true_label"), explode(col("top.tag")).as("vec_id"))
     val voted = top
-      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy(col("q_id"), col("true_label"), col("label"))
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy("q_id")
@@ -199,10 +202,11 @@ object SimOps {
     * Approximate — recall measured in tests against bruteForceTopK. */
   def lshTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
               k: Int, nPlanes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val emb = graft.ops.Par.spread(embeddings, col("vec_id"))
     val bucketCols = (0 until tables).map { t =>
       lshBucket(col("embedding"), hyperplanesFor(t, nPlanes, dim)).as(s"b$t")
     }
-    val withB = embeddings.select(col("*") +: bucketCols: _*)
+    val withB = emb.select(col("*") +: bucketCols: _*)
       .select(col("vec_id"), col("embedding"),
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
@@ -261,9 +265,10 @@ object SimOps {
   def ivfTopK(embeddings: DataFrame, queryPred: org.apache.spark.sql.Column,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = seedCentroids(embeddings, nlist)
-    val assigned = embeddings.select(col("vec_id"), col("embedding"))
+    val emb = graft.ops.Par.spread(embeddings, col("vec_id"))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
       .withColumn("list_id", -bestCentroid(col("embedding"), cents).getField("ncid"))
-    val qs = embeddings.filter(queryPred)
+    val qs = emb.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probeW = Window.partitionBy("q_id")
       .orderBy(col("sc.c9").desc, col("sc.cid"))
@@ -356,9 +361,10 @@ object SimOps {
       if (trainIters > 0) pqTrainBooks(embeddings, m, nCentroids, dim, trainIters)
       else pqBooks(embeddings, m, nCentroids, dim)
     // offline encode pass: at rest this is the stored table (id, m bytes)
-    val codes = embeddings.select(col("vec_id"),
+    val emb = graft.ops.Par.spread(embeddings, col("vec_id"))
+    val codes = emb.select(col("vec_id"),
       fns.pq_encode(col("embedding"), books).as("codes"))
-    val qs = embeddings.filter(queryPred)
+    val qs = emb.filter(queryPred)
       .select(col("vec_id").as("q_id"),
         fns.pq_dot_table(col("embedding"), books).as("qtab"))
     val cand = broadcast(qs).join(codes, col("q_id") =!= col("vec_id"))
@@ -372,10 +378,10 @@ object SimOps {
       val short = cand.withColumn("prk", row_number().over(w))
         .filter(col("prk") <= k * rerankFactor)
         .select("q_id", "vec_id")
-      val qe = embeddings.filter(queryPred)
+      val qe = emb.filter(queryPred)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val exact = short
-        .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .join(broadcast(qe), Seq("q_id"))
         .withColumn("cos9",
           round(fns.cosine_sim(col("q_emb"), col("embedding")) * lit(1e9), 0).cast("long"))
@@ -402,7 +408,8 @@ object SimOps {
     val bucketCols = (0 until tables).map { t =>
       lshBucket(col("embedding"), hyperplanesFor(t, nPlanes, dim)).as(s"b$t")
     }
-    val withB = embeddings.select(col("vec_id") +: col("embedding") +: bucketCols: _*)
+    val emb = graft.ops.Par.spread(embeddings, col("vec_id"))
+    val withB = emb.select(col("vec_id") +: col("embedding") +: bucketCols: _*)
       .select(col("vec_id"),
         posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
@@ -410,8 +417,8 @@ object SimOps {
     val r = withB.select(col("tbl"), col("bucket"), col("vec_id").as("id2"))
     val pairs = l.join(r, Seq("tbl", "bucket")).filter(col("id1") < col("id2"))
       .select("id1", "id2").dropDuplicates("id1", "id2")
-    val e1 = embeddings.select(col("vec_id").as("id1"), col("embedding").as("e1"))
-    val e2 = embeddings.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    val e1 = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val e2 = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
     pairs.join(e1, Seq("id1")).join(e2, Seq("id2"))
       .withColumn("cos", fns.cosine_sim(col("e1"), col("e2")))
       .filter(col("cos") >= cosMin)
@@ -478,7 +485,8 @@ object SimOps {
     val cents = seedCentroids(embeddings, nlist)
     // the shared quantizer convention (bestCentroid) gives the argmax list
     // AND its cosine in one array_max — clusters here ARE the IVF layout
-    val assigned = embeddings.select(col("vec_id"), col("embedding"))
+    val assigned = graft.ops.Par.spread(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
       .withColumn("best", bestCentroid(col("embedding"), cents))
       .select(col("vec_id"), col("embedding"),
         (-col("best.ncid")).as("list_id"), col("best.c9").as("cent_cos9"))
@@ -515,10 +523,11 @@ object SimOps {
     * tie-break keeps the ranking deterministic and oracle-matchable. */
   def hardNegatives(embeddings: DataFrame, anchorPred: org.apache.spark.sql.Column,
                     k: Int): DataFrame = {
-    val anchors = embeddings.filter(anchorPred)
+    val emb = graft.ops.Par.spread(embeddings, col("vec_id"))
+    val anchors = emb.filter(anchorPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("label").as("q_label"))
-    val cand = broadcast(anchors).join(embeddings, col("label") =!= col("q_label"))
+    val cand = broadcast(anchors).join(emb, col("label") =!= col("q_label"))
       .withColumn("cos9",
         round(fns.cosine_sim(col("q_emb"), col("embedding")) * lit(1e9), 0).cast("long"))
     val w = Window.partitionBy("q_id").orderBy(col("cos9").desc, col("vec_id"))

@@ -144,6 +144,9 @@ object Layout {
                        minLat: Double, minLon: Double,
                        maxLat: Double, maxLon: Double, res: Int): DataFrame = {
     val ranges = bboxRanges(minLat, minLon, maxLat, maxLon, res)
+    // the Hilbert filter is a pure map scan (no exchange at all): spread an
+    // undersized input so the per-row curve-position math parallelizes
+    val dfS = graft.ops.Par.spread(df, col(latCol))
     val h = org.apache.spark.sql.graft.ColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
         classOf[Layout.type],
@@ -154,7 +157,7 @@ object Layout {
           org.apache.spark.sql.catalyst.expressions.Literal(res)),
         propagateNull = true))
     val coarse = ranges.map { case (lo, hi) => h.between(lo, hi) }.reduce(_ || _)
-    df.filter(coarse)
+    dfS.filter(coarse)
       .filter(col(latCol) >= minLat && col(latCol) <= maxLat &&
         col(lonCol) >= minLon && col(lonCol) <= maxLon)
   }

@@ -91,7 +91,10 @@ object Synth {
       classOf[Synth.type], geomType, "trackArray",
       Seq(ColumnBridge.expression(key), Literal(nPoints)),
       propagateNull = true))
-    orders(spark, sfDir).select(key.as("track_id"), geom.as("geometry"))
+    // spread before the per-row walk synthesis (same single-partition-scan
+    // hazard as images: 40-point track arrays are the heavy map work here)
+    graft.ops.Par.spread(orders(spark, sfDir), col("o_orderkey"))
+      .select(key.as("track_id"), geom.as("geometry"))
   }
 
   def orders(spark: SparkSession, sfDir: String): DataFrame =
@@ -108,7 +111,8 @@ object Synth {
     * sample stream seeded by the key — every field is reproducible from
     * o_orderkey alone, so aggregate features can be pinned as oracles. */
   def audio(spark: SparkSession, sfDir: String, withBytes: Boolean = true): DataFrame = {
-    val o = orders(spark, sfDir).select(col("o_orderkey").as("k"))
+    val o = graft.ops.Par.spread(
+      orders(spark, sfDir).select(col("o_orderkey").as("k")), col("k"))
     val df = o.select(
       col("k"),
       concat(lit("aud"), col("k")).as("audio_id"),
@@ -129,8 +133,9 @@ object Synth {
     * sums from o_orderkey alone (q_video_frames). Frame dims derive from k
     * (SQL-mirrorable): w = 8 + k%5, h = 9 + k%3. */
   def videos(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = orders(spark, sfDir).select(col("o_orderkey").as("k"))
-      .filter(col("k") % 199 === 0)
+    val o = graft.ops.Par.spread(
+      orders(spark, sfDir).select(col("o_orderkey").as("k"))
+        .filter(col("k") % 199 === 0), col("k"))
     val base = o.select(
       col("k"),
       concat(lit("vid"), col("k")).as("video_id"),
@@ -225,7 +230,14 @@ object Synth {
     * else bmp — all three carry REAL encoded payloads (Bmp / javax.imageio). */
   def images(spark: SparkSession, sfDir: String, g: Int, withBytes: Boolean = true): DataFrame = {
     val s = (g - 1) * 1000L
-    val o = orders(spark, sfDir).select(col("o_orderkey").as("k"))
+    // bytes path only: spread the key scan BEFORE the per-row encode — a
+    // small orders file plans as ONE partition and pins the whole
+    // encode/decode map stage to one core (measured: q_image_psnr 5.0 s →
+    // 0.8 s). The no-bytes projection is too cheap to pay a per-query
+    // exchange for (measured: a flat +0.2-0.4 s on every light consumer);
+    // heavy no-bytes consumers spread at their own operator entry instead.
+    val o0 = orders(spark, sfDir).select(col("o_orderkey").as("k"))
+    val o = if (withBytes) graft.ops.Par.spread(o0, col("k")) else o0
     val base = o.select(
       col("k"),
       ((col("k") * 48271L + 11L) % 2147483647L).as("h1"),

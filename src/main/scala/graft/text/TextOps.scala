@@ -189,7 +189,7 @@ object TextOps {
                       bands: Int = 8, rows: Int = 4,
                       jaccardMin: Double = 0.5): DataFrame = {
     val k = bands * rows
-    val sig = docs
+    val sig = graft.ops.Par.spread(docs, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", fns.minhash_sig(col("sh"), k))
       .cache()
@@ -230,7 +230,7 @@ object TextOps {
                            bands: Int = 8, rows: Int = 4,
                            tMilli: Long = 200L): DataFrame = {
     val k = bands * rows
-    def withSig(d: DataFrame): DataFrame = d
+    def withSig(d: DataFrame): DataFrame = graft.ops.Par.spread(d, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("sig", fns.minhash_sig(col("sh"), k))
       .localCheckpoint(true)
@@ -272,7 +272,7 @@ object TextOps {
     * blocking (any equal quarter → candidate), verified by Hamming ≤ maxHam.
     */
   def simHashPairs(docs: DataFrame, maxHam: Int = 8): DataFrame = {
-    val sh = docs.select(col("doc_id"),
+    val sh = graft.ops.Par.spread(docs, col("doc_id")).select(col("doc_id"),
       fns.simhash64(split(col("text"), " ")).as("sim"))
     val bandExprs = (0 until 4).map(b =>
       shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)))
@@ -288,9 +288,13 @@ object TextOps {
       .select("id1", "id2", "hamming")
   }
 
+  // `sh` is SORTED (binary string order): downstream consumers only
+  // explode/count it, and sorting once per doc lets the pair verify run as
+  // a linear merge (fns.sorted_inter_count) instead of a per-pair hash set
   private def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("lang"), col("source"), col("doc_id"),
-      array_distinct(shingles(col("text"))).as("sh"))
+    graft.ops.Par.spread(docs, col("doc_id"))
+      .select(col("lang"), col("source"), col("doc_id"),
+        sort_array(array_distinct(shingles(col("text")))).as("sh"))
       .withColumn("nsh", size(col("sh")))
 
   /** PPJoin-style prefix-filtered candidate pairs (Chaudhuri/Ganti/Kaushik
@@ -320,11 +324,21 @@ object TextOps {
     val prefix = inv.join(dfreq, Seq("lang", "source", "shingle"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("nsh") - ceil(col("nsh") * lit(t)) + lit(1))
-      .select(col("lang"), col("source"), col("shingle"), col("doc_id"))
+      .select(col("lang"), col("source"), col("shingle"), col("doc_id"), col("nsh"))
       .localCheckpoint(true)
-    val l = prefix.select(col("lang"), col("source"), col("shingle"), col("doc_id").as("id1"))
-    val r = prefix.select(col("lang"), col("source"), col("shingle"), col("doc_id").as("id2"))
-    l.join(r, Seq("lang", "source", "shingle")).filter(col("id1") < col("id2"))
+    val l = prefix.select(col("lang"), col("source"), col("shingle"),
+      col("doc_id").as("id1"), col("nsh").as("n1"))
+    val r = prefix.select(col("lang"), col("source"), col("shingle"),
+      col("doc_id").as("id2"), col("nsh").as("n2"))
+    // PPJoin LENGTH filter (exact): J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| with
+    // |A∩B| ≤ min, |A∪B| ≥ max ⟹ min ≥ t·max — so pruning
+    // min < t·max·(1−1e−12) can only drop pairs below the threshold (the
+    // 1e−12 slack over-keeps borderline float cases; verify re-filters).
+    // Cuts the candidate set BEFORE the dedup shuffle and the verify joins.
+    l.join(r, Seq("lang", "source", "shingle"))
+      .filter(col("id1") < col("id2") &&
+        least(col("n1"), col("n2")).cast("double") >=
+          greatest(col("n1"), col("n2")).cast("double") * lit(t * (1 - 1e-12)))
       .select("lang", "source", "id1", "id2").dropDuplicates()
   }
 
@@ -352,7 +366,10 @@ object TextOps {
     require(growthMax >= 1.0, s"growthMax must be >= 1: $growthMax")
     val sets = shingled(docs).localCheckpoint(true)
     val jmin = cMin / (1.0 + growthMax)
+    // same CPU-dense-verify stage-width pin as jaccardPairsDetailed
     val cand = prefixCandidatesOf(sets, jmin)
+      .repartition(sets.sparkSession.sparkContext.defaultParallelism,
+        col("id1"), col("id2"))
     val s1 = sets.select(col("lang"), col("source"), col("doc_id").as("id1"),
       col("sh").as("sh1"), col("nsh").as("n1"))
     val s2 = sets.select(col("lang"), col("source"), col("doc_id").as("id2"),
@@ -360,7 +377,7 @@ object TextOps {
     cand
       .join(s1, Seq("lang", "source", "id1"))
       .join(s2, Seq("lang", "source", "id2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("inter", fns.sorted_inter_count(col("sh1"), col("sh2")))
       .withColumn("n_small", least(col("n1"), col("n2")).cast("long"))
       .withColumn("containment",
         col("inter").cast("double") / col("n_small").cast("double"))
@@ -409,7 +426,13 @@ object TextOps {
   private def jaccardPairsDetailed(sets: DataFrame, jaccardMin: Double): DataFrame = {
     require(jaccardMin > 0.0, "prefix-filtered form requires a positive threshold")
     val d = sets
+    // the verify stage is CPU-dense on tiny rows (a per-pair set merge over
+    // (id, id) pairs): AQE coalesces its input by BYTES and was measured
+    // pinning ~9 CPU-s of verify onto 2 tasks — pin the stage width with an
+    // explicit repartition (narrow pair rows; no payload shuffled)
     val cand = prefixCandidatesOf(d, jaccardMin)
+      .repartition(d.sparkSession.sparkContext.defaultParallelism,
+        col("id1"), col("id2"))
     val s1 = d.select(col("lang"), col("source"), col("doc_id").as("id1"),
       col("sh").as("sh1"), col("nsh").as("n1"))
     val s2 = d.select(col("lang"), col("source"), col("doc_id").as("id2"),
@@ -417,7 +440,10 @@ object TextOps {
     cand
       .join(s1, Seq("lang", "source", "id1"))
       .join(s2, Seq("lang", "source", "id2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      // sh is sorted (shingled/globalShingleSets contract): linear-merge
+      // count instead of array_intersect's per-pair hash set — same exact
+      // integer |∩|, ~10× less CPU on the candidate-pair hot path
+      .withColumn("inter", fns.sorted_inter_count(col("sh1"), col("sh2")))
       .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / col("uni").cast("double"))
@@ -462,8 +488,9 @@ object TextOps {
     * audits run in — shingled ONCE and materialized, shared by the truth
     * and signature passes (the module's materialize-shingles-once rule). */
   private def globalShingleSets(docs: DataFrame): DataFrame =
-    docs.select(lit("all").as("lang"), lit("all").as("source"),
-        col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    graft.ops.Par.spread(docs, col("doc_id"))
+      .select(lit("all").as("lang"), lit("all").as("source"),
+        col("doc_id"), sort_array(array_distinct(shingles(col("text")))).as("sh"))
       .withColumn("nsh", size(col("sh")))
       .localCheckpoint(true)
 
@@ -524,22 +551,32 @@ object TextOps {
     val nCand = cand.count()
     val joined = truth
       .join(cand.withColumn("c", lit(true)), Seq("id1", "id2"), "left")
-      .localCheckpoint(true)
-    val perT = thresholdsMilli.sorted.map { t =>
-      joined
-        .filter(lit(1000L) * col("i") >= lit(t.toLong) * col("u"))
-        // coalesce: sum over an EMPTY bucket is NULL, but the contract (and
-        // the oracle's LEFT-JOIN zero row) is tp = 0
-        .agg(count(lit(1)).as("n_truth"),
-          coalesce(sum(when(col("c").isNotNull, 1L).otherwise(0L)), lit(0L)).as("tp"))
-        .select(lit(t.toLong).as("t_milli"), col("n_truth"),
-          lit(nCand).as("n_cand"), col("tp"),
-          (col("n_truth") - col("tp")).as("fn"),
-          (lit(nCand) - col("tp")).as("fp"),
-          when(col("n_truth") > 0, expr("tp * 1000 DIV n_truth")).as("recall_milli"),
-          when(lit(nCand) > 0, expr(s"tp * 1000 DIV ${nCand}L")).as("precision_milli"))
-    }
-    perT.reduce(_ unionByName _)
+    // ONE pass over the joined pairs for ALL thresholds (was one scan+agg
+    // job per threshold): each pair replicates into the thresholds it
+    // passes, one grouped count collects every row, and a literal
+    // threshold frame left-joins so empty thresholds still emit the
+    // contract's zero row (count over an empty global agg did before).
+    val spark = truth.sparkSession
+    import spark.implicits._
+    val tDf = thresholdsMilli.sorted.map(_.toLong).toDF("t_milli")
+    val counts = joined
+      .select(col("i"), col("u"), col("c"),
+        explode(filter(
+          typedlit(thresholdsMilli.sorted.map(_.toLong)),
+          t => lit(1000L) * col("i") >= t * col("u"))).as("t_milli"))
+      .groupBy(col("t_milli"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("tp"))
+    tDf.join(counts, Seq("t_milli"), "left")
+      .select(col("t_milli"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        lit(nCand).as("n_cand"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("t_milli"), col("n_truth"), col("n_cand"), col("tp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        (lit(nCand) - col("tp")).as("fp"),
+        when(col("n_truth") > 0, expr("tp * 1000 DIV n_truth")).as("recall_milli"),
+        when(lit(nCand) > 0, expr(s"tp * 1000 DIV ${nCand}L")).as("precision_milli"))
   }
 
   /** ONE-row integer-exact confusion summary of two (id1, id2) pair sets. */
@@ -572,7 +609,8 @@ object TextOps {
     * queries: (q_id long, q_text string). Output: (q_id, rk, doc_id, score9).
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = graft.ops.Par.spread(docs, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).collect()(0)
     require(st.getLong(0) > 0L,
@@ -611,12 +649,13 @@ object TextOps {
     * groupBys whose state is (doc, token)-bounded.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val perTok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val d = graft.ops.Par.spread(docs, col("doc_id"))
+    val perTok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val tokAgg = perTok.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_tok_n"),
         count(lit(1)).as("n_distinct_toks"))
-    val triAgg = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s3"))
+    val triAgg = d.select(col("doc_id"), explode(shingles(col("text"))).as("s3"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n3_total"), countDistinct(col("s3")).as("n3_distinct"))
     tokAgg.join(triAgg, Seq("doc_id"))
@@ -695,7 +734,7 @@ object TextOps {
     * Output: (doc_id, pos, h) — the selected fingerprints. */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1)
-    val grams = docs
+    val grams = graft.ops.Par.spread(docs, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= k + w - 1) // need at least one full window
       .select(col("doc_id"),
@@ -955,7 +994,8 @@ object TextOps {
     * Output: (doc_id, rk, term, tf, score9). */
   def tfidfKeywords(docs: DataFrame, k: Int): DataFrame = {
     val nDocs = docs.count() // one driver scalar
-    val tf = docs.select(col("doc_id"), explode(tokensCol(col("text"))).as("term"))
+    val tf = graft.ops.Par.spread(docs, col("doc_id"))
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
@@ -1225,7 +1265,7 @@ object TextOps {
   def bpeTrain(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = docs
+    var vocab = graft.ops.Par.spread(docs, col("doc_id"))
       .select(explode(tokensCol(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
@@ -1274,7 +1314,7 @@ object TextOps {
     * space-joined token stream, so any rule misapplication at any position
     * of any word in any document flips the row. */
   def bpeEncode(docs: DataFrame, vocab: DataFrame): DataFrame = {
-    val words = docs
+    val words = graft.ops.Par.spread(docs, col("doc_id"))
       .select(col("doc_id"), posexplode(tokensCol(col("text"))).as(Seq("wpos", "word")))
       .filter(length(col("word")) > 0)
     val seg = broadcast(vocab.select(col("word"), col("n_syms"), col("toks")))
