@@ -46,6 +46,7 @@ object GraphOps {
       converged = nextSig == sig
       e = next; sig = nextSig; it += 1
     }
+    System.err.println(s"[cc] converged in $it rounds (${sig._1} edges)")
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // star forest: children map to their root; roots and isolated originals
     // map to themselves

@@ -39,7 +39,8 @@ object ImageOps {
   /** (band, bucket) explode of the 4×16-bit phash bands — the blocking key
     * shared by the pairwise and incremental dedup paths. */
   private def phashBanded(images: DataFrame): DataFrame =
-    images.select(col("image_id"), col("phash"),
+    Par.spread(images, col("image_id"))
+      .select(col("image_id"), col("phash"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band, shiftright(phash, b * 16) & 65535 AS bucket))"))
           .as("bb"))

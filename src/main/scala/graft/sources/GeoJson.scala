@@ -93,8 +93,17 @@ object GeoJson {
           StructField("nodeId", StringType),
           StructField("wayIds", ArrayType(LongType)),
           StructField("cityName", StringType))))))))))
-    spark.read.option("multiLine", true).schema(schema).json(globPath)
-      .select(input_file_name().as("file"), explode(col("features")).as("f"))
+    // whole-file TEXT scan first, heavy JSON parse AFTER a spread: multiLine
+    // json is unsplittable (one record per file), so the 120 MB corpus
+    // planned as ~5 scan tasks and the Jackson parse ran ~5-wide; reading
+    // the raw text (cheap), spreading the (file, text) rows, and parsing
+    // with from_json under the same explicit schema puts the parse on every
+    // core. Same PERMISSIVE parse semantics; the golden oracles gate it.
+    val raw = spark.read.option("wholetext", true).text(globPath)
+      .select(input_file_name().as("file"), col("value"))
+    graft.ops.Par.spread(raw, col("file"))
+      .select(col("file"), from_json(col("value"), schema).as("j"))
+      .select(col("file"), explode(col("j.features")).as("f"))
       .select(
         regexp_replace(
           regexp_extract(col("file"), "intersections_(.*)\\.json", 1), "_", " ")
