@@ -52,12 +52,11 @@ object ClusterOps {
     require(epsMeters > 0.0, "epsMeters must be positive")
     require(minPts >= 1, "minPts must be >= 1")
     graft.plans.GraftPlans.enable(points.sparkSession)
-    // the rewritten ε-join explodes a cell disk per point BEFORE its first
-    // exchange — spread an undersized scan so that map stage isn't pinned
-    // to the input's file-split count (no-op at real scale)
-    val pts = Par.spread(points, col("pid"))
-    val a = pts.select(col("pid").as("a_id"), col("lat").as("a_lat"), col("lon").as("a_lon"))
-    val b = pts.select(col("pid").as("b_id"), col("lat").as("b_lat"), col("lon").as("b_lon"))
+    // NOT spread here: an interleaved A/B measured the extra repartition as
+    // a net ~0.7-1 s cost at gate scale — the rewritten ε-join's own
+    // exchanges already parallelize everything downstream of the scan
+    val a = points.select(col("pid").as("a_id"), col("lat").as("a_lat"), col("lon").as("a_lon"))
+    val b = points.select(col("pid").as("b_id"), col("lat").as("b_lat"), col("lon").as("b_lon"))
     val pairs = a.join(b,
         fns.haversine_m(col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon"))
           <= lit(epsMeters))

@@ -32,16 +32,17 @@ object GraphOps {
     var e = edges
       .select(greatest(col(src), col(dst)).as("a"), least(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(false) // materialized by the signature action below
+      .localCheckpoint(true)
     var sig = signature(e)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      // LAZY checkpoint: the signature action below both materializes the
-      // round's result (truncating lineage exactly as before) and computes
-      // the convergence fingerprint — one job per round instead of two
+      // eager checkpoint + separate signature job: the lazy-fused variant
+      // (checkpoint materialized by the signature action) was A/B-measured
+      // ~0.3 s SLOWER per CC query — AQE converts the lazy plan stage by
+      // stage at checkpoint-call time and still pays a final-stage job
       val next = star(star(e, large = true), large = false)
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val nextSig = signature(next)
       converged = nextSig == sig
       e = next; sig = nextSig; it += 1

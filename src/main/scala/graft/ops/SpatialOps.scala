@@ -275,9 +275,8 @@ object SpatialOps {
         // it is the big side by construction
         .join(segs.hint("SHUFFLE_HASH"), Seq("cell"))
         .select(col("image_id"), col("way_id"),
-          round(fns.point_seg_dist(col("lat"), col("lon"),
-            col("lat1"), col("lon1"), col("lat2"), col("lon2")) * lit(1e9), 0)
-            .cast("long").as("dist9"))
+          fns.point_seg_dist(col("lat"), col("lon"),
+            col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("seg_dist"))
       // materialize the candidate top-k ONCE per round: the settle check,
       // the settled slice, and the pending anti-join all reuse it (without
       // this the whole join+window pipeline re-executes 3× per round).
@@ -289,13 +288,18 @@ object SpatialOps {
       // plus the per-image sort (guide §2.3/§2.4).
       val topk = (
         if (k == 1)
-          perSeg.groupBy(col("image_id"))
-            .agg(min(struct(col("dist9"), col("way_id"))).as("m"))
+          perSeg
+            .select(col("image_id"),
+              struct(round(col("seg_dist") * lit(1e9), 0).cast("long").as("dist9"),
+                col("way_id")).as("dw"))
+            .groupBy(col("image_id"))
+            .agg(min(col("dw")).as("m"))
             .select(col("image_id"), col("m.way_id").as("way_id"),
               col("m.dist9").as("dist9"), lit(1).as("rk"))
         else {
           val grouped = perSeg.groupBy(col("image_id"), col("way_id"))
-            .agg(min(col("dist9")).as("dist9"))
+            .agg(min(col("seg_dist")).as("dist"))
+            .withColumn("dist9", round(col("dist") * lit(1e9), 0).cast("long"))
           val w = Window.partitionBy("image_id").orderBy(col("dist9"), col("way_id"))
           grouped.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
         }
