@@ -369,7 +369,11 @@ object SparkEntry {
           (col("way_id") - 1000000L) % 7 === 0))
       val probes = Pipeline.geoImages(s, dir)
         .filter((col("u") * 31 + col("v")) % 13 === 0)
-      SpatialOps.knnWays(probes, sparse, k = 2)
+      // start at ring 2: the sparsified way set (every 7th grid line) leaves
+      // 92% of probes unsettled after a ring-1 disk (measured), so the first
+      // round is almost pure rework; any start ring is result-identical
+      // (settledness is proven per round and the maxRing cap is unchanged)
+      SpatialOps.knnWays(probes, sparse, k = 2, ring = 2)
         .select(col("image_id"), col("rk"), col("way_id"), col("name"))
         .orderBy("image_id", "rk")
     }),

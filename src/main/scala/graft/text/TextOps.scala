@@ -609,8 +609,7 @@ object TextOps {
     * queries: (q_id long, q_text string). Output: (q_id, rk, doc_id, score9).
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val toks = graft.ops.Par.spread(docs, col("doc_id"))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).collect()(0)
     require(st.getLong(0) > 0L,
@@ -1265,7 +1264,7 @@ object TextOps {
   def bpeTrain(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = graft.ops.Par.spread(docs, col("doc_id"))
+    var vocab = docs
       .select(explode(tokensCol(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
@@ -1314,7 +1313,7 @@ object TextOps {
     * space-joined token stream, so any rule misapplication at any position
     * of any word in any document flips the row. */
   def bpeEncode(docs: DataFrame, vocab: DataFrame): DataFrame = {
-    val words = graft.ops.Par.spread(docs, col("doc_id"))
+    val words = docs
       .select(col("doc_id"), posexplode(tokensCol(col("text"))).as(Seq("wpos", "word")))
       .filter(length(col("word")) > 0)
     val seg = broadcast(vocab.select(col("word"), col("n_syms"), col("toks")))
