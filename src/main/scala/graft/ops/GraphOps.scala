@@ -33,6 +33,30 @@ object GraphOps {
       .select(greatest(col(src), col(dst)).as("a"), least(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+    // SMALL-GRAPH FAST PATH (broadcast-join spirit, guide §3.1): when the
+    // DEDUPED edge set fits the same few-MB budget Spark grants a broadcast
+    // relation, close the components in one bounded driver union-find
+    // instead of paying 2 shuffle jobs per star round. The probe reads from
+    // the checkpoint (never re-executes the upstream pair join), costs one
+    // limit-collect on the small path and one tiny extra job on the big
+    // path, and the collect is CONSTANT-bounded by the threshold — the same
+    // kB/MB-bounded-artifact contract as the IVF-centroid collects, never a
+    // fraction of the input. Labels are identical by construction: component
+    // = min member id under Spark's own ordering (mirrored exactly for the
+    // supported integral/UTF8-string id types; any other type routes to the
+    // distributed loop).
+    val smallMax = e.sparkSession.conf
+      .get("spark.graft.cc.smallGraphEdges", "131072").toInt
+    val driverOrd = driverOrdering(e.schema.head.dataType)
+    if (smallMax > 0 && driverOrd.isDefined) {
+      val probe = e.limit(smallMax + 1).collect()
+      if (probe.length <= smallMax) {
+        System.err.println(s"[cc] small-graph driver closure (${probe.length} edges)")
+        val mapping = driverComponents(e.sparkSession, probe, e.schema, driverOrd.get)
+        return nodes.join(broadcast(mapping), Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      }
+    }
     var sig = signature(e)
     var it = 0
     var converged = false
@@ -54,6 +78,81 @@ object GraphOps {
     val mapping = e.select(col("a").as("id"), col("b").as("component"))
     nodes.join(mapping, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** driver-side ordering that mirrors Spark's `min`/`least` for the id
+    * types the CC consumers use: integral numerics and strings (UTF8String
+    * compares unsigned UTF-8 bytes — NOT Java String order for
+    * supplementary chars, so the byte compare is spelled out). Any other
+    * type returns None and the caller keeps the distributed path. */
+  private def driverOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(Ordering.by((v: Any) => v match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case s: java.lang.Short => s.longValue
+          case b: java.lang.Byte => b.longValue
+        }))
+      case StringType => Some(new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = {
+          val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            val c = (a(i) & 0xff) - (b(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          a.length - b.length
+        }
+      })
+      case _ => None
+    }
+  }
+
+  /** bounded driver closure: union-find over ≤ smallMax canonical edges,
+    * then component label = min member id per root (same total order as the
+    * distributed star rounds' min aggregates). Returns the (id, component)
+    * mapping as a broadcastable DataFrame. */
+  private def driverComponents(spark: SparkSession,
+                               edgeRows: Array[org.apache.spark.sql.Row],
+                               edgeSchema: org.apache.spark.sql.types.StructType,
+                               ord: Ordering[Any]): DataFrame = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != null && parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != null && parent.get(c) != r) {
+        val nxt = parent.get(c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    edgeRows.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (parent.get(a) == null) parent.put(a, a)
+      if (parent.get(b) == null) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    val minOf = new java.util.HashMap[Any, Any]() // root -> min member id
+    parent.keySet().forEach { v =>
+      val r = find(v)
+      val m = minOf.get(r)
+      if (m == null || ord.lt(v, m)) minOf.put(r, v)
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { v =>
+      out.add(org.apache.spark.sql.Row(v, minOf.get(find(v))))
+    }
+    val dt = edgeSchema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt, nullable = false),
+      org.apache.spark.sql.types.StructField("component", dt, nullable = false)))
+    spark.createDataFrame(out, schema)
   }
 
   /** One star round. Both emit (node → m) edges where m is the minimum of

@@ -62,12 +62,53 @@ class GraphSpec extends AnyFunSuite {
       (20L, 20L, true), (21L, 20L, false)))
   }
 
+  test("small-graph driver closure ≡ distributed star rounds, long and string ids") {
+    def withSmallMax[T](n: Int)(body: => T): T = {
+      val key = "spark.graft.cc.smallGraphEdges"
+      val prev = spark.conf.get(key, "131072")
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+    val edges = (0 until 500).map { i =>
+      ((i * 48271L + 11L) % 180L, (i * 69621L + 7L) % 180L)
+    }.filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val fast = withSmallMax(131072) {
+      GraphOps.connectedComponents(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val star = withSmallMax(0) { // 0 disables the driver path entirely
+      GraphOps.connectedComponents(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(fast === star)
+    assert(fast === unionFind(edges))
+    // string ids: min label must follow Spark's UTF8 binary order both ways
+    val sdf = edges.map { case (a, b) => (f"n$a%03d", f"n$b%03d") }.toDF("src", "dst")
+    val sFast = withSmallMax(131072) {
+      GraphOps.connectedComponents(sdf).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    val sStar = withSmallMax(0) {
+      GraphOps.connectedComponents(sdf).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    assert(sFast === sStar)
+    // a probe that comes back over-threshold must route to the star path
+    val big = withSmallMax(3) {
+      GraphOps.connectedComponents(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(big === fast)
+  }
+
   test("no driver-side graph state: plan has no collect of edges") {
-    // structural property: connectedComponents runs on a 2k-node graph
-    // without materializing nodes on the driver beyond the 2-long checksum
-    val edges = (0L until 2000L).map(i => (i, i / 3)).toDF("src", "dst")
-    val out = GraphOps.connectedComponents(edges)
-    assert(out.filter(col("component") =!= 0L).count() === 0) // all reach node 0
+    // structural property: the DISTRIBUTED path (small-graph closure
+    // disabled) runs a 2k-node graph without materializing nodes on the
+    // driver beyond the 2-long checksum
+    val key = "spark.graft.cc.smallGraphEdges"
+    val prev = spark.conf.get(key, "131072")
+    spark.conf.set(key, "0")
+    try {
+      val edges = (0L until 2000L).map(i => (i, i / 3)).toDF("src", "dst")
+      val out = GraphOps.connectedComponents(edges)
+      assert(out.filter(col("component") =!= 0L).count() === 0) // all reach node 0
+    } finally spark.conf.set(key, prev)
   }
 
   // ---- PageRank ----
