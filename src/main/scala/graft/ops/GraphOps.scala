@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Distributed connected components — the missing stage of the dedup
   * pipeline: near-dup PAIRS (MinHash-LSH / SimHash / embedding buckets) →
@@ -222,17 +221,20 @@ object GraphOps {
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
                iters: Int = 5, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && scale > 0)
-    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    val e0 = edges.select(col(src).as("src"), col(dst).as("dst"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    // outdeg is STATIC across rounds: fold it into the edge list once at
+    // init (same checkpoint count) so each round pays ONE join+exchange
+    // instead of two (guide §2.4 — don't re-shuffle a round-invariant) —
+    // identical contributions, outdeg per src is simply pre-attached
+    val e = e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint(true)
     val base = scale * 15L / 100L
     var rank = nodes.select(col("id"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
       val contribs = e.join(rank.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("id"), expr("r div outdeg").as("c"))
       val sums = contribs.groupBy("id").agg(sum(col("c")).as("s"))
       rank = nodes.join(sums, Seq("id"), "left")
@@ -269,13 +271,18 @@ object GraphOps {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     var lab = nodes.select(col("id"), col("id").as("lbl"))
-    val w = Window.partitionBy("id").orderBy(col("c").desc, col("lbl"))
     for (_ <- 1 to rounds) {
       val neigh = e.join(lab.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      val upd = neigh.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("id"), col("lbl"))
+      // (count DESC, label ASC) argmax as a map-side-combinable struct-min
+      // ((−c, lbl) lexicographic): same total order as the old row_number
+      // window ((id, lbl) is unique so no ties), one partial aggregate
+      // instead of an exchange + per-id sort (guide §2.3)
+      val upd = neigh
+        .select(col("id"), struct((-col("c")).as("nc"), col("lbl")).as("s"))
+        .groupBy(col("id")).agg(min(col("s")).as("m"))
+        .select(col("id"), col("m.lbl").as("lbl"))
       lab = nodes.join(upd.withColumnRenamed("lbl", "new_lbl"), Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lbl"), col("id")).as("lbl"))
         .localCheckpoint(true)
