@@ -77,6 +77,26 @@ object Layout {
     xy2d(orderFor(res), x, y)
   }
 
+  /** ONE-evaluation membership of a cell's curve position in a sorted,
+    * disjoint range list (flattened [lo0, hi0, lo1, hi1, …], closed ends).
+    * The per-range `h BETWEEN lo AND hi` OR-chain duplicated the xy2d walk
+    * once PER RANGE per row (filter predicates get no subexpression
+    * elimination, and the pushed-down filter runs on the scan side) —
+    * measured 3.3 s single-task CPU on the gate bbox's ~30 ranges. Here the
+    * position is computed once and the range scan is a short sorted probe. */
+  def hilbertCellInRanges(cell: Long, res: Int,
+      bounds: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val h = hilbertOfCell(cell, res)
+    var i = 0
+    val n = bounds.numElements()
+    while (i < n) {
+      if (h < bounds.getLong(i)) return false // ranges ascend: no later match
+      if (h <= bounds.getLong(i + 1)) return true
+      i += 2
+    }
+    false
+  }
+
   /** Write `df` as parquet clustered on the Hilbert order of its (lat, lon)
     * grid cell: range-partitioned into `numFiles` Hilbert spans, sorted
     * within each. Every output file then covers one compact curve segment —
@@ -147,16 +167,21 @@ object Layout {
     // the Hilbert filter is a pure map scan (no exchange at all): spread an
     // undersized input so the per-row curve-position math parallelizes
     val dfS = graft.ops.Par.spread(df, col(latCol))
-    val h = org.apache.spark.sql.graft.ColumnBridge.column(
+    // single curve-position evaluation per row (hilbertCellInRanges): the
+    // old per-range BETWEEN OR-chain re-ran the xy2d walk once per range
+    val flat = ranges.flatMap { case (lo, hi) => Seq(lo, hi) }.toArray
+    val coarse = org.apache.spark.sql.graft.ColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
         classOf[Layout.type],
-        org.apache.spark.sql.types.LongType,
-        "hilbertOfCell",
+        org.apache.spark.sql.types.BooleanType,
+        "hilbertCellInRanges",
         Seq(org.apache.spark.sql.graft.ColumnBridge.expression(
             graft.exprs.fns.cell_encode(col(latCol), col(lonCol), res)),
-          org.apache.spark.sql.catalyst.expressions.Literal(res)),
+          org.apache.spark.sql.catalyst.expressions.Literal(res),
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            flat, org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, containsNull = false))),
         propagateNull = true))
-    val coarse = ranges.map { case (lo, hi) => h.between(lo, hi) }.reduce(_ || _)
     dfS.filter(coarse)
       .filter(col(latCol) >= minLat && col(latCol) <= maxLat &&
         col(lonCol) >= minLon && col(lonCol) <= maxLon)

@@ -616,7 +616,22 @@ object TextOps {
       "bm25TopK: empty document corpus — corpus stats (n, avgdl) are undefined")
     val n = st.getLong(0).toDouble
     val avgdl = st.getLong(1).toDouble / st.getLong(0).toDouble
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // width pin for the scoring stage (the PPJoin-verify pattern, guide
+    // §2.5's CPU-density analog): the query⋈postings fan-out (Σ_q Σ_{t∈q}
+    // df(t) rows — 4.5M at the 50-query gate batch), the BM25 arithmetic,
+    // and the partial (q_id, doc_id) aggregate all fuse into the stage that
+    // computes tf, and that stage's width is set by the exchange BELOW the
+    // tf aggregate: AQE coalesces it by shuffle BYTES (tiny) — measured as
+    // a 4.1 s single-task stage — and AQE's local shuffle reads make any
+    // pin ABOVE the aggregate inherit that 1-task map width, so the
+    // explicit repartition must sit on the token stream itself. The
+    // exchange carries (doc_id, tok) pairs, the same magnitude as the tf
+    // pairs it would carry anyway; AQE never re-coalesces a user-specified
+    // partition count.
+    val tf = toks
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"), col("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val qt = queries.select(col("q_id"),
       explode(array_distinct(split(col("q_text"), " "))).as("tok")).distinct()
