@@ -233,14 +233,20 @@ object GraphOps {
       .localCheckpoint(true)
     val base = scale * 15L / 100L
     var rank = nodes.select(col("id"), lit(scale).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e.join(rank.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("r div outdeg").as("c"))
       val sums = contribs.groupBy("id").agg(sum(col("c")).as("s"))
       rank = nodes.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint(true)
+      // rank feeds exactly ONE consumer per round (the next round's join),
+      // so nothing recomputes without a barrier: small fixed iteration
+      // counts run as ONE lazy plan (one action, no per-round driver
+      // barrier); a checkpoint every 4th round bounds plan depth for deep
+      // callers (unlike boundedDistances, whose state fans out 2× per round
+      // and MUST materialize)
+      if (i % 4 == 0 && i < iters) rank = rank.localCheckpoint(true)
     }
     rank.select(col("id"), col("r").as("rank_micro"))
   }
@@ -271,7 +277,7 @@ object GraphOps {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     var lab = nodes.select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val neigh = e.join(lab.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
@@ -285,7 +291,8 @@ object GraphOps {
         .select(col("id"), col("m.lbl").as("lbl"))
       lab = nodes.join(upd.withColumnRenamed("lbl", "new_lbl"), Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lbl"), col("id")).as("lbl"))
-        .localCheckpoint(true)
+      // lab feeds one consumer per round — lazy rounds, pageRank pattern
+      if (i % 4 == 0 && i < rounds) lab = lab.localCheckpoint(true)
     }
     lab
   }
