@@ -52,10 +52,47 @@ object QuantileOps {
     val n = st.getLong(2)
     require(n > 0, s"exactQuantiles: no non-null values in $valueCol")
     val (lo, hi) = (st.getDouble(0), st.getDouble(1))
-    val rows = qs.sorted.map { q =>
-      val k = math.floor(q * (n - 1).toDouble).toLong
-      Row(q, orderStat(work, k, n, lo, hi, buckets, collectLimit))
-    }
+    // The level-0 narrowing state (population, bounds, bucket width) is
+    // identical for EVERY requested quantile, so the level-0 full-data
+    // histogram is computed ONCE and each quantile resolves its own target
+    // bucket from it — q quantiles cost 1 full histogram pass + q bounded
+    // bucket chains instead of q full passes (at 100 TB the full passes ARE
+    // the cost). The k-th smallest value is search-path-independent, so
+    // results are bit-identical to the per-quantile loop.
+    val rows: Seq[Row] =
+      if (lo == hi) qs.sorted.map(q => Row(q, lo))
+      else if (n <= collectLimit) {
+        val arr = work.collect().map(_.getDouble(0))
+        java.util.Arrays.sort(arr)
+        qs.sorted.map { q =>
+          Row(q, arr(math.floor(q * (n - 1).toDouble).toInt))
+        }
+      } else {
+        val width = (hi - lo) / buckets
+        val bExpr = least(lit(buckets - 1),
+          floor((col("v") - lit(lo)) / lit(width)).cast("int"))
+        val hist = work.groupBy(bExpr.as("b")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        qs.sorted.map { q =>
+          val k = math.floor(q * (n - 1).toDouble).toLong
+          var cum = 0L; var target = Int.MinValue; var localK = 0L; var cnt = 0L
+          for ((b, c) <- hist if target == Int.MinValue) {
+            if (cum + c > k) { target = b; localK = k - cum; cnt = c }
+            cum += c
+          }
+          assert(target != Int.MinValue, s"rank $k not covered by histogram (n=$n)")
+          val v =
+            if (cnt == n) // no level-0 progress: original loop's dv fallback
+              orderStat(work, k, n, lo, hi, buckets, collectLimit)
+            else {
+              val sub = work.filter(bExpr === target)
+              val bs = sub.agg(min("v"), max("v")).head()
+              orderStat(sub, localK, cnt, bs.getDouble(0), bs.getDouble(1),
+                buckets, collectLimit)
+            }
+          Row(q, v)
+        }
+      }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("q", DoubleType, nullable = false),
