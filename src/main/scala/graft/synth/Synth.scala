@@ -92,8 +92,12 @@ object Synth {
       Seq(ColumnBridge.expression(key), Literal(nPoints)),
       propagateNull = true))
     // spread before the per-row walk synthesis (same single-partition-scan
-    // hazard as images: 40-point track arrays are the heavy map work here)
-    graft.ops.Par.spread(orders(spark, sfDir), col("o_orderkey"))
+    // hazard as images: 40-point track arrays are the heavy map work here);
+    // project to the key FIRST — spreading the full orders row shipped all
+    // nine TPC-H columns through the exchange to use one (guide §2.3,
+    // measured as a 0.8-1.3 s single-task scan+write stage per consumer)
+    graft.ops.Par.spread(
+        orders(spark, sfDir).select(col("o_orderkey")), col("o_orderkey"))
       .select(key.as("track_id"), geom.as("geometry"))
   }
 
